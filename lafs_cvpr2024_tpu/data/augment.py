@@ -1,0 +1,245 @@
+"""Host-side PIL augmentations (no torchvision dependency).
+
+Covers the reference's torchvision transform stack: RandomResizedCrop,
+flip, ColorJitter, grayscale, GaussianBlur/Solarization PIL ops
+(``utils.py:36-68``), RandomErasing, and the LAFS paired multi-crop
+transform (``lafs_train.py:790-886``) that emits each crop as a
+(clean, augmented) PAIR sharing the same geometric crop — the
+landmark-consistent augmentation at the heart of LAFS.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageFilter, ImageOps
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> Image.Image:
+    """torchvision RandomResizedCrop semantics, bicubic resize."""
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target_area = area * random.uniform(*scale)
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        aspect = math.exp(random.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x = random.randint(0, w - cw)
+            y = random.randint(0, h - ch)
+            return img.resize((size, size), Image.BICUBIC,
+                              box=(x, y, x + cw, y + ch))
+    # fallback: center crop
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    x, y = (w - cw) // 2, (h - ch) // 2
+    return img.resize((size, size), Image.BICUBIC, box=(x, y, x + cw, y + ch))
+
+
+def color_jitter(
+    img: Image.Image,
+    brightness: float = 0.4,
+    contrast: float = 0.4,
+    saturation: float = 0.2,
+    hue: float = 0.1,
+) -> Image.Image:
+    """torchvision ColorJitter: each factor uniform in [1-v, 1+v], random
+    op order; hue shift in [-h, h] via HSV rotation."""
+    from PIL import ImageEnhance
+
+    ops = []
+    if brightness > 0:
+        f = random.uniform(max(0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+    if contrast > 0:
+        f2 = random.uniform(max(0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f2))
+    if saturation > 0:
+        f3 = random.uniform(max(0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im: ImageEnhance.Color(im).enhance(f3))
+    if hue > 0:
+        shift = random.uniform(-hue, hue)
+
+        def hue_op(im, shift=shift):
+            hsv = np.array(im.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
+            return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+        ops.append(hue_op)
+    random.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return img
+
+
+class GaussianBlur:
+    """PIL gaussian blur with random radius (reference ``utils.py:36-53``)."""
+
+    def __init__(self, p: float = 0.5, radius_min: float = 0.1, radius_max: float = 2.0):
+        self.p, self.radius_min, self.radius_max = p, radius_min, radius_max
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        if random.random() > self.p:
+            return img
+        return img.filter(
+            ImageFilter.GaussianBlur(random.uniform(self.radius_min, self.radius_max))
+        )
+
+
+class Solarization:
+    """Reference ``utils.py:56-68``."""
+
+    def __init__(self, p: float = 0.2):
+        self.p = p
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        return ImageOps.solarize(img) if random.random() < self.p else img
+
+
+def random_grayscale(img: Image.Image, p: float = 0.2) -> Image.Image:
+    if random.random() < p:
+        return img.convert("L").convert("RGB")
+    return img
+
+
+def random_horizontal_flip(img: Image.Image, p: float = 0.5) -> Image.Image:
+    return img.transpose(Image.FLIP_LEFT_RIGHT) if random.random() < p else img
+
+
+def random_erasing(
+    arr: np.ndarray,
+    p: float = 0.5,
+    scale: Tuple[float, float] = (0.02, 0.1),
+    ratio: Tuple[float, float] = (0.3, 3.3),
+) -> np.ndarray:
+    """torchvision RandomErasing (value=0) on an HWC array
+    (``image_iter.py:218``)."""
+    if random.random() > p:
+        return arr
+    h, w = arr.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * random.uniform(*scale)
+        aspect = math.exp(random.uniform(math.log(ratio[0]), math.log(ratio[1])))
+        eh = int(round(math.sqrt(target * aspect)))
+        ew = int(round(math.sqrt(target / aspect)))
+        if eh < h and ew < w:
+            y = random.randint(0, h - eh)
+            x = random.randint(0, w - ew)
+            arr = arr.copy()
+            arr[y : y + eh, x : x + ew] = 0
+            return arr
+    return arr
+
+
+def to_normalized_array(img: Image.Image, mean=0.5, std=0.5) -> np.ndarray:
+    """ToTensor + Normalize((.5,.5,.5),(.5,.5,.5)) → float32 HWC in [-1,1]
+    (the SSL convention, ``lafs_train.py:800-804``)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return (arr - mean) / std
+
+
+def _jitter_gray(img: Image.Image) -> Image.Image:
+    """flip_and_color_jitter minus the flip (``lafs_train.py:792-798``):
+    ColorJitter(.4,.4,.2,.1) w.p. 0.8 + grayscale w.p. 0.2."""
+    if random.random() < 0.8:
+        img = color_jitter(img, 0.4, 0.4, 0.2, 0.1)
+    return random_grayscale(img, 0.2)
+
+
+@dataclass
+class LAFSMultiCrop:
+    """The LAFS paired multi-crop augmentation (``lafs_train.py:790-886``).
+
+    Per sample emits ``4 + 2*local_crops_number`` float32 HWC arrays:
+      [glo1_clean, glo1_aug, glo2_clean, glo2_aug,
+       loc1_clean, loc1_aug, ..., locN_clean, locN_aug]
+    Each (clean, aug) pair shares one geometric RandomResizedCrop+flip; the
+    clean copy is normalize-only (feeds the landmark CNN), the aug copy gets
+    photometric noise (jitter/blur[/solarize]) and is what gets patch-cropped.
+    NOTE the reference uses global scale and 112px for LOCAL crops too
+    (``lafs_train.py:852-858``).
+    """
+
+    global_crops_scale: Tuple[float, float] = (0.4, 1.0)
+    local_crops_scale: Tuple[float, float] = (0.05, 0.4)  # kept for config parity
+    local_crops_number: int = 8
+    size: int = 112
+
+    def __call__(self, img: Image.Image) -> List[np.ndarray]:
+        crops: List[np.ndarray] = []
+
+        def emit(geo: Image.Image, blur_p: float, solarize_p: float):
+            crops.append(to_normalized_array(geo))
+            aug = _jitter_gray(geo)
+            aug = GaussianBlur(blur_p)(aug)
+            if solarize_p > 0:
+                aug = Solarization(solarize_p)(aug)
+            crops.append(to_normalized_array(aug))
+
+        geo1 = random_horizontal_flip(
+            random_resized_crop(img, self.size, self.global_crops_scale)
+        )
+        emit(geo1, blur_p=1.0, solarize_p=0.0)
+        geo2 = random_horizontal_flip(
+            random_resized_crop(img, self.size, self.global_crops_scale)
+        )
+        emit(geo2, blur_p=0.1, solarize_p=0.2)
+        for _ in range(self.local_crops_number):
+            geo = random_horizontal_flip(
+                random_resized_crop(img, self.size, self.global_crops_scale)
+            )
+            emit(geo, blur_p=0.5, solarize_p=0.0)
+        return crops
+
+
+@dataclass
+class SupervisedAugment:
+    """Supervised train-time augmentation (``image_iter.py:187-362``):
+    optional mirror + face RandAugment + RandomResizedCrop(0.9-1.0) +
+    ColorJitter(0.1) + RandomErasing. Input/output: uint8 HWC RGB.
+    """
+
+    rand_mirror: bool = True
+    rand_au: bool = True
+    random_resizecrop: bool = True
+    config_str: str = "rand-m1-mstd0.5-inc1"
+    size: int = 112
+    _ra: object = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self.rand_au:
+            from .rand_augment import rand_augment_transform
+
+            self._ra = rand_augment_transform(
+                self.config_str, {"translate_const": 117}
+            )
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        img = Image.fromarray(arr)
+        if self.rand_mirror and random.randint(0, 1) == 1:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if self.rand_au:
+            img = self._ra(img)
+        if self.random_resizecrop:
+            img = random_resized_crop(img, self.size, scale=(0.9, 1.0))
+            img = color_jitter(img, 0.1, 0.1, 0.1, 0.1)
+            out = np.asarray(img)
+            out = random_erasing(out, p=0.5, scale=(0.02, 0.1))
+            return out
+        return np.asarray(img)

@@ -1,0 +1,150 @@
+"""Host→device input pipeline: parallel decode workers + device prefetch.
+
+TPU-native replacement for torch DataLoader worker processes
+(``lafs_train.py:186-193``: 6-8 workers/GPU + pin_memory): a thread pool
+decodes/augments (PIL releases the GIL around JPEG decode), batches are
+collated to numpy and ``jax.device_put`` with the data-axis sharding while
+the previous step executes — a double-buffered prefetch queue.
+
+Per-host sharding for multi-host meshes: each process samples its own
+``process_index``-strided shard, replacing ``DistributedSampler``
+(``lafs_train.py:185``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class EpochSampler:
+    """Shuffled per-epoch index sampler with per-process sharding
+    (DistributedSampler.set_epoch semantics)."""
+
+    def __init__(
+        self,
+        n: int,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = (
+            process_index if process_index is not None else jax.process_index()
+        )
+        self.process_count = (
+            process_count if process_count is not None else jax.process_count()
+        )
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        # pad/shard per process (DistributedSampler pads with wraparound)
+        per = -(-self.n // self.process_count)
+        if len(idx) < per * self.process_count:
+            idx = np.concatenate([idx, idx[: per * self.process_count - len(idx)]])
+        local = idx[self.process_index :: self.process_count]
+        if self.drop_last:
+            local = local[: len(local) // self.batch_size * self.batch_size]
+        return local
+
+    def steps_per_epoch(self) -> int:
+        per = -(-self.n // self.process_count)
+        return per // self.batch_size if self.drop_last else -(-per // self.batch_size)
+
+
+def _collate(samples):
+    """Stack (item, label) pairs; item may be an array or a list of arrays
+    (multi-crop) — lists collate to a list of batched arrays."""
+    items = [s[0] for s in samples]
+    labels = np.asarray([s[1] for s in samples], dtype=np.float32)
+    if isinstance(items[0], (list, tuple)):
+        ncrops = len(items[0])
+        batched = [np.stack([it[c] for it in items]) for c in range(ncrops)]
+        return batched, labels
+    return np.stack(items), labels
+
+
+class DataPipeline:
+    """Iterable over device-resident batches for one epoch.
+
+    Args:
+      dataset: map-style dataset (``dataset[i] -> (item, label)``).
+      sampler: EpochSampler.
+      num_workers: decode threads.
+      prefetch: queue depth of device-put batches.
+      sharding: optional ``jax.sharding.NamedSharding`` for device_put;
+        None keeps batches on the default device.
+      postprocess: optional host fn(batch_items, labels) -> (items, labels).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        sampler: EpochSampler,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        sharding=None,
+        postprocess: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self.postprocess = postprocess
+
+    def epoch(self, epoch: int) -> Iterator:
+        indices = self.sampler.epoch_indices(epoch)
+        bs = self.sampler.batch_size
+        batches = [indices[i : i + bs] for i in range(0, len(indices), bs)]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        items, labels = _collate(samples)
+                        if self.postprocess is not None:
+                            items, labels = self.postprocess(items, labels)
+                        if self.sharding is not None:
+                            items = jax.device_put(items, self.sharding)
+                            labels = jax.device_put(labels, self.sharding)
+                        q.put((items, labels))
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit if blocked on a full queue
+            while not q.empty():
+                q.get_nowait()

@@ -1,0 +1,125 @@
+"""Transformer core layers (flax.linen).
+
+Faithful to the reference transformer (``face_pre_pro/ViT_face.py:100-213``)
+including its quirks, which matter for checkpoint interop:
+
+- attention scale is ``dim ** -0.5`` (the MODEL dim, not head dim —
+  ``ViT_face.py:145``),
+- ``inner_dim = heads * dim_head`` may differ from ``dim`` (768-d model with
+  11 heads × 64 = 704 inner),
+- pre-norm residual blocks with DropPath on the residual branch
+  (``Residual_droppath``, ``ViT_face.py:106-112``).
+
+All math is jnp; XLA fuses LN/GELU/softmax into the matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Stochastic depth per sample (timm DropPath semantics: keep-prob scaling)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        inner = self.heads * self.dim_head
+        b, n, _ = x.shape
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        scale = self.dim ** -0.5  # reference quirk: model-dim scaling
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    drop_path_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(name="norm1")(x)
+        h = Attention(
+            self.dim, self.heads, self.dim_head, self.dropout, name="attn"
+        )(h, deterministic)
+        if not deterministic and self.drop_path_rate > 0:
+            h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
+        x = x + h
+        h = nn.LayerNorm(name="norm2")(x)
+        h = FeedForward(self.dim, self.mlp_dim, self.dropout, name="mlp")(h, deterministic)
+        if not deterministic and self.drop_path_rate > 0:
+            h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
+        return x + h
+
+
+class Transformer(nn.Module):
+    """Depth-stacked pre-norm transformer (reference ``Transformer``,
+    ``ViT_face.py:184-213``; uniform DropPath 0.1 per residual branch)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    drop_path_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth):
+            x = TransformerBlock(
+                self.dim,
+                self.heads,
+                self.dim_head,
+                self.mlp_dim,
+                self.dropout,
+                self.drop_path_rate,
+                name=f"layers_{i}",
+            )(x, deterministic)
+        return x

@@ -1,0 +1,27 @@
+from .patch_gather import patch_gather, patch_gather_mosaic, patch_gather_jit
+from .patchify import patchify, unfold_overlap, standard_grid_landmarks
+from .schedules import (
+    cosine_scheduler,
+    teacher_temp_schedule,
+    warmup_cosine_lr,
+    dino_lr_scaling,
+    supervised_lr_scaling,
+)
+from .mixup import MixupConfig, mixup_cutmix, one_hot_smooth
+
+__all__ = [
+    "patch_gather",
+    "patch_gather_mosaic",
+    "patch_gather_jit",
+    "patchify",
+    "unfold_overlap",
+    "standard_grid_landmarks",
+    "cosine_scheduler",
+    "teacher_temp_schedule",
+    "warmup_cosine_lr",
+    "dino_lr_scaling",
+    "supervised_lr_scaling",
+    "MixupConfig",
+    "mixup_cutmix",
+    "one_hot_smooth",
+]

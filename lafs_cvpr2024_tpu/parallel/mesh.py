@@ -1,0 +1,74 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's NCCL process-group runtime
+(``utils.py:423-499``): instead of one process per GPU with DDP allreduce,
+a single jitted train step runs SPMD over an explicit ``jax.sharding.Mesh``.
+
+Axes:
+- ``data``  — batch (data parallelism; grad psum rides ICI)
+- ``model`` — classifier classes (tensor parallelism for the margin head,
+  the TP-shaped component of the reference — ``ViT_face.py:54-64``)
+
+Multi-host: ``jax.distributed.initialize()`` + the same mesh over all
+processes; per-host data feeding uses process-local shards
+(``host_local_batch_spec``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, model) mesh. ``data=-1`` uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for input arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def classifier_sharding(mesh: Mesh) -> NamedSharding:
+    """Margin-head weight (C, D): classes sharded over the model axis."""
+    return NamedSharding(mesh, P("model", None))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along the data axis."""
+    return jax.device_put(batch, data_sharding(mesh))
+
+
+def is_main_process() -> bool:
+    """rank-0 gating (reference ``utils.py:443-449``)."""
+    return jax.process_index() == 0
+
+
+def maybe_initialize_distributed():
+    """Multi-host init (reference ``init_distributed_mode``). No-op when the
+    runtime is single-process or already initialized."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    import os
+
+    if "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()

@@ -1,0 +1,198 @@
+"""Optimizers and parameter-group policies as pure pytree transforms.
+
+The reference mutates torch param groups per step (lr/wd schedules,
+layer-wise decay). TPU-native: per-leaf hyperparameter TREES are built once
+on host; the jitted step takes scalar lr/wd and applies
+``lr * lr_scale_leaf`` / ``wd_scale_leaf * wd`` elementwise — zero Python in
+the hot loop, and the whole update fuses with the grad psum.
+
+Covers: AdamW (torch semantics), LARS (``utils.py:553-591``), per-param
+gradient clipping (``utils.py:132-141`` — DINO clips each parameter's norm
+INDIVIDUALLY, not globally), last-layer grad cancellation
+(``utils.py:144-149``), DINO wd masking (``utils.py:662-673``), and BEiT
+layer-wise lr decay (``train_largescale.py:122-197``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class AdamWState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def adamw_init(params) -> AdamWState:
+    zeros = lambda p: jnp.zeros_like(p)
+    return AdamWState(
+        count=jnp.zeros((), jnp.int32),
+        mu=jax.tree_util.tree_map(zeros, params),
+        nu=jax.tree_util.tree_map(zeros, params),
+    )
+
+
+def adamw_update(
+    grads,
+    state: AdamWState,
+    params,
+    lr,
+    wd_scale_tree=None,
+    lr_scale_tree=None,
+    wd=0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+):
+    """torch.optim.AdamW semantics: ``p -= lr_leaf * (m̂/(√v̂+eps) + wd_leaf*p)``.
+
+    ``wd_scale_tree`` leaves multiply the scalar ``wd`` (use 0/1 masks for
+    the DINO no-decay groups, or absolute values with ``wd=1``);
+    ``lr_scale_tree`` leaves multiply the scalar ``lr`` (layer-wise decay).
+    """
+    count = state.count + 1
+    c1 = 1 - b1 ** count.astype(jnp.float32)
+    c2 = 1 - b2 ** count.astype(jnp.float32)
+    mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+    nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+
+    ones = jax.tree_util.tree_map(lambda p: 1.0, params)
+    wd_t = wd_scale_tree if wd_scale_tree is not None else ones
+    lr_t = lr_scale_tree if lr_scale_tree is not None else ones
+
+    def upd(p, m, v, wscale, lscale):
+        mhat = m / c1
+        vhat = v / c2
+        step = mhat / (jnp.sqrt(vhat) + eps) + (wd * wscale) * p
+        return p - (lr * lscale) * step
+
+    new_params = jax.tree_util.tree_map(upd, params, mu, nu, wd_t, lr_t)
+    return new_params, AdamWState(count, mu, nu)
+
+
+class LARSState(NamedTuple):
+    mu: Any
+
+
+def lars_init(params) -> LARSState:
+    return LARSState(mu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+
+def lars_update(
+    grads, state: LARSState, params, lr, wd=0.0, momentum=0.9, eta=0.001
+):
+    """LARS (reference ``utils.py:553-591``): trust-ratio scaling on >1-D
+    params, plain momentum-SGD on 1-D (bias/norm) params."""
+
+    def upd(p, g, m):
+        dp = g
+        if p.ndim != 1:
+            dp = dp + wd * p
+            pn = jnp.linalg.norm(p)
+            un = jnp.linalg.norm(dp)
+            q = jnp.where((pn > 0) & (un > 0), eta * pn / un, 1.0)
+            dp = dp * q
+        m_new = momentum * m + dp
+        return p - lr * m_new, m_new
+
+    flat = jax.tree_util.tree_map(upd, params, grads, state.mu)
+    new_params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
+    new_mu = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+    return new_params, LARSState(new_mu)
+
+
+def clip_grads_per_param(grads, clip: float):
+    """DINO-style per-parameter norm clip (``utils.py:132-141``): each leaf
+    whose 2-norm exceeds ``clip`` is scaled down to it."""
+
+    def c(g):
+        n = jnp.linalg.norm(g)
+        coef = clip / (n + 1e-6)
+        return g * jnp.minimum(coef, 1.0)
+
+    return jax.tree_util.tree_map(c, grads)
+
+
+def clip_grads_global(grads, max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics (global norm)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    gn = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
+    coef = jnp.minimum(max_norm / (gn + 1e-6), 1.0)
+    return jax.tree_util.tree_map(lambda g: g * coef, grads)
+
+
+def zero_grads_by_path(grads, predicate: Callable[[str], bool]):
+    """Zero gradients of leaves whose '/'-joined path matches ``predicate``
+    (e.g. freeze DINO's last layer at epoch 0, ``utils.py:144-149``, or the
+    frozen stn during SSL, ``lafs_train.py:150-154``)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    treedef = jax.tree_util.tree_structure(grads)
+    out = []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        out.append(jnp.zeros_like(leaf) if predicate(name) else leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _path_name(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def dino_wd_mask(params):
+    """get_params_groups (``utils.py:662-673``): no weight decay for biases
+    and 1-D params. Returns a 0/1 tree multiplying the scheduled wd."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: 0.0 if (p.ndim <= 1 or _path_name(path).endswith("bias")) else 1.0,
+        params,
+    )
+
+
+def _vit_layer_id(name: str, num_layers: int) -> int:
+    """get_layer_id_for_vit (``train_largescale.py:174-197``) translated to
+    our param tree paths."""
+    if name.startswith(("cls_token", "pos_embedding", "patch_to_embedding")):
+        return 0
+    if name.startswith(("landmark", "stn", "output_layer", "global_token")):
+        return 0
+    if name.startswith("transformer/layers_"):
+        return int(name.split("layers_")[1].split("/")[0]) + 1
+    return num_layers
+
+
+def param_groups_lrd(params, depth: int, weight_decay=0.1, layer_decay=0.58,
+                     stn_weight_decay=5e-2):
+    """BEiT layer-wise lr decay policy (``train_largescale.py:122-197``,
+    defaults from ``:621-623``). Returns ``(lr_scale_tree, wd_value_tree)``
+    — use with ``adamw_update(..., wd=1.0, wd_scale_tree=wd_value_tree)``.
+    """
+    num_layers = depth + 1
+
+    def lr_scale(path, p):
+        name = _path_name(path)
+        return float(layer_decay ** (num_layers - _vit_layer_id(name, num_layers)))
+
+    def wd_val(path, p):
+        name = _path_name(path)
+        if p.ndim <= 1 or name.endswith("bias"):
+            return 0.0
+        if name.startswith(("landmark/stn", "stn")):
+            return float(stn_weight_decay)
+        return float(weight_decay)
+
+    lr_tree = jax.tree_util.tree_map_with_path(lr_scale, params)
+    wd_tree = jax.tree_util.tree_map_with_path(wd_val, params)
+    return lr_tree, wd_tree
+
+
+def ema_update(teacher_params, student_params, momentum):
+    """EMA teacher update (``lafs_train.py:610-613``) — pure tree_map, stays
+    local/replicated (no comm)."""
+    return jax.tree_util.tree_map(
+        lambda t, s: momentum * t + (1.0 - momentum) * s,
+        teacher_params,
+        student_params,
+    )

@@ -1,0 +1,186 @@
+"""Data-plane tests: RecordIO round-trip (+ mxnet golden when available),
+datasets, augmentation shapes, pipeline."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lafs_cvpr2024_tpu.data import (
+    FaceRecordDataset,
+    IndexedRecordIOReader,
+    IndexedRecordIOWriter,
+    IRHeader,
+    LAFSMultiCrop,
+    RecBuilder,
+    SupervisedAugment,
+    DataPipeline,
+    EpochSampler,
+    pack,
+    parse_face_index,
+    read_property,
+    unpack,
+)
+
+
+def _jpeg(arr) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    return buf.getvalue()
+
+
+def _build_identity_rec(tmp_path, n_ids=4, per_id=3, size=32):
+    """Build an insightface-style rec with identity ranges."""
+    rng = np.random.default_rng(0)
+    rec = str(tmp_path / "train.rec")
+    idx = str(tmp_path / "train.idx")
+    w = IndexedRecordIOWriter(idx, rec)
+    n_imgs = n_ids * per_id
+    # image records occupy keys 1..n_imgs
+    key = 1
+    ranges = []
+    for ident in range(n_ids):
+        start = key
+        for _ in range(per_id):
+            img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+            w.write_idx(key, pack(IRHeader(0, float(ident), key, 0), _jpeg(img)))
+            key += 1
+        ranges.append((start, key))
+    # identity header records: keys n_imgs+1 .. n_imgs+n_ids
+    ident_start = key
+    for a, b in ranges:
+        w.write_idx(key, pack(IRHeader(2, np.array([a, b], np.float32), key, 0), b""))
+        key += 1
+    ident_end = key
+    # header 0 last: flag>0, label = (ident_start, ident_end)
+    w.write_idx(0, pack(IRHeader(2, np.array([ident_start, ident_end], np.float32), 0, 0), b""))
+    w.close()
+    return rec
+
+
+def test_recordio_roundtrip(tmp_path):
+    rec = str(tmp_path / "a.rec")
+    idx = str(tmp_path / "a.idx")
+    w = IndexedRecordIOWriter(idx, rec)
+    payloads = []
+    for i in range(5):
+        data = os.urandom(10 + 7 * i)  # odd sizes exercise padding
+        p = pack(IRHeader(0, float(i), i, 0), data)
+        payloads.append((float(i), data))
+        w.write_idx(i, p)
+    w.close()
+    r = IndexedRecordIOReader(idx, rec)
+    assert len(r) == 5
+    for i, (label, data) in enumerate(payloads):
+        h, d = unpack(r.read_idx(i))
+        assert h.label == label and d == data
+
+
+def test_recordio_multilabel():
+    p = pack(IRHeader(0, np.array([3.0, 7.0], np.float32), 5, 0), b"xy")
+    h, d = unpack(p)
+    assert h.flag == 2
+    np.testing.assert_array_equal(h.label, [3.0, 7.0])
+    assert d == b"xy"
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("mxnet"),
+    reason="mxnet not installed",
+)
+def test_recordio_mxnet_golden(tmp_path):
+    import mxnet as mx
+
+    rec = str(tmp_path / "g.rec")
+    idx = str(tmp_path / "g.idx")
+    w = IndexedRecordIOWriter(idx, rec)
+    w.write_idx(0, pack(IRHeader(0, 1.5, 0, 0), b"hello"))
+    w.close()
+    r = mx.recordio.MXIndexedRecordIO(idx, rec, "r")
+    h, d = mx.recordio.unpack(r.read_idx(0))
+    assert h.label == 1.5 and d == b"hello"
+
+
+def test_face_dataset_identity_index(tmp_path):
+    rec = _build_identity_rec(tmp_path)
+    ds = FaceRecordDataset(rec)
+    assert len(ds) == 12
+    assert ds.num_identities == 4
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert label == 0.0
+    img, label = ds[11]
+    assert label == 3.0
+    # kshot
+    keys = ds.kshot_keys(1)
+    assert len(keys) == 4
+
+
+def test_face_dataset_partition_and_subset(tmp_path):
+    rec = _build_identity_rec(tmp_path)
+    ds = FaceRecordDataset(rec, partition=0.5)
+    assert len(ds) == 6
+    cache = str(tmp_path / "subset.json")
+    ds2 = FaceRecordDataset(rec, random_subset=0.5, subset_cache_path=cache)
+    assert len(ds2) == 6 and os.path.exists(cache)
+    ds3 = FaceRecordDataset(rec, random_subset=0.5, subset_cache_path=cache)
+    assert ds2.seq == ds3.seq  # cache reused
+
+
+def test_rec_builder(tmp_path):
+    out = str(tmp_path / "packed")
+    b = RecBuilder(out, image_size=(32, 32))
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        b.add_image(_jpeg(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)), i // 2)
+    b.close()
+    assert read_property(out) == (3, 32, 32)
+    ds = FaceRecordDataset(os.path.join(out, "train.rec"))
+    assert len(ds) == 6
+
+
+def test_lafs_multicrop_output():
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (112, 112, 3), dtype=np.uint8)
+    )
+    mc = LAFSMultiCrop(local_crops_number=8)
+    crops = mc(img)
+    assert len(crops) == 20  # 4 global + 16 local (pairs)
+    for c in crops:
+        assert c.shape == (112, 112, 3) and c.dtype == np.float32
+        assert c.min() >= -1.0 - 1e-6 and c.max() <= 1.0 + 1e-6
+
+
+def test_supervised_augment():
+    arr = np.random.default_rng(0).integers(0, 255, (112, 112, 3), dtype=np.uint8)
+    aug = SupervisedAugment(config_str="rand-m1-mstd0.5-inc1")
+    out = aug(arr)
+    assert out.shape == (112, 112, 3) and out.dtype == np.uint8
+
+
+def test_pipeline_epoch(tmp_path):
+    rec = _build_identity_rec(tmp_path)
+    ds = FaceRecordDataset(rec)
+    sampler = EpochSampler(len(ds), batch_size=4, process_index=0, process_count=1)
+    pipe = DataPipeline(ds, sampler, num_workers=2)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 3
+    imgs, labels = batches[0]
+    assert np.asarray(imgs).shape == (4, 32, 32, 3)
+    assert np.asarray(labels).shape == (4,)
+    # different epochs shuffle differently
+    b0 = sampler.epoch_indices(0).tolist()
+    b1 = sampler.epoch_indices(1).tolist()
+    assert b0 != b1
+
+
+def test_pipeline_multicrop_collate(tmp_path):
+    rec = _build_identity_rec(tmp_path, size=112)
+    ds = FaceRecordDataset(rec, transform=LAFSMultiCrop(local_crops_number=2))
+    sampler = EpochSampler(len(ds), batch_size=2, process_index=0, process_count=1)
+    pipe = DataPipeline(ds, sampler, num_workers=2)
+    (crops, labels) = next(iter(pipe.epoch(0)))
+    assert isinstance(crops, list) and len(crops) == 8  # 4 + 2*2
+    assert np.asarray(crops[0]).shape == (2, 112, 112, 3)

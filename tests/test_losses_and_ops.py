@@ -1,0 +1,138 @@
+"""Tests: DINO loss vs a torch-semantics numpy oracle, schedules, mixup."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lafs_cvpr2024_tpu.ops import (
+    MixupConfig,
+    cosine_scheduler,
+    mixup_cutmix,
+    teacher_temp_schedule,
+    warmup_cosine_lr,
+)
+from lafs_cvpr2024_tpu.train.losses import dino_loss, softmax_cross_entropy
+
+
+def _np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _np_log_softmax(x, axis=-1):
+    return x - x.max(axis=axis, keepdims=True) - np.log(
+        np.exp(x - x.max(axis=axis, keepdims=True)).sum(axis=axis, keepdims=True)
+    )
+
+
+def oracle_dino(student, teacher, center, temp, ncrops, student_temp=0.1):
+    """Numpy re-enactment of DINOLoss.forward (lafs_train.py:643-667)."""
+    s = (student / student_temp).reshape(ncrops, -1, student.shape[-1])
+    t = _np_softmax((teacher - center) / temp).reshape(2, -1, teacher.shape[-1])
+    total, n = 0.0, 0
+    for iq in range(2):
+        for v in range(ncrops):
+            if v == iq:
+                continue
+            total += np.mean(np.sum(-t[iq] * _np_log_softmax(s[v]), -1))
+            n += 1
+    return total / n
+
+
+def test_dino_loss_matches_oracle():
+    rng = np.random.default_rng(0)
+    B, K, ncrops = 4, 32, 10
+    student = rng.standard_normal((ncrops * B, K)).astype(np.float32)
+    teacher = rng.standard_normal((2 * B, K)).astype(np.float32)
+    center = rng.standard_normal((1, K)).astype(np.float32) * 0.1
+    loss, new_center = dino_loss(
+        jnp.asarray(student), jnp.asarray(teacher), jnp.asarray(center),
+        jnp.float32(0.05), ncrops,
+    )
+    expected = oracle_dino(student, teacher, center, 0.05, ncrops)
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+    # center EMA: 0.9*c + 0.1*mean(teacher)
+    exp_center = center * 0.9 + teacher.mean(0, keepdims=True) * 0.1
+    np.testing.assert_allclose(np.asarray(new_center), exp_center, rtol=1e-5, atol=1e-6)
+
+
+def test_dino_center_psum_matches_global_mean():
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+    rng = np.random.default_rng(1)
+    teacher = rng.standard_normal((8, 16)).astype(np.float32)
+    student = rng.standard_normal((8 * 3, 16)).astype(np.float32)
+    center = np.zeros((1, 16), np.float32)
+
+    def shard_fn(s, t, c):
+        return dino_loss(s, t, c, jnp.float32(0.04), 3, axis_name="data")[1]
+
+    f = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data"), P("data"), P()), out_specs=P(),
+    )
+    got = np.asarray(f(jnp.asarray(student), jnp.asarray(teacher), jnp.asarray(center)))
+    want = center * 0.9 + teacher.mean(0, keepdims=True) * 0.1
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cosine_scheduler_reference_shape():
+    s = cosine_scheduler(0.5, 1e-6, epochs=4, niter_per_ep=10, warmup_epochs=1)
+    assert len(s) == 40
+    assert s[0] == 0.0
+    np.testing.assert_allclose(s[10], 0.5, rtol=1e-6)  # peak right after warmup
+    assert s[-1] < 0.01
+
+
+def test_teacher_temp_schedule():
+    t = teacher_temp_schedule(0.07, 0.04, 3, 5)
+    np.testing.assert_allclose(t, [0.07, 0.055, 0.04, 0.04, 0.04], rtol=1e-6)
+
+
+def test_warmup_cosine_lr():
+    s = warmup_cosine_lr(1.0, total_steps=100, warmup_steps=10, eta_min=0.0)
+    assert s[0] < s[9] <= 1.0
+    np.testing.assert_allclose(s[10], 1.0, rtol=1e-6)
+    assert s[-1] < 0.01
+
+
+def test_mixup_batch_mode():
+    cfg = MixupConfig(mixup_alpha=0.2, prob=1.0, num_classes=10)
+    imgs = jnp.arange(4 * 8 * 8 * 3, dtype=jnp.float32).reshape(4, 8, 8, 3)
+    labels = jnp.array([0, 1, 2, 3])
+    mixed, targets = mixup_cutmix(jax.random.PRNGKey(0), imgs, labels, cfg)
+    assert mixed.shape == imgs.shape and targets.shape == (4, 10)
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, rtol=1e-5)
+    # lam mixing: x' = lam*x + (1-lam)*flip(x); row sums preserved
+    np.testing.assert_allclose(
+        np.asarray(mixed).sum(), np.asarray(imgs).sum(), rtol=1e-5
+    )
+
+
+def test_mixup_disabled_prob_zero():
+    cfg = MixupConfig(mixup_alpha=0.2, prob=0.0, num_classes=10)
+    imgs = jnp.ones((2, 4, 4, 3))
+    labels = jnp.array([1, 2])
+    mixed, targets = mixup_cutmix(jax.random.PRNGKey(1), imgs, labels, cfg)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(imgs))
+    assert np.asarray(targets)[0, 1] == 1.0
+
+
+def test_cutmix_box():
+    cfg = MixupConfig(mixup_alpha=0.0, cutmix_alpha=1.0, prob=1.0, num_classes=4)
+    imgs = jnp.stack([jnp.zeros((16, 16, 1)), jnp.ones((16, 16, 1))])
+    labels = jnp.array([0, 1])
+    mixed, targets = mixup_cutmix(jax.random.PRNGKey(2), imgs, labels, cfg)
+    frac_replaced = float(np.asarray(mixed)[0].mean())  # ones pasted into zeros
+    lam = float(np.asarray(targets)[0, 0])
+    np.testing.assert_allclose(1.0 - lam, frac_replaced, atol=1e-5)
+
+
+def test_soft_target_ce():
+    logits = jnp.array([[10.0, 0.0], [0.0, 10.0]])
+    targets = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+    l = float(softmax_cross_entropy(logits, targets))
+    assert l > 4.0  # second row is badly wrong

@@ -1,0 +1,103 @@
+"""Shape/semantics tests for the model stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lafs_cvpr2024_tpu.models import (
+    CosFace,
+    DINOHead,
+    LandmarkProvider,
+    MobileNetV3Backbone,
+    PartFViT,
+    PartFViTConfig,
+    cosface_logits,
+)
+
+TINY = PartFViTConfig(
+    dim=64, depth=2, heads=2, dim_head=16, mlp_dim=128, num_classes=10,
+    num_patches=196,
+)
+
+
+def test_mobilenet_backbone_shape():
+    m = MobileNetV3Backbone("large")
+    x = jnp.zeros((2, 112, 112, 3))
+    var = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(var, x)
+    assert y.shape == (2, 4, 4, 160)
+
+
+def test_partfvit_with_land_forward():
+    m = PartFViT(TINY)
+    x = jnp.zeros((2, 112, 112, 3))
+    labels = jnp.array([1, 3])
+    var = m.init(jax.random.PRNGKey(0), x, labels)
+    logits, theta = m.apply(var, x, labels)
+    assert logits.shape == (2, 10)
+    assert theta.shape == (2, 196, 2)
+    emb = m.apply(var, x)
+    assert emb.shape == (2, 64)
+
+
+def test_partfvit_token_input():
+    m = PartFViT(TINY)
+    toks = jnp.zeros((2, 36, 192))
+    var = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 112, 112, 3)))
+    emb = m.apply(var, toks)
+    assert emb.shape == (2, 64)
+
+
+def test_partfvit_standcoord():
+    cfg = PartFViTConfig(
+        dim=64, depth=1, heads=2, dim_head=16, mlp_dim=128, num_classes=10,
+        with_land=False, use_standcoord=True,
+    )
+    m = PartFViT(cfg)
+    x = jnp.ones((1, 112, 112, 3))
+    var = m.init(jax.random.PRNGKey(0), x)
+    emb = m.apply(var, x)
+    assert emb.shape == (1, 64)
+
+
+def test_cosface_margin_semantics():
+    w = np.eye(4, 8).astype(np.float32)  # class c center = e_c
+    emb = np.eye(4, 8).astype(np.float32) * 3.0  # emb i aligned with class i
+    labels = jnp.arange(4)
+    logits = np.asarray(cosface_logits(jnp.asarray(emb), jnp.asarray(w), labels))
+    # target logit = s*(1-m) = 64*0.6 = 38.4 ; off-target = 0
+    np.testing.assert_allclose(np.diag(logits), 64 * 0.6, rtol=1e-5)
+    off = logits[~np.eye(4, dtype=bool)]
+    np.testing.assert_allclose(off, 0.0, atol=1e-4)
+
+
+def test_cosface_soft_labels():
+    w = np.eye(4, 8).astype(np.float32)
+    emb = np.eye(4, 8).astype(np.float32)
+    soft = jnp.full((4, 4), 0.25)
+    logits = np.asarray(cosface_logits(jnp.asarray(emb), jnp.asarray(w), soft))
+    # margin scaled by soft label: diag = s*(1 - m*0.25)
+    np.testing.assert_allclose(np.diag(logits), 64 * (1 - 0.4 * 0.25), rtol=1e-5)
+
+
+def test_dino_head_weight_norm():
+    h = DINOHead(in_dim=32, out_dim=100, hidden_dim=64, bottleneck_dim=16)
+    x = jnp.ones((2, 32))
+    var = h.init(jax.random.PRNGKey(0), x)
+    y = h.apply(var, x)
+    assert y.shape == (2, 100)
+    # rows of effective weight are unit-norm (g=1): logits bounded by |x|=1
+    assert np.abs(np.asarray(y)).max() <= 1.0 + 1e-5
+
+
+def test_landmark_provider():
+    p = LandmarkProvider(num_landmarks=196)
+    x = jnp.zeros((2, 112, 112, 3))
+    var = p.init(jax.random.PRNGKey(0), x)
+    theta, toks = p.apply(var, x)
+    assert theta.shape == (2, 196, 2) and toks.shape == (2, 196, 192)
+    theta, toks = p.apply(
+        var, x, x_aug=x, rng=jax.random.PRNGKey(1), jitter_std=5.0, ran_sample=36
+    )
+    assert theta.shape == (2, 36, 2) and toks.shape == (2, 36, 192)

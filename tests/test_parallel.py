@@ -1,0 +1,104 @@
+"""Sharded-classifier CE and mesh tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lafs_cvpr2024_tpu.models.heads import cosface_logits
+from lafs_cvpr2024_tpu.parallel.mesh import create_mesh, data_sharding
+from lafs_cvpr2024_tpu.parallel.sharded_cosface import (
+    cosface_ce_sharded,
+    local_margin_logits,
+    sharded_softmax_ce,
+)
+from lafs_cvpr2024_tpu.train.losses import softmax_cross_entropy
+
+
+def _reference_cosface_ce(emb, w, labels, num_classes, s=64.0, m=0.4):
+    logits = cosface_logits(emb, w, labels, s, m, num_classes)
+    onehot = jax.nn.one_hot(labels, num_classes)
+    return softmax_cross_entropy(logits, onehot)
+
+
+def test_sharded_cosface_matches_unsharded():
+    rng = np.random.default_rng(0)
+    B, D, C = 16, 32, 64
+    emb = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C, B))
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+
+    def f(emb, w_shard, labels):
+        return cosface_ce_sharded(emb, w_shard, labels, num_classes_global=C)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P("model", None), P()),
+            out_specs=P(),
+        )
+    )
+    got = float(sharded(emb, w, labels))
+    want = float(_reference_cosface_ce(emb, w, labels, C))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_cosface_dp_tp_combined():
+    """data axis shards the batch, model axis shards the classes; per-shard
+    loss mean must be psum'd over data for the global mean."""
+    rng = np.random.default_rng(1)
+    B, D, C = 8, 16, 32
+    emb = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C, B))
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+
+    def f(emb, w_shard, labels):
+        loss = cosface_ce_sharded(emb, w_shard, labels, num_classes_global=C)
+        return jax.lax.pmean(loss, "data")
+
+    sharded = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P("data"), P("model", None), P("data")),
+            out_specs=P(),
+        )
+    )
+    got = float(sharded(emb, w, labels))
+    want = float(_reference_cosface_ce(emb, w, labels, C))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_soft_labels():
+    rng = np.random.default_rng(2)
+    B, D, C = 4, 8, 16
+    emb = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    soft = jax.nn.softmax(jnp.asarray(rng.standard_normal((B, C)).astype(np.float32)))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("data", "model"))
+
+    def f(emb, w_shard, soft_shard):
+        return cosface_ce_sharded(emb, w_shard, soft_shard)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P("model", None), P(None, "model")),
+            out_specs=P(),
+        )
+    )
+    got = float(sharded(emb, w, soft))
+    logits = cosface_logits(emb, w, soft)
+    want = float(softmax_cross_entropy(logits, soft))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_create_mesh():
+    mesh = create_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = create_mesh(model=2)
+    assert mesh.shape["data"] == len(jax.devices()) // 2
+    sh = data_sharding(mesh)
+    assert sh.spec == P("data")
