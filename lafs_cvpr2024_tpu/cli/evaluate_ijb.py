@@ -1,0 +1,147 @@
+"""IJB-B / IJB-C offline evaluation CLI — equivalent of ``IJB_evaluation.py``.
+
+Pipeline: loose-crop images + 5-pt landmarks → Umeyama align to 112×112 →
+jitted batched [orig|flip] embedding sweep on TPU → flip fusion →
+media/template aggregation → 100k-pair cosine scoring → TPR@FPR table.
+
+Example:
+  python -m lafs_cvpr2024_tpu.cli.evaluate_ijb \
+      --model-checkpoint ckpt.pth --image-path /data/IJBC/loose_crop \
+      --meta-path /data/IJBC/meta --target IJBC
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser("lafs-tpu IJB evaluation")
+    p.add_argument("--model-checkpoint", required=True, help=".pth or orbax dir")
+    p.add_argument("--image-path", required=True, help="loose_crop dir")
+    p.add_argument("--meta-path", required=True)
+    p.add_argument("--target", default="IJBC", choices=["IJBB", "IJBC"])
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--embedding-size", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--mlp-dim", type=int, default=2048)
+    p.add_argument("--no-norm-score", dest="use_norm_score", action="store_false")
+    p.add_argument("--no-detector-score", dest="use_detector_score", action="store_false")
+    p.add_argument("--no-flip-test", dest="use_flip_test", action="store_false")
+    p.add_argument("--workers", type=int, default=16)
+    return p.parse_args()
+
+
+def load_image_list(meta_path: str, target: str):
+    """Parse ``<target>_name_5pts_score.txt``: path + 5 landmarks + faceness
+    (reference ``IJB_evaluation.py:408-440``)."""
+    path = os.path.join(meta_path, f"{target.lower()}_name_5pts_score.txt")
+    names, landmarks, scores = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(" ")
+            names.append(parts[0])
+            landmarks.append(np.array(parts[1:11], np.float32).reshape(5, 2))
+            scores.append(float(parts[11]))
+    return names, np.stack(landmarks), np.asarray(scores, np.float32)
+
+
+def main():
+    args = get_args()
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from ..eval.ijb import (
+        IJBConfig,
+        norm_crop,
+        read_template_media_list,
+        read_template_pair_list,
+        run_ijb_protocol,
+    )
+    from ..models.partfvit import PartFViT, PartFViTConfig
+    from ..train.checkpoint import (
+        import_torch_state_dict,
+        load_torch_file,
+        merge_params,
+    )
+
+    target = args.target
+    cfg = PartFViTConfig(
+        dim=args.embedding_size, depth=args.depth, heads=args.heads,
+        mlp_dim=args.mlp_dim, with_land=True, loss_type="None", num_classes=0,
+    )
+    model = PartFViT(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
+    )
+    if args.model_checkpoint.endswith(".pth"):
+        sd = load_torch_file(args.model_checkpoint)
+        params, stats = import_torch_state_dict(sd)
+        variables = {
+            "params": merge_params(variables["params"], params),
+            "batch_stats": merge_params(variables.get("batch_stats", {}), stats),
+        }
+
+    @jax.jit
+    def embed(batch):
+        # eval convention: x/255 - 0.5 (IJB_evaluation.py:235)
+        return model.apply(variables, batch / 255.0 - 0.5, train=False)
+
+    templates, medias = read_template_media_list(
+        os.path.join(args.meta_path, f"{target.lower()}_face_tid_mid.txt")
+    )
+    p1, p2, labels = read_template_pair_list(
+        os.path.join(args.meta_path, f"{target.lower()}_template_pair_label.txt")
+    )
+    names, landmarks, faceness = load_image_list(args.meta_path, target)
+
+    t0 = time.time()
+    dim = args.embedding_size
+    feats = np.zeros((len(names), 2 * dim), np.float32)
+
+    def load_and_align(i):
+        img = np.asarray(
+            Image.open(os.path.join(args.image_path, names[i])).convert("RGB")
+        )
+        aligned = norm_crop(img, landmarks[i]).astype(np.float32)
+        return aligned
+
+    with ThreadPoolExecutor(args.workers) as pool:
+        bs = args.batch_size
+        for start in range(0, len(names), bs):
+            idx = range(start, min(start + bs, len(names)))
+            batch = np.stack(list(pool.map(load_and_align, idx)))
+            both = np.concatenate([batch, batch[:, :, ::-1]], axis=0)
+            emb = np.asarray(embed(jnp.asarray(both)))
+            n = len(batch)
+            feats[start : start + n, :dim] = emb[:n]
+            feats[start : start + n, dim:] = emb[n:]
+            if start % (bs * 20) == 0:
+                print(f"embedded {start}/{len(names)} "
+                      f"({(start + n) / (time.time() - t0):.0f} faces/s)")
+    print(f"feature extraction: {time.time() - t0:.1f}s")
+
+    table = run_ijb_protocol(
+        feats, templates, medias, p1, p2, labels,
+        faceness_scores=faceness,
+        cfg=IJBConfig(
+            use_norm_score=args.use_norm_score,
+            use_detector_score=args.use_detector_score,
+            use_flip_test=args.use_flip_test,
+        ),
+    )
+    print(f"\n{target} 1:1 verification TPR@FPR:")
+    for fpr_t, tpr in sorted(table.items()):
+        print(f"  FPR={fpr_t:.0e}: TPR={tpr * 100:.2f}%")
+
+
+if __name__ == "__main__":
+    main()

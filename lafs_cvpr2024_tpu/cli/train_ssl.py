@@ -1,0 +1,188 @@
+"""LAFS SSL pretraining CLI — TPU-native equivalent of ``lafs_train.py``.
+
+Example:
+  python -m lafs_cvpr2024_tpu.cli.train_ssl \
+      --data-path /data/ms1m --landmark-path /ckpt/landmark.pth \
+      --output-dir /out/ssl
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser("lafs-tpu SSL pretrain")
+    p.add_argument("--data-path", required=True, help="dir with train.rec")
+    p.add_argument("--landmark-path", default=None, help="pretrained landmark CNN (.pth or orbax)")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--batch-size-per-chip", type=int, default=82)
+    p.add_argument("--epochs", type=int, default=41)
+    p.add_argument("--warmup-epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--min-lr", type=float, default=1e-6)
+    p.add_argument("--weight-decay", type=float, default=0.04)
+    p.add_argument("--weight-decay-end", type=float, default=0.4)
+    p.add_argument("--momentum-teacher", type=float, default=0.996)
+    p.add_argument("--warmup-teacher-temp", type=float, default=0.07)
+    p.add_argument("--teacher-temp", type=float, default=0.04)
+    p.add_argument("--warmup-teacher-temp-epochs", type=int, default=30)
+    p.add_argument("--out-dim", type=int, default=100000)
+    p.add_argument("--local-crops-number", type=int, default=8)
+    p.add_argument("--global-crops-scale", type=float, nargs=2, default=(0.4, 1.0))
+    p.add_argument("--local-crops-scale", type=float, nargs=2, default=(0.05, 0.4))
+    p.add_argument("--clip-grad", type=float, default=3.0)
+    p.add_argument("--freeze-last-layer", type=int, default=1)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--mlp-dim", type=int, default=2048)
+    p.add_argument("--num-patches", type=int, default=196)
+    p.add_argument("--random-subset", type=float, default=0.4,
+                   help="'sifenzhiyi' random subset fraction (dataloader_web.py:291)")
+    p.add_argument("--saveckp-freq", type=int, default=10)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..data import DataPipeline, EpochSampler, FaceRecordDataset, LAFSMultiCrop
+    from ..models.partfvit import PartFViTConfig
+    from ..ops.schedules import cosine_scheduler, dino_lr_scaling, teacher_temp_schedule
+    from ..parallel.mesh import create_mesh, is_main_process
+    from ..train.checkpoint import (
+        import_torch_state_dict,
+        load_torch_file,
+        merge_params,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from ..train.ssl import (
+        SSLConfig,
+        assemble_crop_batches,
+        create_landmark_provider,
+        create_ssl_state,
+        make_ssl_train_step,
+    )
+    from ..utils import JSONLLogger, MetricLogger
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = create_mesh(model=1)
+    n_dev = len(jax.devices())
+
+    transform = LAFSMultiCrop(
+        global_crops_scale=tuple(args.global_crops_scale),
+        local_crops_scale=tuple(args.local_crops_scale),
+        local_crops_number=args.local_crops_number,
+    )
+    dataset = FaceRecordDataset(
+        os.path.join(args.data_path, "train.rec"),
+        transform=transform,
+        random_subset=args.random_subset,
+        subset_cache_path=os.path.join(args.output_dir, "random_index.json"),
+        seed=args.seed,
+    )
+    batch = args.batch_size_per_chip * n_dev
+    sampler = EpochSampler(len(dataset), batch, seed=args.seed)
+    pipe = DataPipeline(dataset, sampler, num_workers=args.workers)
+
+    cfg = SSLConfig(
+        model=PartFViTConfig(
+            dim=args.dim, depth=args.depth, heads=args.heads, mlp_dim=args.mlp_dim,
+            num_patches=args.num_patches, with_land=False, loss_type="None",
+            num_classes=0,
+        ),
+        out_dim=args.out_dim,
+        local_crops_number=args.local_crops_number,
+        clip_grad=args.clip_grad,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(rng)
+    landmark_vars = create_landmark_provider(cfg, jax.random.fold_in(rng, 1))
+    if args.landmark_path and args.landmark_path.endswith(".pth"):
+        sd = load_torch_file(args.landmark_path)
+        params, stats = import_torch_state_dict(sd)
+        landmark_vars = {
+            "params": merge_params(landmark_vars["params"], params, ["stn", "output"]),
+            "batch_stats": merge_params(
+                landmark_vars.get("batch_stats", {}), stats, ["stn"]
+            ),
+        }
+
+    steps_per_epoch = sampler.steps_per_epoch()
+    lr_sched = cosine_scheduler(
+        dino_lr_scaling(args.lr, args.batch_size_per_chip, n_dev),
+        args.min_lr, args.epochs, steps_per_epoch, args.warmup_epochs,
+    )
+    wd_sched = cosine_scheduler(
+        args.weight_decay, args.weight_decay_end, args.epochs, steps_per_epoch
+    )
+    mom_sched = cosine_scheduler(
+        args.momentum_teacher, 1.0, args.epochs, steps_per_epoch
+    )
+    temp_sched = teacher_temp_schedule(
+        args.warmup_teacher_temp, args.teacher_temp,
+        args.warmup_teacher_temp_epochs, args.epochs,
+    )
+
+    restored, restored_step = restore_checkpoint(
+        os.path.join(args.output_dir, "ckpt"),
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        ),
+    )
+    start_epoch = 0
+    if restored is not None:
+        state = restored
+        start_epoch = restored_step // max(steps_per_epoch, 1)
+
+    step_fn = make_ssl_train_step(cfg, mesh)
+    sharding = NamedSharding(mesh, P(None, "data"))
+    logger = MetricLogger()
+    jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
+
+    for epoch in range(start_epoch, args.epochs):
+        t_epoch = time.time()
+        for it, (crops, _) in enumerate(
+            logger.log_every(pipe.epoch(epoch), 100, f"Epoch [{epoch}/{args.epochs}]",
+                             total=steps_per_epoch)
+        ):
+            gstep = epoch * steps_per_epoch + it
+            gc, ga, lc, la = assemble_crop_batches(crops)
+            gc, ga, lc, la = (jax.device_put(x, sharding) for x in (gc, ga, lc, la))
+            state, metrics = step_fn(
+                state, landmark_vars, gc, ga, lc, la,
+                lr=jnp.float32(lr_sched[gstep]),
+                wd=jnp.float32(wd_sched[gstep]),
+                momentum=jnp.float32(mom_sched[gstep]),
+                teacher_temp=jnp.float32(temp_sched[epoch]),
+                freeze_last=jnp.float32(0.0 if epoch < args.freeze_last_layer else 1.0),
+            )
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                raise SystemExit(f"Loss is {loss}, stopping training")
+            logger.update(loss=loss, lr=lr_sched[gstep], wd=wd_sched[gstep])
+        logger.synchronize_between_processes()
+        if is_main_process():
+            save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
+                            step=(epoch + 1) * steps_per_epoch)
+            jsonl.write({
+                "epoch": epoch,
+                "train_loss": logger.meters["loss"].global_avg,
+                "epoch_time_s": time.time() - t_epoch,
+            })
+
+
+if __name__ == "__main__":
+    main()

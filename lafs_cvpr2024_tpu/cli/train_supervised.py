@@ -1,0 +1,230 @@
+"""Supervised Part-fViT finetuning CLI.
+
+TPU-native equivalent of ``train_largescale.py`` + ``supervised_config.py``:
+one process drives the whole mesh (no torch.distributed.launch); hard-coded
+reference booleans (webface/with_land/NUM_CLASS override,
+``train_largescale.py:431-437,513``) are real flags here.
+
+Example:
+  python -m lafs_cvpr2024_tpu.cli.train_supervised \
+      --data-root /data/webface4m --eval-path /data/val \
+      --ssl-checkpoint /ckpt/ssl --work-path /out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser("lafs-tpu supervised finetune")
+    p.add_argument("--data-root", required=True, help="dir with train.rec/.idx/property")
+    p.add_argument("--eval-path", default=None, help="dir with {lfw,cfp_fp,agedb_30}.bin")
+    p.add_argument("--targets", nargs="+", default=["lfw", "cfp_fp", "agedb_30"])
+    p.add_argument("--work-path", required=True)
+    p.add_argument("--ssl-checkpoint", default=None, help="torch .pth or orbax dir to init from")
+    p.add_argument("--landmark-checkpoint", default=None, help="stage-1 stn+output weights (.pth)")
+    p.add_argument("--batch-size", type=int, default=200)
+    p.add_argument("--acc-step", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=34)
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--lr", type=float, default=3e-4, help="base lr before the scaling rule")
+    p.add_argument("--num-classes", type=int, default=None, help="override property file")
+    p.add_argument("--embedding-size", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--mlp-dim", type=int, default=2048)
+    p.add_argument("--num-patches", type=int, default=196)
+    p.add_argument("--patch-size", type=int, default=8)
+    p.add_argument("--with-land", action="store_true", default=True)
+    p.add_argument("--no-land", dest="with_land", action="store_false")
+    p.add_argument("--head-name", default="CosFace",
+                   choices=["CosFace", "ArcFace", "SFace", "Softmax"])
+    p.add_argument("--bgr", action="store_true", help="keep packed BGR order (ms1m-style recs)")
+    p.add_argument("--rand-aug", default="rand-m1-mstd0.5-inc1")
+    p.add_argument("--mixup", type=float, default=0.2)
+    p.add_argument("--mixup-prob", type=float, default=0.1)
+    p.add_argument("--partition", type=float, default=None, help="few-shot fraction")
+    p.add_argument("--model-axis", type=int, default=1, help="classifier TP shards")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=1335)
+    p.add_argument("--disp-freq", type=int, default=2000)
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..data import (
+        DataPipeline,
+        EpochSampler,
+        FaceRecordDataset,
+        SupervisedAugment,
+        read_property,
+    )
+    from ..eval.verification import get_val_data, perform_val
+    from ..models.partfvit import PartFViTConfig
+    from ..ops.mixup import MixupConfig
+    from ..ops.schedules import supervised_lr_scaling, warmup_cosine_lr
+    from ..parallel.mesh import create_mesh, is_main_process
+    from ..train.checkpoint import (
+        import_torch_state_dict,
+        load_torch_file,
+        merge_params,
+        restore_checkpoint,
+        save_checkpoint,
+        strip_prefixes,
+    )
+    from ..train.supervised import (
+        SupervisedConfig,
+        create_classifier,
+        create_state,
+        make_embed_fn,
+        make_train_step,
+    )
+    from ..utils import JSONLLogger, MetricLogger, TensorBoardWriter, need_save
+
+    os.makedirs(args.work_path, exist_ok=True)
+    mesh = create_mesh(model=args.model_axis)
+    n_dev = len(jax.devices())
+
+    num_classes, h, w = read_property(args.data_root)
+    if args.num_classes:
+        num_classes = args.num_classes
+    # round classes up to a multiple of the model axis for even sharding
+    if num_classes % args.model_axis:
+        num_classes += args.model_axis - num_classes % args.model_axis
+
+    dataset = FaceRecordDataset(
+        os.path.join(args.data_root, "train.rec"),
+        transform=SupervisedAugment(config_str=args.rand_aug),
+        bgr=args.bgr,
+        partition=args.partition,
+    )
+    sampler = EpochSampler(len(dataset), args.batch_size * args.acc_step, seed=args.seed)
+    pipe = DataPipeline(
+        dataset, sampler, num_workers=args.workers,
+        sharding=NamedSharding(mesh, P("data")),
+        postprocess=lambda imgs, labels: (
+            imgs.astype(np.float32) / 255.0 * 2 - 1,  # train convention
+            labels,
+        ),
+    )
+
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            dim=args.embedding_size, depth=args.depth, heads=args.heads,
+            mlp_dim=args.mlp_dim, num_patches=args.num_patches,
+            patch_size=args.patch_size, num_classes=num_classes,
+            with_land=args.with_land, loss_type=args.head_name,
+        ),
+        acc_step=args.acc_step,
+        mixup=MixupConfig(
+            mixup_alpha=args.mixup, prob=args.mixup_prob, num_classes=num_classes
+        ),
+        shard_classifier=args.model_axis > 1,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = jax.jit(lambda r: create_state(cfg, r))(rng)
+    cls_w, cls_opt = create_classifier(cfg, jax.random.fold_in(rng, 1))
+
+    # checkpoint surgery: SSL teacher init + landmark stem
+    if args.ssl_checkpoint and args.ssl_checkpoint.endswith(".pth"):
+        ckpt = load_torch_file(args.ssl_checkpoint)
+        sd = ckpt.get("teacher", ckpt)
+        params, stats = import_torch_state_dict(sd)
+        state = state._replace(params=merge_params(state.params, params))
+    if args.landmark_checkpoint:
+        sd = load_torch_file(args.landmark_checkpoint)
+        params, stats = import_torch_state_dict(sd)
+        state = state._replace(
+            params=merge_params(state.params, params, ["stn", "output"]),
+            batch_stats=merge_params(state.batch_stats, stats, ["stn"]),
+        )
+
+    steps_per_epoch = sampler.steps_per_epoch()
+    total_steps = args.epochs * steps_per_epoch
+    base_lr = supervised_lr_scaling(args.lr, args.acc_step, args.batch_size, n_dev)
+    lr_sched = warmup_cosine_lr(
+        base_lr, total_steps, args.warmup_epochs * steps_per_epoch
+    )
+
+    start_step = 0
+    if args.resume:
+        restored, start_step = restore_checkpoint(
+            os.path.join(args.work_path, "ckpt"),
+            jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                {"state": state, "cls_w": cls_w, "cls_opt": cls_opt},
+            ),
+        )
+        if restored is not None:
+            state, cls_w, cls_opt = (
+                restored["state"], restored["cls_w"], restored["cls_opt"]
+            )
+        else:
+            start_step = 0
+
+    step_fn = make_train_step(cfg, mesh)
+    embed_fn = make_embed_fn(cfg, mesh)
+    vers = get_val_data(args.eval_path, args.targets) if args.eval_path else []
+    highest_acc = [0.0 for _ in args.targets]
+
+    logger = MetricLogger()
+    tb = TensorBoardWriter(args.work_path, enabled=is_main_process())
+    jsonl = JSONLLogger(os.path.join(args.work_path, "log.txt"), enabled=is_main_process())
+    ver_freq = max(len(dataset) // (n_dev * args.batch_size * 2), 1)
+
+    gstep = start_step
+    for epoch in range(start_step // max(steps_per_epoch, 1), args.epochs):
+        t_epoch = time.time()
+        for images, labels in pipe.epoch(epoch):
+            lr = float(lr_sched[min(gstep, total_steps - 1)])
+            state, cls_w, cls_opt, metrics = step_fn(
+                state, cls_w, cls_opt, images, labels.astype(jnp.int32), lr
+            )
+            logger.update(loss=metrics["loss"], lr=lr)
+            if gstep % args.disp_freq == 0 and is_main_process():
+                print(f"epoch {epoch} step {gstep}: {logger}")
+                tb.add_scalar("Training/Training_Loss", float(metrics["loss"]), gstep)
+                tb.add_scalar("LR", lr, gstep)
+            if vers and gstep and gstep % ver_freq == 0 and is_main_process():
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                accs = []
+                for name, data, issame in vers:
+                    res = perform_val(
+                        lambda b: embed_fn(variables, jnp.asarray(b)), data, issame
+                    )
+                    accs.append(res.accuracy)
+                    print(f"[{name}][{gstep}] acc {res.accuracy:.5f}±{res.accuracy_std:.5f} "
+                          f"xnorm {res.xnorm:.3f} thr {res.best_threshold:.3f}")
+                    tb.add_scalar(f"{name}_Accuracy", res.accuracy, gstep)
+                if need_save(accs, highest_acc):
+                    save_checkpoint(
+                        os.path.join(args.work_path, "ckpt"),
+                        {"state": state, "cls_w": cls_w, "cls_opt": cls_opt},
+                        step=gstep,
+                    )
+            gstep += 1
+        jsonl.write({"epoch": epoch, "loss": logger.meters["loss"].global_avg,
+                     "epoch_time_s": time.time() - t_epoch})
+    save_checkpoint(
+        os.path.join(args.work_path, "ckpt"),
+        {"state": state, "cls_w": cls_w, "cls_opt": cls_opt},
+        step=gstep,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,23 @@ from .partfvit import (
     PartFViTConfig,
     minmax_rescale_landmarks,
 )
+from .iresnet import (
+    IBasicBlock,
+    IResNet,
+    PReLU,
+    iresnet18,
+    iresnet34,
+    iresnet50,
+    iresnet100,
+    iresnet200,
+)
+from .dino_vit import (
+    VisionTransformer,
+    interpolate_pos_encoding,
+    vit_base,
+    vit_small,
+    vit_tiny,
+)
 
 __all__ = [
     "Attention",
@@ -30,4 +47,17 @@ __all__ = [
     "PartFViT",
     "PartFViTConfig",
     "minmax_rescale_landmarks",
+    "IBasicBlock",
+    "IResNet",
+    "PReLU",
+    "iresnet18",
+    "iresnet34",
+    "iresnet50",
+    "iresnet100",
+    "iresnet200",
+    "VisionTransformer",
+    "interpolate_pos_encoding",
+    "vit_base",
+    "vit_small",
+    "vit_tiny",
 ]

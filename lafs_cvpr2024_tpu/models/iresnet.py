@@ -1,0 +1,121 @@
+"""iResNet family (insightface-style ResNet) — the reference's alternative
+backbone (``face_pre_pro/iresnet.py``; selectable but off in shipped configs).
+
+Topology (``iresnet.py:30-229``): 3×3 stem stride 1 + PReLU; BN-FIRST basic
+blocks (bn→conv→bn→prelu→conv→bn + downsample); stages [64,128,256,512] all
+stride 2 (112² → 7²); head = BN2d → flatten → dropout → Linear(512·49, D) →
+BN1d with frozen scale (``iresnet.py:171-173``). ``with_loss=True`` embeds a
+CosFace head (``IResNet_withloss``, ``iresnet.py:231+``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .heads import CosFace
+
+
+class PReLU(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(0.25), (self.features,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+class _BN(nn.Module):
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            name="bn",
+        )(x)
+
+
+class IBasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = _BN(self.axis_name, name="bn1")(x, train)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv1")(out)
+        out = _BN(self.axis_name, name="bn2")(out, train)
+        out = PReLU(self.planes, name="prelu")(out)
+        out = nn.Conv(
+            self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
+            name="conv2",
+        )(out)
+        out = _BN(self.axis_name, name="bn3")(out, train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = nn.Conv(
+                self.planes, (1, 1), strides=self.stride, use_bias=False,
+                name="downsample_conv",
+            )(x)
+            identity = _BN(self.axis_name, name="downsample_bn")(identity, train)
+        return out + identity
+
+
+class IResNet(nn.Module):
+    layers: Sequence[int]
+    num_features: int = 512
+    dropout: float = 0.0
+    with_loss: bool = False
+    num_classes: int = 0
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, labels=None, train: bool = False):
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        x = _BN(self.axis_name, name="bn1")(x, train)
+        x = PReLU(64, name="prelu")(x)
+        for stage, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+            for b in range(blocks):
+                x = IBasicBlock(
+                    planes, stride=2 if b == 0 else 1, axis_name=self.axis_name,
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train)
+        x = _BN(self.axis_name, name="bn2")(x, train)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = nn.Dense(self.num_features, name="fc")(x)
+        # BN1d with frozen scale=1 (iresnet.py:171-173): use_scale=False
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_scale=False, name="features",
+        )(x)
+        if self.with_loss and labels is not None:
+            logits = CosFace(self.num_features, self.num_classes, name="loss")(x, labels)
+            return logits, x
+        return x
+
+
+def iresnet18(**kw):
+    return IResNet(layers=(2, 2, 2, 2), **kw)
+
+
+def iresnet34(**kw):
+    return IResNet(layers=(3, 4, 6, 3), **kw)
+
+
+def iresnet50(**kw):
+    return IResNet(layers=(3, 4, 14, 3), **kw)
+
+
+def iresnet100(**kw):
+    return IResNet(layers=(3, 13, 30, 3), **kw)
+
+
+def iresnet200(**kw):
+    return IResNet(layers=(6, 26, 60, 6), **kw)

@@ -66,6 +66,8 @@ class PartFViTConfig:
     cosface_s: float = 64.0
     gather_impl: str = "mxu"
     bn_axis_name: Optional[str] = None  # set to mesh axis for SyncBN
+    stn_mode: str = "large"            # MobileNetV3 variant for the stem
+    simmim: bool = False               # masked-image-modeling forward
 
 
 def minmax_rescale_landmarks(theta: jnp.ndarray, num_landmarks: int, scale: float = 111.0):
@@ -85,18 +87,24 @@ class LandmarkRegressor(nn.Module):
     """MobileNetV3 stem + landmark head: image → (B, N, 2) pixel coords.
 
     Reference: ``stn`` + ``output_layer`` (ViT_face.py:578,599-602,680-698).
+    ``coord_scale`` is the reference's hard-coded 111 (= image_size - 1).
     """
 
     num_landmarks: int = 196
     bn_axis_name: Optional[str] = None
+    stn_mode: str = "large"
+    coord_scale: float = 111.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = MobileNetV3Backbone("large", self.bn_axis_name, name="stn")(x, train)
+        feat = MobileNetV3Backbone(self.stn_mode, self.bn_axis_name, name="stn")(x, train)
         pooled = jnp.mean(feat, axis=(1, 2))  # (B, 160)
         h = nn.Dropout(0.5)(pooled, deterministic=not train)
         theta = nn.Dense(self.num_landmarks * 2, name="output_layer")(h)
-        return minmax_rescale_landmarks(theta, self.num_landmarks), pooled
+        return (
+            minmax_rescale_landmarks(theta, self.num_landmarks, self.coord_scale),
+            pooled,
+        )
 
 
 class PartFViT(nn.Module):
@@ -112,14 +120,19 @@ class PartFViT(nn.Module):
         labels=None,
         train: bool = False,
         return_tokens: bool = False,
+        mask=None,
     ):
+        """``mask``: optional (B, N) 0/1 array for the SimMIM masked-image-
+        modeling path — masked patch embeddings are replaced by a learned
+        ``mask_token`` (reference ``ViT_face.py:947-951,1152-1156``)."""
         cfg = self.cfg
         p = cfg.patch_size
         theta = None
 
         if x.ndim == 4 and cfg.with_land:
             theta, _ = LandmarkRegressor(
-                cfg.num_patches, cfg.bn_axis_name, name="landmark"
+                cfg.num_patches, cfg.bn_axis_name, cfg.stn_mode,
+                float(cfg.image_size - 1), name="landmark"
             )(x, train)
             tokens = patch_gather(x, theta, p, impl=cfg.gather_impl)
         elif x.ndim == 4 and cfg.use_standcoord:
@@ -146,6 +159,13 @@ class PartFViT(nn.Module):
             tokens = x  # pre-gathered tokens (SSL multi-crop path)
 
         tokens = nn.Dense(cfg.dim, name="patch_to_embedding")(tokens)
+        if cfg.simmim:
+            mask_token = self.param(
+                "mask_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.dim)
+            )
+            if mask is not None:
+                m = mask[..., None].astype(tokens.dtype)
+                tokens = tokens * (1 - m) + mask_token * m
         b, n, _ = tokens.shape
         cls = self.param(
             "cls_token", nn.initializers.normal(1.0), (1, 1, cfg.dim)
@@ -204,6 +224,8 @@ class LandmarkProvider(nn.Module):
     patch_size: int = 8
     gather_impl: str = "mxu"
     bn_axis_name: Optional[str] = None
+    stn_mode: str = "large"
+    coord_scale: float = 111.0
 
     @nn.compact
     def __call__(
@@ -219,10 +241,11 @@ class LandmarkProvider(nn.Module):
         if random_coor:
             assert rng is not None
             n = ran_sample or self.num_landmarks
-            theta = jax.random.uniform(rng, (x.shape[0], n, 2)) * 111.0
+            theta = jax.random.uniform(rng, (x.shape[0], n, 2)) * self.coord_scale
         else:
             theta, _ = LandmarkRegressor(
-                self.num_landmarks, self.bn_axis_name, name="landmark"
+                self.num_landmarks, self.bn_axis_name, self.stn_mode,
+                self.coord_scale, name="landmark"
             )(x, train)
             if jitter_std > 0:
                 assert rng is not None

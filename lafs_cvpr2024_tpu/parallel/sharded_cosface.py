@@ -45,7 +45,10 @@ def sharded_softmax_ce(
     logits_shard: (B, C/shard); target_shard: (B, C/shard) soft targets whose
     GLOBAL row-sum is 1. Returns scalar loss (identical on every shard).
     """
-    row_max = jax.lax.pmax(jnp.max(logits_shard, axis=-1), axis_name)  # (B,)
+    # max-shift is gradient-neutral; pmax has no VJP rule, so gather the
+    # per-shard maxima (B·n_shards scalars — negligible) and reduce locally.
+    local_max = jax.lax.stop_gradient(jnp.max(logits_shard, axis=-1))
+    row_max = jnp.max(jax.lax.all_gather(local_max, axis_name, axis=0), axis=0)
     shifted = logits_shard - row_max[:, None]
     denom = jax.lax.psum(jnp.sum(jnp.exp(shifted), axis=-1), axis_name)  # (B,)
     log_z = jnp.log(denom) + row_max

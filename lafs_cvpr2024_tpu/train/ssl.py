@@ -1,0 +1,286 @@
+"""LAFS self-supervised pretraining — DINO multi-crop teacher–student with
+landmark-consistent crops, as ONE jitted SPMD step.
+
+Replaces ``lafs_train.py:474-623`` (train_one_epoch): per step the frozen
+landmark CNN predicts landmarks on the CLEAN view of each crop and 8×8
+patches are gathered from the AUGMENTED view (global: all 196 landmarks +
+N(0,5²) jitter; local: 36 random landmarks — ``lafs_train.py:535-574``);
+the student sees all 10 crops, the teacher the 2 globals; DINO loss with
+psum-centered teacher softmax; per-param grad clip 3.0; AdamW with scheduled
+lr/wd; EMA teacher update. Everything — including the teacher EMA and the
+center all-reduce — lives inside the single compiled step.
+
+Static-shape multi-crop: exactly two compiled token shapes (2B×197 global,
+8B×37 local) replace the reference's dynamic shape-grouping
+(``utils.py:619-629``).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.heads import DINOHead
+from ..models.partfvit import LandmarkProvider, PartFViT, PartFViTConfig
+from .losses import dino_loss
+from .optim import (
+    adamw_init,
+    adamw_update,
+    clip_grads_per_param,
+    dino_wd_mask,
+    ema_update,
+    zero_grads_by_path,
+)
+
+
+@dataclass(frozen=True)
+class SSLConfig:
+    model: PartFViTConfig = field(
+        default_factory=lambda: PartFViTConfig(
+            with_land=False, loss_type="None", num_classes=0
+        )
+    )
+    out_dim: int = 100000
+    head_hidden_dim: int = 2048
+    head_bottleneck_dim: int = 256
+    norm_last_layer: bool = True
+    local_crops_number: int = 8
+    local_keep_landmarks: int = 36
+    landmark_jitter_std: float = 5.0
+    student_temp: float = 0.1
+    center_momentum: float = 0.9
+    clip_grad: float = 3.0
+    freeze_last_layer_epochs: int = 1
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def ncrops(self) -> int:
+        return self.local_crops_number + 2
+
+
+class SSLTrainState(NamedTuple):
+    student: Any          # {"backbone": ..., "head": ...}
+    teacher: Any
+    opt_state: Any
+    center: jnp.ndarray
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree,
+    )
+
+
+def _backbone(cfg: SSLConfig) -> PartFViT:
+    return PartFViT(
+        PartFViTConfig(**{**cfg.model.__dict__, "with_land": False, "loss_type": "None"})
+    )
+
+
+def _head(cfg: SSLConfig) -> DINOHead:
+    return DINOHead(
+        in_dim=cfg.model.dim,
+        out_dim=cfg.out_dim,
+        hidden_dim=cfg.head_hidden_dim,
+        bottleneck_dim=cfg.head_bottleneck_dim,
+    )
+
+
+def create_ssl_state(cfg: SSLConfig, rng: jax.Array) -> SSLTrainState:
+    """Init student/teacher (identical weights — ``lafs_train.py:377``)."""
+    backbone = _backbone(cfg)
+    head = _head(cfg)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    tokens = jnp.zeros((2, cfg.model.num_patches, 3 * cfg.model.patch_size ** 2))
+    bb = backbone.init({"params": k1, "dropout": k1}, tokens)["params"]
+    hd = head.init(k2, jnp.zeros((2, cfg.model.dim)))["params"]
+    student = {"backbone": bb, "head": hd}
+    return SSLTrainState(
+        student=student,
+        teacher=jax.tree_util.tree_map(jnp.copy, student),
+        opt_state=adamw_init(student),
+        center=jnp.zeros((1, cfg.out_dim)),
+        step=jnp.zeros((), jnp.int32),
+        rng=k3,
+    )
+
+
+def create_landmark_provider(cfg: SSLConfig, rng: jax.Array):
+    """Frozen landmark CNN variables (load real weights via
+    ``checkpoint.load_landmark_stem`` afterwards)."""
+    provider = LandmarkProvider(
+        num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
+        stn_mode=cfg.model.stn_mode, coord_scale=float(cfg.model.image_size - 1),
+    )
+    x = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size, 3))
+    return jax.jit(provider.init)({"params": rng}, x)
+
+
+def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
+    """Build ``step_fn(state, landmark_vars, glob_clean, glob_aug, loc_clean,
+    loc_aug, lr, wd, momentum, teacher_temp, freeze_last) -> (state, metrics)``.
+
+    glob_*: (2, B, H, W, 3); loc_*: (L, B, H, W, 3) float in [-1, 1]
+    (the LAFSMultiCrop output), batch dim sharded over ``data``.
+    """
+    backbone = _backbone(cfg)
+    head = _head(cfg)
+    provider = LandmarkProvider(
+        num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
+        gather_impl=cfg.model.gather_impl, stn_mode=cfg.model.stn_mode,
+        coord_scale=float(cfg.model.image_size - 1),
+    )
+    L = cfg.local_crops_number
+    # single-device fast path: plain jit, no collectives (shard_map over a
+    # 1-device mesh compiles to a pathologically slow program on some
+    # platforms, measured ~2000x on the tunneled TPU backend)
+    multi = int(np.prod(list(mesh.shape.values()))) > 1
+    data_axis = "data" if multi else None
+    _pmean = (lambda x: jax.lax.pmean(x, "data")) if multi else (lambda x: x)
+
+    def make_tokens(landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, rng):
+        """Frozen landmark branch (no gradients — lafs_train.py:381-382)."""
+        b = glob_clean.shape[1]
+        k1, k2, k3 = jax.random.split(rng, 3)
+        # globals: jitter only, keep all landmarks (Random_prob + return_prob)
+        g_clean = glob_clean.reshape(2 * b, *glob_clean.shape[2:])
+        g_aug = glob_aug.reshape(2 * b, *glob_aug.shape[2:])
+        _, g_tokens = provider.apply(
+            landmark_vars, g_clean, x_aug=g_aug, rng=k1,
+            jitter_std=cfg.landmark_jitter_std,
+        )
+        # locals: jitter + keep 36 random landmarks (ran_sample=True)
+        l_clean = loc_clean.reshape(L * b, *loc_clean.shape[2:])
+        l_aug = loc_aug.reshape(L * b, *loc_aug.shape[2:])
+        _, l_tokens = provider.apply(
+            landmark_vars, l_clean, x_aug=l_aug, rng=k2,
+            jitter_std=cfg.landmark_jitter_std,
+            ran_sample=cfg.local_keep_landmarks,
+        )
+        return jax.lax.stop_gradient(g_tokens), jax.lax.stop_gradient(l_tokens)
+
+    def forward(params, g_tokens, l_tokens, rng, train: bool):
+        cparams = _cast(params, cfg.compute_dtype)
+        rngs = {"dropout": rng} if train else None
+        emb_g = backbone.apply(
+            {"params": cparams["backbone"]},
+            g_tokens.astype(cfg.compute_dtype), train=train, rngs=rngs,
+        )
+        outs = [emb_g]
+        if l_tokens is not None:
+            emb_l = backbone.apply(
+                {"params": cparams["backbone"]},
+                l_tokens.astype(cfg.compute_dtype), train=train,
+                rngs={"dropout": jax.random.fold_in(rng, 3)} if train else None,
+            )
+            outs.append(emb_l)
+        emb = jnp.concatenate(outs, axis=0).astype(jnp.float32)
+        return head.apply({"params": _cast(params["head"], jnp.float32)}, emb)
+
+    def step_impl(state, landmark_vars, glob_clean, glob_aug, loc_clean,
+                  loc_aug, lr, wd, momentum, teacher_temp, freeze_last):
+        rng = jax.random.fold_in(state.rng, state.step)
+        k_land, k_student, k_rest = jax.random.split(rng, 3)
+        g_tokens, l_tokens = make_tokens(
+            landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, k_land
+        )
+
+        teacher_out = forward(state.teacher, g_tokens, None, k_rest, train=False)
+        teacher_out = jax.lax.stop_gradient(teacher_out)
+
+        def loss_fn(params):
+            student_out = forward(params, g_tokens, l_tokens, k_student, train=True)
+            loss, new_center = dino_loss(
+                student_out,
+                teacher_out,
+                state.center,
+                teacher_temp,
+                cfg.ncrops,
+                student_temp=cfg.student_temp,
+                center_momentum=cfg.center_momentum,
+                axis_name=data_axis,
+            )
+            return loss, new_center
+
+        (loss, new_center), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.student
+        )
+        grads = _pmean(grads)
+        loss = _pmean(loss)
+        if cfg.clip_grad:
+            grads = clip_grads_per_param(grads, cfg.clip_grad)
+        # freeze_last (0.0 or 1.0): zero last-layer grads during warmup epochs
+        grads = jax.tree_util.tree_map_with_path(
+            lambda path, g: g * freeze_last
+            if "last_layer" in "/".join(str(getattr(k, "key", k)) for k in path)
+            else g,
+            grads,
+        )
+        if cfg.norm_last_layer:
+            grads = zero_grads_by_path(grads, lambda n: n.endswith("last_layer_g"))
+
+        wd_mask = dino_wd_mask(state.student)
+        new_student, new_opt = adamw_update(
+            grads, state.opt_state, state.student, lr, wd_scale_tree=wd_mask, wd=wd
+        )
+        new_teacher = ema_update(state.teacher, new_student, momentum)
+        new_state = SSLTrainState(
+            student=new_student,
+            teacher=new_teacher,
+            opt_state=new_opt,
+            center=new_center,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, {"loss": loss}
+
+    cache = {}
+
+    def step_fn(state, landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug,
+                lr, wd, momentum, teacher_temp, freeze_last):
+        if "fn" not in cache:
+            if not multi:
+                cache["fn"] = jax.jit(step_impl)
+            else:
+                rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+                batch_spec = P(None, "data")
+                cache["fn"] = jax.jit(
+                    jax.shard_map(
+                        step_impl,
+                        mesh=mesh,
+                        in_specs=(
+                            rep(state), rep(landmark_vars),
+                            batch_spec, batch_spec, batch_spec, batch_spec,
+                            P(), P(), P(), P(), P(),
+                        ),
+                        out_specs=(rep(state), {"loss": P()}),
+                    ),
+                )
+        return cache["fn"](state, landmark_vars, glob_clean, glob_aug,
+                           loc_clean, loc_aug, lr, wd, momentum, teacher_temp,
+                           freeze_last)
+
+    return step_fn
+
+
+def assemble_crop_batches(crops):
+    """Host-side: the 20-array LAFSMultiCrop output → the 4 stacked inputs.
+
+    crops: list of (B, H, W, 3) arrays ordered
+      [g1_clean, g1_aug, g2_clean, g2_aug, l1_clean, l1_aug, ...]
+    (``lafs_train.py:506-507``: ori indices 0,2,4,... aug = ori+1).
+    """
+    glob_clean = np.stack([crops[0], crops[2]])
+    glob_aug = np.stack([crops[1], crops[3]])
+    loc_clean = np.stack(crops[4::2])
+    loc_aug = np.stack(crops[5::2])
+    return glob_clean, glob_aug, loc_clean, loc_aug

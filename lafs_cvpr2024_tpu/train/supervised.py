@@ -1,0 +1,279 @@
+"""Supervised Part-fViT finetuning — ONE jitted SPMD train step over the mesh.
+
+Replaces the reference loop (``train_largescale.py:768-963``): DDP + AMP +
+GradScaler + host-side mixup + per-step scheduler mutation become a single
+``shard_map``-ped step that fuses forward, device-side mixup, CosFace-CE
+(optionally class-sharded over the ``model`` axis), backward, gradient
+psum over ``data`` (the DDP allreduce), and the AdamW update with layer-wise
+lr decay. bf16 compute via parameter casting (no GradScaler needed on TPU;
+master weights stay fp32).
+
+Gradient accumulation (``acc_step=3``, ``supervised_config.py:37``) is a
+``lax.scan`` over microbatches inside the same compiled step.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.partfvit import PartFViT, PartFViTConfig
+from ..ops.mixup import MixupConfig, mixup_cutmix, one_hot_smooth
+from ..parallel.sharded_cosface import (
+    local_margin_logits,
+    shard_one_hot,
+    sharded_softmax_ce,
+)
+from .losses import softmax_cross_entropy
+from .optim import AdamWState, adamw_init, adamw_update, param_groups_lrd
+
+
+@dataclass(frozen=True)
+class SupervisedConfig:
+    model: PartFViTConfig = field(default_factory=PartFViTConfig)
+    acc_step: int = 3
+    weight_decay: float = 0.1
+    layer_decay: float = 0.58
+    stn_weight_decay: float = 5e-2
+    mixup: MixupConfig = field(default_factory=lambda: MixupConfig(prob=0.1))
+    compute_dtype: Any = jnp.bfloat16
+    shard_classifier: bool = True   # TP the CosFace weight over 'model'
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: AdamWState
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree,
+    )
+
+
+def create_state(cfg: SupervisedConfig, rng: jax.Array) -> TrainState:
+    """Host-side init (run under jit by the caller for speed)."""
+    model = PartFViT(cfg.model)
+    x = jnp.zeros((2, cfg.model.image_size, cfg.model.image_size, 3))
+    labels = jnp.zeros((2,), jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, x, labels, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=adamw_init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+def make_train_step(
+    cfg: SupervisedConfig,
+    mesh: Mesh,
+    example_params=None,
+) -> Callable:
+    """Build the jitted SPMD train step.
+
+    Returns ``step_fn(state, images, labels, lr) -> (state, metrics)`` where
+    ``images`` is (acc_step·B, H, W, 3) float in [-1, 1] (the train-time
+    convention ``inputs/255*2-1``, ``train_largescale.py:790``) sharded over
+    ``data``, and ``lr`` is the scheduled scalar for this step.
+    """
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+    multi = n_model * n_data > 1
+    # single-device fast path: plain jit, no collectives (shard_map over a
+    # 1-device mesh compiles to a pathologically slow program on some
+    # platforms — measured ~2000x on the tunneled TPU backend)
+    shard_cls = cfg.shard_classifier and n_model > 1
+    bn_axis = "data" if (multi and n_data > 1) else None
+    model_cfg = cfg.model
+    if shard_cls:
+        model_cfg = PartFViTConfig(
+            **{**model_cfg.__dict__, "loss_type": "None", "bn_axis_name": bn_axis}
+        )
+    else:
+        model_cfg = PartFViTConfig(**{**model_cfg.__dict__, "bn_axis_name": bn_axis})
+    model = PartFViT(model_cfg)
+    num_classes = cfg.model.num_classes
+    assert num_classes % n_model == 0, "num_classes must divide model axis"
+    _pmean_data = (
+        (lambda x: jax.lax.pmean(x, "data")) if (multi and n_data > 1) else (lambda x: x)
+    )
+
+    def loss_fn(params, batch_stats, images, soft_targets, rng, cls_weight):
+        cparams = _cast(params, cfg.compute_dtype)
+        out, mutated = model.apply(
+            {"params": cparams, "batch_stats": batch_stats},
+            images.astype(cfg.compute_dtype),
+            None,
+            train=True,
+            rngs={"dropout": rng, "augment": jax.random.fold_in(rng, 7)},
+            mutable=["batch_stats"] if batch_stats else [],
+        )
+        emb = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
+        if shard_cls:
+            # soft_targets arrive class-sharded (B, C/n_model)
+            logits = local_margin_logits(
+                emb,
+                cls_weight.astype(jnp.float32),
+                soft_targets,
+                cfg.model.cosface_s,
+                cfg.model.cosface_m,
+            )
+            loss = sharded_softmax_ce(logits, soft_targets, "model")
+        else:
+            loss = softmax_cross_entropy(out[0].astype(jnp.float32), soft_targets)
+        new_stats = mutated.get("batch_stats", batch_stats) if batch_stats else batch_stats
+        return loss, new_stats
+
+    # layer-wise lr decay + wd trees are built lazily from the first params
+    def step_impl(state: TrainState, cls_weight, cls_opt, images, labels, lr,
+                  lr_scale_tree, wd_tree):
+        b = images.shape[0] // cfg.acc_step
+        images = images.reshape(cfg.acc_step, b, *images.shape[1:])
+        labels = labels.reshape(cfg.acc_step, b)
+        rng, step_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
+
+        def micro(carry, xs):
+            grads_acc, wgrads_acc, stats, loss_acc, mrng = carry
+            imgs, labs = xs
+            mrng, krng, drng = jax.random.split(mrng, 3)
+            imgs, targets = mixup_cutmix(krng, imgs, labs, cfg.mixup)
+            if shard_cls:
+                if cfg.mixup.enabled:
+                    # soft rows: slice this shard's class block
+                    idx = jax.lax.axis_index("model")
+                    c_loc = num_classes // n_model
+                    targets = jax.lax.dynamic_slice_in_dim(
+                        targets, idx * c_loc, c_loc, axis=1
+                    )
+                else:
+                    targets = shard_one_hot(labs, num_classes, "model")
+            (loss, new_stats), grads = jax.value_and_grad(
+                lambda p, w: loss_fn(p, stats, imgs, targets, drng, w),
+                argnums=(0, 1),
+                has_aux=True,
+            )(state.params, cls_weight)
+            g_params, g_w = grads
+            acc = jax.tree_util.tree_map(jnp.add, grads_acc, g_params)
+            wacc = jnp.add(wgrads_acc, g_w)
+            return (acc, wacc, new_stats, loss_acc + loss, mrng), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_w = jnp.zeros_like(cls_weight)
+        # loss carry must enter the scan already device-varying (vma rules)
+        zero_loss = jnp.zeros(())
+        if multi:
+            zero_loss = jax.lax.pvary(zero_loss, ("data", "model"))
+        (grads, wgrads, new_stats, loss_sum, _), _ = jax.lax.scan(
+            micro,
+            (zero_g, zero_w, state.batch_stats, zero_loss, step_rng),
+            (images, labels),
+        )
+        # mean over microbatches, then over data shards (DDP allreduce)
+        inv = 1.0 / cfg.acc_step
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        wgrads = wgrads * inv
+        grads = _pmean_data(grads)
+        wgrads = _pmean_data(wgrads)
+        loss = _pmean_data(loss_sum * inv)
+
+        new_params, new_opt = adamw_update(
+            grads, state.opt_state, state.params, lr,
+            wd_scale_tree=wd_tree, lr_scale_tree=lr_scale_tree, wd=1.0,
+        )
+        new_w, new_cls_opt = adamw_update(
+            {"w": wgrads}, cls_opt, {"w": cls_weight}, lr, wd=cfg.weight_decay
+        )
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, new_w["w"], new_cls_opt, {"loss": loss}
+
+    # shard_map in/out spec trees must match the state pytree structure, so
+    # the jitted wrapper is built (and cached) on first call from the
+    # concrete state.
+    cache = {}
+
+    def step_fn(state, cls_weight, cls_opt, images, labels, lr):
+        if "fn" not in cache:
+            lr_scale_tree, wd_tree = param_groups_lrd(
+                state.params, cfg.model.depth, cfg.weight_decay,
+                cfg.layer_decay, cfg.stn_weight_decay,
+            )
+            impl = functools.partial(
+                step_impl, lr_scale_tree=lr_scale_tree, wd_tree=wd_tree
+            )
+            if not multi:
+                cache["fn"] = jax.jit(impl)
+                return cache["fn"](state, cls_weight, cls_opt, images, labels, lr)
+            replicate = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+            # classifier opt-state moments are (C, D) like the weight →
+            # sharded over 'model'; the scalar step count stays replicated
+            cls_opt_spec = jax.tree_util.tree_map(
+                lambda x: P("model", None) if getattr(x, "ndim", 0) == 2 else P(),
+                cls_opt,
+            )
+            cache["fn"] = jax.jit(
+                jax.shard_map(
+                    impl,
+                    mesh=mesh,
+                    in_specs=(
+                        replicate(state),
+                        P("model", None),
+                        cls_opt_spec,
+                        P("data"),
+                        P("data"),
+                        P(),
+                    ),
+                    out_specs=(
+                        replicate(state),
+                        P("model", None),
+                        cls_opt_spec,
+                        {"loss": P()},
+                    ),
+                    # state/loss ARE replicated over 'model' (every model
+                    # shard sees identical inputs and a psum'd loss) but the
+                    # static vma check can't infer it through value_and_grad
+                    check_vma=False,
+                )
+            )
+        return cache["fn"](state, cls_weight, cls_opt, images, labels, lr)
+
+    return step_fn
+
+
+def create_classifier(cfg: SupervisedConfig, rng) -> Tuple[jnp.ndarray, AdamWState]:
+    """Sharded CosFace weight (C, D) + its optimizer state."""
+    w = jax.nn.initializers.xavier_uniform()(
+        rng, (cfg.model.num_classes, cfg.model.dim), jnp.float32
+    )
+    return w, adamw_init({"w": w})
+
+
+def make_embed_fn(cfg: SupervisedConfig, mesh: Optional[Mesh] = None):
+    """Jitted eval-time embedding fn for perform_val / IJB sweeps."""
+    model_cfg = PartFViTConfig(**{**cfg.model.__dict__, "loss_type": "None"})
+    model = PartFViT(model_cfg)
+
+    @jax.jit
+    def embed(variables, images):
+        return model.apply(variables, images, train=False)
+
+    return embed

@@ -1,0 +1,24 @@
+from .logging import (
+    AverageMeter,
+    JSONLLogger,
+    MetricLogger,
+    SmoothedValue,
+    TensorBoardWriter,
+    need_save,
+)
+from .profiling import Throughput, benchmark, cost_analysis, count_params, model_complexity, trace
+
+__all__ = [
+    "AverageMeter",
+    "JSONLLogger",
+    "MetricLogger",
+    "SmoothedValue",
+    "TensorBoardWriter",
+    "need_save",
+    "Throughput",
+    "benchmark",
+    "cost_analysis",
+    "count_params",
+    "model_complexity",
+    "trace",
+]

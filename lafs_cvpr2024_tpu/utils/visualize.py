@@ -1,0 +1,157 @@
+"""Visualization suite: landmark/patch overlays, attention rollout, ROC plots.
+
+Reference: ``util/utils.py:117-129`` (ROC plot buffer), ``:730-988``
+(attention-rollout maps), ``:1141-1251`` (``save_patch``/``plot_landmark``
+landmark overlays saved during eval). matplotlib is imported lazily so the
+training path never pays for it.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def gen_roc_plot(fpr: np.ndarray, tpr: np.ndarray) -> bytes:
+    """ROC curve → PNG bytes (reference ``gen_plot``, ``util/utils.py:117-129``)."""
+    plt = _plt()
+    fig = plt.figure()
+    plt.xlabel("FPR", fontsize=14)
+    plt.ylabel("TPR", fontsize=14)
+    plt.title("ROC Curve", fontsize=14)
+    plt.plot(fpr, tpr, linewidth=2)
+    buf = io.BytesIO()
+    plt.savefig(buf, format="png")
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def plot_landmarks(
+    image: np.ndarray,
+    landmarks: np.ndarray,
+    save_path: Optional[str] = None,
+    denorm: bool = True,
+) -> Optional[bytes]:
+    """Overlay predicted landmarks on a face (``plot_landmark``,
+    ``util/utils.py:1195-1251``). image: HWC float in [-1,1] (denorm=True)
+    or uint8; landmarks: (N, 2) pixel coords with [...,0]=x."""
+    plt = _plt()
+    img = image
+    if denorm:
+        img = ((image * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+    fig = plt.figure(figsize=(4, 4))
+    plt.imshow(img)
+    plt.scatter(landmarks[:, 0], landmarks[:, 1], s=6, c="lime", marker="+")
+    plt.axis("off")
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        plt.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    buf = io.BytesIO()
+    plt.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def save_patch_grid(
+    patches: np.ndarray,
+    save_path: str,
+    denorm: bool = True,
+) -> None:
+    """Save the landmark patch mosaic (``save_patch``,
+    ``util/utils.py:1141-1192``). patches: (N, P, P, C)."""
+    plt = _plt()
+    n = patches.shape[0]
+    r = int(np.ceil(np.sqrt(n)))
+    fig, axes = plt.subplots(r, r, figsize=(r, r))
+    for i in range(r * r):
+        ax = axes.flat[i]
+        ax.axis("off")
+        if i < n:
+            p = patches[i]
+            if denorm:
+                p = ((p * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+            ax.imshow(p)
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    plt.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def attention_rollout(
+    attentions: Sequence[np.ndarray],
+    head_fusion: str = "mean",
+    discard_ratio: float = 0.0,
+) -> np.ndarray:
+    """Attention rollout over layers (reference attention-map variants,
+    ``util/utils.py:730-988``).
+
+    attentions: list of (B, heads, N, N) per layer. Returns (B, N-1) CLS→token
+    attribution.
+    """
+    result = None
+    for attn in attentions:
+        if head_fusion == "mean":
+            fused = attn.mean(axis=1)
+        elif head_fusion == "max":
+            fused = attn.max(axis=1)
+        else:
+            fused = attn.min(axis=1)
+        if discard_ratio > 0:
+            flat = fused.reshape(fused.shape[0], -1)
+            k = int(flat.shape[1] * discard_ratio)
+            if k:
+                thresh = np.partition(flat, k, axis=1)[:, k : k + 1]
+                fused = np.where(
+                    fused.reshape(flat.shape) < thresh, 0.0, flat
+                ).reshape(fused.shape)
+        n = fused.shape[-1]
+        a = fused + np.eye(n)[None]
+        a = a / a.sum(axis=-1, keepdims=True)
+        result = a if result is None else a @ result
+    return result[:, 0, 1:]
+
+
+def attention_heatmap(
+    image: np.ndarray,
+    rollout: np.ndarray,
+    save_path: Optional[str] = None,
+    denorm: bool = True,
+) -> Optional[bytes]:
+    """Overlay a CLS-attention rollout heatmap on the face image.
+
+    rollout: (N,) per-token attribution; reshaped to the sqrt grid."""
+    plt = _plt()
+    img = image
+    if denorm:
+        img = ((image * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+    r = int(np.sqrt(rollout.shape[0]))
+    heat = rollout[: r * r].reshape(r, r)
+    fig = plt.figure(figsize=(4, 4))
+    plt.imshow(img)
+    plt.imshow(
+        np.kron(heat, np.ones((img.shape[0] // r, img.shape[1] // r))),
+        alpha=0.5, cmap="jet",
+    )
+    plt.axis("off")
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        plt.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    buf = io.BytesIO()
+    plt.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    return buf.getvalue()

@@ -1,0 +1,105 @@
+"""SSL (DINO) train-step smoke tests: loss finite, EMA moves teacher,
+center updates, last-layer freeze respected."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
+from lafs_cvpr2024_tpu.train.ssl import (
+    SSLConfig,
+    assemble_crop_batches,
+    create_landmark_provider,
+    create_ssl_state,
+    make_ssl_train_step,
+)
+
+import pytest
+
+TINY = SSLConfig(
+    model=PartFViTConfig(
+        dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, with_land=False, loss_type="None", num_classes=0, image_size=48,
+        stn_mode="small",
+    ),
+    out_dim=64,
+    head_hidden_dim=32,
+    head_bottleneck_dim=16,
+    local_crops_number=2,
+    compute_dtype=jnp.float32,
+)
+
+
+def _batches(b=4):
+    rng = np.random.default_rng(0)
+    shape = (b, 48, 48, 3)
+    crops = [rng.uniform(-1, 1, shape).astype(np.float32) for _ in range(4 + 2 * TINY.local_crops_number)]
+    return assemble_crop_batches(crops)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(TINY, r))(jax.random.PRNGKey(0))
+    land = create_landmark_provider(TINY, jax.random.PRNGKey(1))
+    step = make_ssl_train_step(TINY, mesh)
+    return state, land, step
+
+
+def test_ssl_step_runs(setup):
+    state, land, step = setup
+    gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+
+    teacher_before = state.teacher["backbone"]["patch_to_embedding"]["kernel"]
+    args = dict(lr=jnp.float32(1e-3), wd=jnp.float32(0.04),
+                momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                freeze_last=jnp.float32(0.0))
+    state, metrics = step(state, land, gc, ga, lc, la, **args)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    # center moved away from zero
+    assert float(jnp.abs(state.center).sum()) > 0
+    # teacher EMA moved
+    teacher_after = state.teacher["backbone"]["patch_to_embedding"]["kernel"]
+    assert not np.allclose(np.asarray(teacher_before), np.asarray(teacher_after))
+
+
+def test_ssl_freeze_last_layer(setup):
+    state, land, step = setup
+    gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+
+    v_before = np.asarray(state.student["head"]["last_layer_v"])
+    state2, _ = step(state, land, gc, ga, lc, la,
+                     lr=jnp.float32(1e-3), wd=jnp.float32(0.0),
+                     momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                     freeze_last=jnp.float32(0.0))
+    np.testing.assert_allclose(
+        np.asarray(state2.student["head"]["last_layer_v"]), v_before
+    )
+    state3, _ = step(state, land, gc, ga, lc, la,
+                     lr=jnp.float32(1e-3), wd=jnp.float32(0.0),
+                     momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                     freeze_last=jnp.float32(1.0))
+    assert not np.allclose(
+        np.asarray(state3.student["head"]["last_layer_v"]), v_before
+    )
+    # weight-norm gain frozen in both cases (norm_last_layer=True)
+    np.testing.assert_allclose(
+        np.asarray(state3.student["head"]["last_layer_g"]),
+        np.asarray(state.student["head"]["last_layer_g"]),
+    )
+
+
+def test_ssl_loss_decreases_on_fixed_batch(setup):
+    state, land, step = setup
+    gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+    losses = []
+    for _ in range(5):
+        state, m = step(state, land, gc, ga, lc, la,
+                        lr=jnp.float32(5e-4), wd=jnp.float32(0.0),
+                        momentum=jnp.float32(0.996), teacher_temp=jnp.float32(0.04),
+                        freeze_last=jnp.float32(1.0))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
