@@ -8,7 +8,18 @@ from .recordio import (
     read_property,
     unpack,
 )
-from .dataset import ContrastivePairSampler, FaceRecordDataset, decode_jpeg
+from .dataset import (
+    AttributeFaceDataset,
+    ContrastivePairSampler,
+    FaceRecordDataset,
+    decode_jpeg,
+)
+from .degrade import (
+    affine_transform,
+    random_affine_params,
+    random_down_upsample,
+    random_jpeg_compression,
+)
 from .augment import (
     GaussianBlur,
     LAFSMultiCrop,
@@ -31,9 +42,14 @@ __all__ = [
     "parse_face_index",
     "read_property",
     "unpack",
+    "AttributeFaceDataset",
     "ContrastivePairSampler",
     "FaceRecordDataset",
     "decode_jpeg",
+    "affine_transform",
+    "random_affine_params",
+    "random_down_upsample",
+    "random_jpeg_compression",
     "GaussianBlur",
     "LAFSMultiCrop",
     "Solarization",

@@ -46,15 +46,33 @@ class FaceRecordDataset:
         random_subset: Optional[float] = None,
         subset_cache_path: Optional[str] = None,
         seed: int = 0,
+        use_native: bool = True,
+        image_size: int = 112,
     ):
         idx_path = rec_path[:-4] + ".idx"
         self.reader = IndexedRecordIOReader(idx_path, rec_path)
+        self._native = None
+        self._rec_path = rec_path
+        self._use_native = use_native
         index = parse_face_index(self.reader)
         self.id2range = index.id2range
         self.num_identities = index.num_identities
         self.seq: List[int] = list(index.image_keys)
         self.transform = transform
         self.bgr = bgr
+
+        index_keys = index.image_keys
+        if use_native and index_keys:
+            try:
+                from .native import NativeRecordReader, native_available
+
+                if native_available():
+                    # size the native decoder from the first actual image
+                    _, first_bytes = unpack(self.reader.read_idx(index_keys[0]))
+                    h = decode_jpeg(first_bytes).shape[0]
+                    self._native = NativeRecordReader(rec_path, h, threads=1)
+            except Exception:
+                self._native = None
 
         if random_subset:
             # cached random subset (dataloader_web.py:291-316)
@@ -77,11 +95,15 @@ class FaceRecordDataset:
 
     def __getitem__(self, index: int):
         key = self.seq[index]
-        header, img_bytes = unpack(self.reader.read_idx(key))
-        label = header.label
-        if not np.isscalar(label):
-            label = float(np.asarray(label).ravel()[0])
-        arr = decode_jpeg(img_bytes)
+        if self._native is not None:
+            arr, labels = self._native.decode_batch(np.array([key], np.int64))
+            arr, label = arr[0], float(labels[0])
+        else:
+            header, img_bytes = unpack(self.reader.read_idx(key))
+            label = header.label
+            if not np.isscalar(label):
+                label = float(np.asarray(label).ravel()[0])
+            arr = decode_jpeg(img_bytes)
         if self.bgr:
             arr = arr[:, :, ::-1]
         if self.transform is not None:
@@ -109,6 +131,32 @@ def _wants_pil(transform) -> bool:
     from .augment import LAFSMultiCrop
 
     return isinstance(transform, LAFSMultiCrop)
+
+
+class AttributeFaceDataset(FaceRecordDataset):
+    """RecordIO faces + per-image attribute labels from a CSV
+    (``FaceDataset_withatt``, ``image_iter.py:752-893``).
+
+    CSV format: header row, then ``image_index,attr1,attr2,...`` rows; the
+    row's image_index selects the record. Returns (img, (label, attrs)).
+    """
+
+    def __init__(self, rec_path: str, attr_csv: str, **kw):
+        super().__init__(rec_path, **kw)
+        import csv
+
+        self.attrs = {}
+        with open(attr_csv) as f:
+            reader = csv.reader(f)
+            next(reader, None)  # header
+            for row in reader:
+                self.attrs[int(row[0])] = np.asarray(row[1:], dtype=np.float32)
+        # restrict to records that have attributes
+        self.seq = [k for k in self.seq if k in self.attrs]
+
+    def __getitem__(self, index: int):
+        img, label = super().__getitem__(index)
+        return img, (label, self.attrs[self.seq[index]])
 
 
 @dataclass

@@ -117,6 +117,54 @@ def evaluate(embeddings, actual_issame, nrof_folds=10):
     )
 
 
+def _roc_from_dist(dist, actual_issame, thresholds, nrof_folds=10):
+    """KFold threshold-sweep over a precomputed distance vector."""
+    n = len(dist)
+    issame = np.asarray(actual_issame, dtype=bool)
+    n_thr = len(thresholds)
+    tprs = np.zeros((nrof_folds, n_thr))
+    fprs = np.zeros((nrof_folds, n_thr))
+    accuracy = np.zeros(nrof_folds)
+    best_thresholds = np.zeros(nrof_folds)
+    pred = dist[None, :] < np.asarray(thresholds)[:, None]
+    for fold, (train, test) in enumerate(kfold_indices(n, nrof_folds)):
+        acc_train = (pred[:, train] == issame[None, train]).mean(axis=1)
+        best = int(np.argmax(acc_train))
+        best_thresholds[fold] = thresholds[best]
+        for ti in range(n_thr):
+            tprs[fold, ti], fprs[fold, ti], _ = calculate_accuracy(
+                thresholds[ti], dist[test], issame[test]
+            )
+        _, _, accuracy[fold] = calculate_accuracy(
+            thresholds[best], dist[test], issame[test]
+        )
+    return tprs.mean(0), fprs.mean(0), accuracy, best_thresholds
+
+
+def evaluate_token(embeddings, actual_issame, nrof_folds=10):
+    """Cosine-distance variant (reference ``calculate_roc_token``,
+    ``verification.py:94-162``: scipy ``distance.cosine`` per pair)."""
+    e1 = embeddings[0::2]
+    e2 = embeddings[1::2]
+    n1 = np.maximum(np.linalg.norm(e1, axis=1), 1e-12)
+    n2 = np.maximum(np.linalg.norm(e2, axis=1), 1e-12)
+    dist = 1.0 - np.sum(e1 * e2, axis=1) / (n1 * n2)
+    return _roc_from_dist(dist, actual_issame, np.arange(0, 4, 0.01), nrof_folds)
+
+
+def evaluate_two(embeddings_a, embeddings_b, actual_issame, nrof_folds=10):
+    """Two-model score fusion (reference ``calculate_roc_two`` /
+    ``evaluate_two``, ``verification.py:164-221,304-316``): per-pair squared-
+    L2 distances of the two models are summed before the threshold sweep."""
+
+    def sqdist(e):
+        d = e[0::2] - e[1::2]
+        return np.sum(d * d, axis=1)
+
+    dist = sqdist(embeddings_a) + sqdist(embeddings_b)
+    return _roc_from_dist(dist, actual_issame, np.arange(0, 8, 0.01), nrof_folds)
+
+
 def load_bin(path: str, image_size=(112, 112)):
     """Load a verification ``.bin`` (pickle of (jpeg list, issame list)) into
     (orig, flipped) uint8 NHWC arrays (reference ``util/utils.py:27-47``)."""

@@ -68,6 +68,9 @@ class PartFViTConfig:
     bn_axis_name: Optional[str] = None  # set to mesh axis for SyncBN
     stn_mode: str = "large"            # MobileNetV3 variant for the stem
     simmim: bool = False               # masked-image-modeling forward
+    use_global_token: bool = False     # CLS := projection of stn features
+                                       # (ViT_face_landmark_patch8_global,
+                                       # ViT_face.py:372-379,441,530)
 
 
 def minmax_rescale_landmarks(theta: jnp.ndarray, num_landmarks: int, scale: float = 111.0):
@@ -129,12 +132,16 @@ class PartFViT(nn.Module):
         p = cfg.patch_size
         theta = None
 
+        global_tok = None
         if x.ndim == 4 and cfg.with_land:
-            theta, _ = LandmarkRegressor(
+            theta, pooled = LandmarkRegressor(
                 cfg.num_patches, cfg.bn_axis_name, cfg.stn_mode,
                 float(cfg.image_size - 1), name="landmark"
             )(x, train)
             tokens = patch_gather(x, theta, p, impl=cfg.gather_impl)
+            if cfg.use_global_token:
+                h = nn.Dropout(0.5)(pooled, deterministic=not train)
+                global_tok = nn.Dense(cfg.dim, name="global_token")(h)[:, None, :]
         elif x.ndim == 4 and cfg.use_standcoord:
             b = x.shape[0]
             grid = jnp.asarray(standard_grid_landmarks(cfg.num_patches, p))
@@ -175,7 +182,12 @@ class PartFViT(nn.Module):
             nn.initializers.normal(1.0),
             (1, cfg.num_patches + 1, cfg.dim),
         )
-        h = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.dim)), tokens], axis=1)
+        first = (
+            global_tok
+            if global_tok is not None
+            else jnp.broadcast_to(cls, (b, 1, cfg.dim))
+        )
+        h = jnp.concatenate([first, tokens], axis=1)
         h = h + pos[:, : n + 1]
         h = nn.Dropout(cfg.emb_dropout)(h, deterministic=not train)
         h = Transformer(

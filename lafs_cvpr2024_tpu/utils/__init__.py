@@ -7,6 +7,7 @@ from .logging import (
     need_save,
 )
 from .profiling import Throughput, benchmark, cost_analysis, count_params, model_complexity, trace
+from .retrieval import PCA, compute_ap, compute_map
 
 __all__ = [
     "AverageMeter",
@@ -21,4 +22,7 @@ __all__ = [
     "count_params",
     "model_complexity",
     "trace",
+    "PCA",
+    "compute_ap",
+    "compute_map",
 ]

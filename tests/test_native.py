@@ -1,0 +1,77 @@
+"""Native C++ data plane: build, round-trip, decode parity vs PIL, threading."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lafs_cvpr2024_tpu.data.recordio import IRHeader, IndexedRecordIOWriter, pack
+
+native = pytest.importorskip("lafs_cvpr2024_tpu.data.native")
+if not native.native_available():
+    pytest.skip("native data plane unavailable", allow_module_level=True)
+
+
+@pytest.fixture()
+def rec(tmp_path):
+    rng = np.random.default_rng(0)
+    rec_path = str(tmp_path / "t.rec")
+    w = IndexedRecordIOWriter(str(tmp_path / "t.idx"), rec_path)
+    originals = []
+    for i in range(8):
+        arr = rng.integers(0, 255, (112, 112, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        w.write_idx(i, pack(IRHeader(0, float(i), i, 0), buf.getvalue()))
+        originals.append(buf.getvalue())
+    w.close()
+    return rec_path, originals
+
+
+def test_native_decode_matches_pil(rec):
+    rec_path, originals = rec
+    r = native.NativeRecordReader(rec_path, 112, threads=2)
+    assert len(r) == 8
+    out, labels = r.decode_batch(np.arange(8))
+    np.testing.assert_array_equal(labels, np.arange(8, dtype=np.float32))
+    for i in (0, 3, 7):
+        pil = np.asarray(Image.open(io.BytesIO(originals[i])).convert("RGB"))
+        np.testing.assert_array_equal(out[i], pil)
+    r.close()
+
+
+def test_native_payload_roundtrip(rec):
+    rec_path, originals = rec
+    r = native.NativeRecordReader(rec_path)
+    payload, label = r.read_payload(5)
+    assert payload == originals[5]
+    assert label == 5.0
+    r.close()
+
+
+def test_native_multithread_consistency(rec):
+    rec_path, _ = rec
+    r1 = native.NativeRecordReader(rec_path, threads=1)
+    r4 = native.NativeRecordReader(rec_path, threads=4)
+    keys = np.array([7, 0, 3, 3, 1, 6, 2, 5, 4, 0], np.int64)
+    out1, lab1 = r1.decode_batch(keys)
+    out4, lab4 = r4.decode_batch(keys)
+    np.testing.assert_array_equal(out1, out4)
+    np.testing.assert_array_equal(lab1, lab4)
+
+
+def test_native_resize_path(tmp_path):
+    """Odd-sized record goes through the nearest-resize fallback."""
+    rec_path = str(tmp_path / "r.rec")
+    w = IndexedRecordIOWriter(str(tmp_path / "r.idx"), rec_path)
+    arr = np.full((56, 56, 3), 200, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    w.write_idx(0, pack(IRHeader(0, 1.0, 0, 0), buf.getvalue()))
+    w.close()
+    r = native.NativeRecordReader(rec_path, 112)
+    out, _ = r.decode_batch(np.array([0]))
+    assert out.shape == (1, 112, 112, 3)
+    assert abs(int(out.mean()) - 200) < 5
