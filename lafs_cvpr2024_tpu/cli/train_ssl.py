@@ -13,6 +13,11 @@ import os
 import time
 
 import jax
+
+# hardware-accelerated PRNG (dropout mask generation is ~30% of a step with
+# the default threefry implementation on TPU)
+jax.config.update("jax_default_prng_impl", "rbg")
+
 import jax.numpy as jnp
 import numpy as np
 

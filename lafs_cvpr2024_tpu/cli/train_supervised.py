@@ -18,6 +18,11 @@ import os
 import time
 
 import jax
+
+# hardware-accelerated PRNG (dropout mask generation is ~30% of a step with
+# the default threefry implementation on TPU)
+jax.config.update("jax_default_prng_impl", "rbg")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +47,8 @@ def get_args():
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
     p.add_argument("--patch-size", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--stn-mode", default="large", choices=["large", "small"])
     p.add_argument("--with-land", action="store_true", default=True)
     p.add_argument("--no-land", dest="with_land", action="store_false")
     p.add_argument("--head-name", default="CosFace",
@@ -105,11 +112,15 @@ def main():
 
     dataset = FaceRecordDataset(
         os.path.join(args.data_root, "train.rec"),
-        transform=SupervisedAugment(config_str=args.rand_aug),
+        transform=SupervisedAugment(config_str=args.rand_aug, size=args.image_size),
         bgr=args.bgr,
         partition=args.partition,
     )
-    sampler = EpochSampler(len(dataset), args.batch_size * args.acc_step, seed=args.seed)
+    # --batch-size is PER data shard per microbatch (the reference's per-GPU
+    # batch); one step consumes batch * acc_step * data_shards rows
+    n_data = mesh.shape["data"]
+    rows_per_step = args.batch_size * args.acc_step * n_data
+    sampler = EpochSampler(len(dataset), rows_per_step, seed=args.seed)
     pipe = DataPipeline(
         dataset, sampler, num_workers=args.workers,
         sharding=NamedSharding(mesh, P("data")),
@@ -125,6 +136,7 @@ def main():
             mlp_dim=args.mlp_dim, num_patches=args.num_patches,
             patch_size=args.patch_size, num_classes=num_classes,
             with_land=args.with_land, loss_type=args.head_name,
+            image_size=args.image_size, stn_mode=args.stn_mode,
         ),
         acc_step=args.acc_step,
         mixup=MixupConfig(

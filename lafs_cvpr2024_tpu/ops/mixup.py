@@ -26,10 +26,34 @@ class MixupConfig:
     switch_prob: float = 0.5
     label_smoothing: float = 0.0
     num_classes: int = 1000
+    mode: str = "batch"  # 'batch' | 'elem' (per-sample lam, vectorized)
 
     @property
     def enabled(self) -> bool:
         return self.mixup_alpha > 0 or self.cutmix_alpha > 0
+
+
+def _beta_vec(key, alpha: float, n: int):
+    a = jnp.float32(alpha)
+    g1 = jax.random.gamma(key, a, (n,))
+    g2 = jax.random.gamma(jax.random.fold_in(key, 1), a, (n,))
+    return g1 / (g1 + g2)
+
+
+def _mixup_elem(key, images, y1, cfg: "MixupConfig"):
+    """Per-element mixup (timm ``_mix_elem``, ``util/mixup_my.py:152-167``:
+    element i mixes with element n-1-i). CutMix-elem is intentionally folded
+    into mixup here — per-sample boxes via masks cost a full-image mask per
+    element; batch mode covers the shipped configs."""
+    n = images.shape[0]
+    k_prob, k_lam = jax.random.split(key)
+    lam = _beta_vec(k_lam, cfg.mixup_alpha, n)
+    apply = jax.random.uniform(k_prob, (n,)) < cfg.prob
+    lam = jnp.where(apply, lam, 1.0)
+    lam_img = lam.reshape((n,) + (1,) * (images.ndim - 1))
+    mixed = images * lam_img + jnp.flip(images, axis=0) * (1 - lam_img)
+    target = y1 * lam[:, None] + jnp.flip(y1, axis=0) * (1 - lam[:, None])
+    return mixed, target
 
 
 def _beta(key, alpha: float):
@@ -60,6 +84,8 @@ def mixup_cutmix(key, images, labels, cfg: MixupConfig):
     y1 = one_hot_smooth(labels, cfg.num_classes, cfg.label_smoothing)
     if not cfg.enabled:
         return images, y1
+    if cfg.mode == "elem":
+        return _mixup_elem(key, images, y1, cfg)
 
     k_prob, k_switch, k_lam, k_box = jax.random.split(key, 4)
     apply = jax.random.uniform(k_prob) < cfg.prob

@@ -63,6 +63,10 @@ def patch_gather(
       order, matching the reference mosaic+rearrange round trip
       (``ViT_face.py:1649-1654`` + ``:760``).
     """
+    if impl == "pallas":
+        from .patch_gather_pallas import patch_gather_pallas_diff
+
+        return patch_gather_pallas_diff(images, landmarks, patch_size)
     if impl == "gather":
         patches = _patch_gather_indexed(images, landmarks, patch_size)
     elif impl == "mxu":

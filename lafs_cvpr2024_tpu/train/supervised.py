@@ -114,16 +114,18 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, images, soft_targets, rng, cls_weight):
         cparams = _cast(params, cfg.compute_dtype)
+        # sharded path: model emits embeddings, margin head applied manually;
+        # unsharded: the model's own margin head consumes the (soft) targets
         out, mutated = model.apply(
             {"params": cparams, "batch_stats": batch_stats},
             images.astype(cfg.compute_dtype),
-            None,
+            None if shard_cls else soft_targets,
             train=True,
             rngs={"dropout": rng, "augment": jax.random.fold_in(rng, 7)},
             mutable=["batch_stats"] if batch_stats else [],
         )
-        emb = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
         if shard_cls:
+            emb = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
             # soft_targets arrive class-sharded (B, C/n_model)
             logits = local_margin_logits(
                 emb,
@@ -134,7 +136,8 @@ def make_train_step(
             )
             loss = sharded_softmax_ce(logits, soft_targets, "model")
         else:
-            loss = softmax_cross_entropy(out[0].astype(jnp.float32), soft_targets)
+            logits = out[0] if isinstance(out, tuple) else out
+            loss = softmax_cross_entropy(logits.astype(jnp.float32), soft_targets)
         new_stats = mutated.get("batch_stats", batch_stats) if batch_stats else batch_stats
         return loss, new_stats
 
@@ -176,7 +179,7 @@ def make_train_step(
         # loss carry must enter the scan already device-varying (vma rules)
         zero_loss = jnp.zeros(())
         if multi:
-            zero_loss = jax.lax.pvary(zero_loss, ("data", "model"))
+            zero_loss = jax.lax.pcast(zero_loss, ("data", "model"), to="varying")
         (grads, wgrads, new_stats, loss_sum, _), _ = jax.lax.scan(
             micro,
             (zero_g, zero_w, state.batch_stats, zero_loss, step_rng),

@@ -1,0 +1,68 @@
+"""End-to-end CLI integration: pack a tiny ImageFolder → train supervised for
+one epoch on the CPU mesh → checkpoint written. Exercises the full user path
+(argparse → RecordIO → pipeline → SPMD step → orbax)."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _make_imagefolder(root, n_ids=4, per=8, size=48):
+    rng = np.random.default_rng(0)
+    for i in range(n_ids):
+        d = os.path.join(root, f"id_{i}")
+        os.makedirs(d)
+        for j in range(per):
+            Image.fromarray(
+                rng.integers(0, 255, (size, size, 3), np.uint8)
+            ).save(os.path.join(d, f"{j}.jpg"), quality=95)
+
+
+def test_pack_then_train(tmp_path, monkeypatch):
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    work = str(tmp_path / "work")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_supervised
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+    assert os.path.exists(os.path.join(rec_dir, "train.rec"))
+    assert os.path.exists(os.path.join(rec_dir, "property"))
+
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "train",
+            "--data-root", rec_dir,
+            "--work-path", work,
+            "--batch-size", "1",  # per data shard (8 shards) × acc 2 = 16/step
+            "--acc-step", "2",
+            "--epochs", "1",
+            "--warmup-epochs", "0",
+            "--embedding-size", "32",
+            "--depth", "1",
+            "--heads", "2",
+            "--mlp-dim", "64",
+            "--num-patches", "36",
+            "--image-size", "48",
+            "--stn-mode", "small",
+            "--model-axis", "1",
+            "--workers", "2",
+            "--disp-freq", "1",
+        ],
+    )
+    train_supervised.main()
+    # final checkpoint written
+    ckpt = os.path.join(work, "ckpt")
+    assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+    assert os.path.exists(os.path.join(work, "log.txt"))

@@ -58,7 +58,7 @@ def test_dino_loss_matches_oracle():
 
 def test_dino_center_psum_matches_global_mean():
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     devs = np.array(jax.devices()[:4])
     mesh = Mesh(devs, ("data",))
@@ -136,3 +136,17 @@ def test_soft_target_ce():
     targets = jnp.array([[1.0, 0.0], [1.0, 0.0]])
     l = float(softmax_cross_entropy(logits, targets))
     assert l > 4.0  # second row is badly wrong
+
+
+def test_mixup_elem_mode():
+    cfg = MixupConfig(mixup_alpha=0.5, prob=1.0, num_classes=4, mode="elem")
+    imgs = jnp.stack([jnp.full((4, 4, 3), float(i)) for i in range(4)])
+    labels = jnp.arange(4)
+    mixed, targets = mixup_cutmix(jax.random.PRNGKey(3), imgs, labels, cfg)
+    assert mixed.shape == imgs.shape and targets.shape == (4, 4)
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, rtol=1e-5)
+    # element i mixed with element 3-i: pixel values between the two
+    m = np.asarray(mixed)
+    for i in range(4):
+        lo, hi = sorted([i, 3 - i])
+        assert lo - 1e-5 <= m[i].mean() <= hi + 1e-5

@@ -38,6 +38,8 @@ def test_sharded_cosface_matches_unsharded():
             f, mesh=mesh,
             in_specs=(P(), P("model", None), P()),
             out_specs=P(),
+            check_vma=False,  # loss IS replicated (psum over both axes);
+                              # the static check can't infer it
         )
     )
     got = float(sharded(emb, w, labels))
@@ -64,6 +66,8 @@ def test_sharded_cosface_dp_tp_combined():
             f, mesh=mesh,
             in_specs=(P("data"), P("model", None), P("data")),
             out_specs=P(),
+            check_vma=False,  # loss IS replicated (psum over both axes);
+                              # the static check can't infer it
         )
     )
     got = float(sharded(emb, w, labels))
@@ -87,6 +91,8 @@ def test_sharded_soft_labels():
             f, mesh=mesh,
             in_specs=(P(), P("model", None), P(None, "model")),
             out_specs=P(),
+            check_vma=False,  # loss IS replicated (psum over both axes);
+                              # the static check can't infer it
         )
     )
     got = float(sharded(emb, w, soft))
