@@ -58,6 +58,8 @@ class SSLConfig:
     clip_grad: float = 3.0
     freeze_last_layer_epochs: int = 1
     compute_dtype: Any = jnp.bfloat16
+    head_dtype: Any = jnp.float32  # the 100k-way projection head's compute
+                                   # dtype (loss math stays fp32 either way)
 
     @property
     def ncrops(self) -> int:
@@ -183,8 +185,9 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
                 rngs={"dropout": jax.random.fold_in(rng, 3)} if train else None,
             )
             outs.append(emb_l)
-        emb = jnp.concatenate(outs, axis=0).astype(jnp.float32)
-        return head.apply({"params": _cast(params["head"], jnp.float32)}, emb)
+        emb = jnp.concatenate(outs, axis=0).astype(cfg.head_dtype)
+        out = head.apply({"params": _cast(params["head"], cfg.head_dtype)}, emb)
+        return out.astype(jnp.float32)
 
     def step_impl(state, landmark_vars, glob_clean, glob_aug, loc_clean,
                   loc_aug, lr, wd, momentum, teacher_temp, freeze_last):
