@@ -49,6 +49,8 @@ def get_args():
     p.add_argument("--heads", type=int, default=11)
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
+    p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--stn-mode", default="large", choices=["large", "small"])
     p.add_argument("--random-subset", type=float, default=0.4,
                    help="'sifenzhiyi' random subset fraction (dataloader_web.py:291)")
     p.add_argument("--saveckp-freq", type=int, default=10)
@@ -89,6 +91,7 @@ def main():
         global_crops_scale=tuple(args.global_crops_scale),
         local_crops_scale=tuple(args.local_crops_scale),
         local_crops_number=args.local_crops_number,
+        size=args.image_size,
     )
     dataset = FaceRecordDataset(
         os.path.join(args.data_path, "train.rec"),
@@ -105,7 +108,7 @@ def main():
         model=PartFViTConfig(
             dim=args.dim, depth=args.depth, heads=args.heads, mlp_dim=args.mlp_dim,
             num_patches=args.num_patches, with_land=False, loss_type="None",
-            num_classes=0,
+            num_classes=0, image_size=args.image_size, stn_mode=args.stn_mode,
         ),
         out_dim=args.out_dim,
         local_crops_number=args.local_crops_number,

@@ -60,6 +60,9 @@ class SSLConfig:
     compute_dtype: Any = jnp.bfloat16
     head_dtype: Any = jnp.float32  # the 100k-way projection head's compute
                                    # dtype (loss math stays fp32 either way)
+    landmark_dtype: Any = jnp.float32  # frozen landmark-CNN compute dtype;
+                                       # bf16 is safe (landmarks get N(0,5px)
+                                       # jitter anyway) and skips fp32 convs
 
     @property
     def ncrops(self) -> int:
@@ -153,18 +156,23 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
         """Frozen landmark branch (no gradients — lafs_train.py:381-382)."""
         b = glob_clean.shape[1]
         k1, k2, k3 = jax.random.split(rng, 3)
+        ld = cfg.landmark_dtype
+        lvars = jax.tree_util.tree_map(
+            lambda p: p.astype(ld) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            landmark_vars,
+        )
         # globals: jitter only, keep all landmarks (Random_prob + return_prob)
-        g_clean = glob_clean.reshape(2 * b, *glob_clean.shape[2:])
-        g_aug = glob_aug.reshape(2 * b, *glob_aug.shape[2:])
+        g_clean = glob_clean.reshape(2 * b, *glob_clean.shape[2:]).astype(ld)
+        g_aug = glob_aug.reshape(2 * b, *glob_aug.shape[2:]).astype(ld)
         _, g_tokens = provider.apply(
-            landmark_vars, g_clean, x_aug=g_aug, rng=k1,
+            lvars, g_clean, x_aug=g_aug, rng=k1,
             jitter_std=cfg.landmark_jitter_std,
         )
         # locals: jitter + keep 36 random landmarks (ran_sample=True)
-        l_clean = loc_clean.reshape(L * b, *loc_clean.shape[2:])
-        l_aug = loc_aug.reshape(L * b, *loc_aug.shape[2:])
+        l_clean = loc_clean.reshape(L * b, *loc_clean.shape[2:]).astype(ld)
+        l_aug = loc_aug.reshape(L * b, *loc_aug.shape[2:]).astype(ld)
         _, l_tokens = provider.apply(
-            landmark_vars, l_clean, x_aug=l_aug, rng=k2,
+            lvars, l_clean, x_aug=l_aug, rng=k2,
             jitter_std=cfg.landmark_jitter_std,
             ran_sample=cfg.local_keep_landmarks,
         )

@@ -66,3 +66,46 @@ def test_pack_then_train(tmp_path, monkeypatch):
     ckpt = os.path.join(work, "ckpt")
     assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
     assert os.path.exists(os.path.join(work, "log.txt"))
+
+
+def test_ssl_cli_one_epoch(tmp_path, monkeypatch):
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    out = str(tmp_path / "ssl")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir, n_ids=4, per=4)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_ssl
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "ssl",
+            "--data-path", rec_dir,
+            "--output-dir", out,
+            "--batch-size-per-chip", "1",  # ×8 virtual chips = 8/step
+            "--epochs", "1",
+            "--warmup-epochs", "0",
+            "--warmup-teacher-temp-epochs", "1",
+            "--dim", "32",
+            "--depth", "1",
+            "--heads", "2",
+            "--mlp-dim", "64",
+            "--num-patches", "36",
+            "--image-size", "48",
+            "--stn-mode", "small",
+            "--out-dim", "64",
+            "--local-crops-number", "2",
+            "--random-subset", "0",
+            "--workers", "2",
+        ],
+    )
+    train_ssl.main()
+    assert os.path.isdir(os.path.join(out, "ckpt"))
+    assert os.path.exists(os.path.join(out, "log.txt"))
