@@ -56,6 +56,9 @@ def get_args():
     p.add_argument("--saveckp-freq", type=int, default=10)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device-aug", action="store_true",
+                   help="run the 20-crop LAFS augmentation ON DEVICE (host "
+                        "ships one uint8 image/sample; frees host CPU)")
     return p.parse_args()
 
 
@@ -87,7 +90,7 @@ def main():
     mesh = create_mesh(model=1)
     n_dev = len(jax.devices())
 
-    transform = LAFSMultiCrop(
+    transform = None if args.device_aug else LAFSMultiCrop(
         global_crops_scale=tuple(args.global_crops_scale),
         local_crops_scale=tuple(args.local_crops_scale),
         local_crops_number=args.local_crops_number,
@@ -167,8 +170,22 @@ def main():
                              total=steps_per_epoch)
         ):
             gstep = epoch * steps_per_epoch + it
-            gc, ga, lc, la = assemble_crop_batches(crops)
-            gc, ga, lc, la = (jax.device_put(x, sharding) for x in (gc, ga, lc, la))
+            if args.device_aug:
+                from ..ops.augment_device import lafs_multicrop_device
+
+                raw = jax.device_put(np.asarray(crops))  # (B, H, W, 3) uint8
+                gc, ga, lc, la = lafs_multicrop_device(
+                    jax.random.fold_in(jax.random.PRNGKey(args.seed), gstep),
+                    raw,
+                    local_crops_number=args.local_crops_number,
+                    out_size=args.image_size,
+                    global_crops_scale=tuple(args.global_crops_scale),
+                )
+            else:
+                gc, ga, lc, la = assemble_crop_batches(crops)
+                gc, ga, lc, la = (
+                    jax.device_put(x, sharding) for x in (gc, ga, lc, la)
+                )
             state, metrics = step_fn(
                 state, landmark_vars, gc, ga, lc, la,
                 lr=jnp.float32(lr_sched[gstep]),

@@ -8,6 +8,15 @@ from .schedules import (
     supervised_lr_scaling,
 )
 from .mixup import MixupConfig, mixup_cutmix, one_hot_smooth
+from .augment_device import (
+    color_jitter_batch,
+    gaussian_blur_batch,
+    lafs_multicrop_device,
+    random_flip_batch,
+    random_grayscale_batch,
+    random_resized_crop_batch,
+    solarize_batch,
+)
 
 __all__ = [
     "patch_gather",
@@ -24,4 +33,11 @@ __all__ = [
     "MixupConfig",
     "mixup_cutmix",
     "one_hot_smooth",
+    "color_jitter_batch",
+    "gaussian_blur_batch",
+    "lafs_multicrop_device",
+    "random_flip_batch",
+    "random_grayscale_batch",
+    "random_resized_crop_batch",
+    "solarize_batch",
 ]

@@ -1,0 +1,115 @@
+"""Device-side augmentation: statistical/semantic checks vs host references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from lafs_cvpr2024_tpu.ops.augment_device import (
+    color_jitter_batch,
+    gaussian_blur_batch,
+    lafs_multicrop_device,
+    random_flip_batch,
+    random_resized_crop_batch,
+    solarize_batch,
+)
+
+
+def test_resize_matches_pil_bicubic_upscale():
+    """Full-frame 'crop' upscaled == PIL bicubic resize (PIL antialiases only
+    on DOWNSCALE; LAFS crops are always upscaled to 112, the 4-tap regime)."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    pil = np.asarray(
+        Image.fromarray(img).resize((64, 64), Image.BICUBIC)
+    ).astype(np.float32)
+
+    x = jnp.asarray(img[None].astype(np.float32))
+    from lafs_cvpr2024_tpu.ops.augment_device import _resize_matrix
+
+    my = _resize_matrix(jnp.zeros(1), jnp.full(1, 32.0), 32, 64)
+    mx = _resize_matrix(jnp.zeros(1), jnp.full(1, 32.0), 32, 64)
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("boh,bhwc->bowc", my, x, precision=hi)
+    out = jnp.einsum("bpw,bowc->bopc", mx, out, precision=hi)
+    got = np.clip(np.asarray(out[0]), 0, 255)
+    # PIL rounds to uint8; interior pixels should agree to ~1 LSB
+    diff = np.abs(got[4:-4, 4:-4] - pil[4:-4, 4:-4])
+    assert np.median(diff) < 1.0
+    assert np.mean(diff) < 2.0
+
+
+def test_random_resized_crop_shapes_and_range():
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (4, 112, 112, 3)).astype(np.float32)
+    )
+    out = random_resized_crop_batch(jax.random.PRNGKey(0), x, 112)
+    assert out.shape == (4, 112, 112, 3)
+    assert np.asarray(out).min() > -0.3 and np.asarray(out).max() < 1.3
+
+
+def test_flip_semantics():
+    x = jnp.arange(8.0).reshape(1, 1, 8, 1) * jnp.ones((2, 4, 8, 1))
+    flipped = random_flip_batch(jax.random.PRNGKey(4), x, p=1.0)
+    np.testing.assert_allclose(np.asarray(flipped), np.asarray(x[:, :, ::-1]))
+    same = random_flip_batch(jax.random.PRNGKey(4), x, p=0.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(x))
+
+
+def test_solarize():
+    x = jnp.asarray([[[[0.2, 0.8, 0.5]]]])
+    out = solarize_batch(jax.random.PRNGKey(0), x, p=1.0)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0, 0], [0.2, 1 - 0.8, 0.5], atol=1e-6
+    )
+
+
+def test_blur_preserves_mean_and_smooths():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    out = gaussian_blur_batch(jax.random.PRNGKey(1), x, p=1.0,
+                              radius_min=1.9, radius_max=2.0)
+    a, b = np.asarray(x), np.asarray(out)
+    np.testing.assert_allclose(a.mean(), b.mean(), atol=0.01)
+    assert b.std() < a.std()  # smoothing reduces variance
+
+
+def test_color_jitter_stays_in_range_and_varies():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0.2, 0.8, (4, 16, 16, 3)).astype(np.float32))
+    out = color_jitter_batch(jax.random.PRNGKey(2), x)
+    o = np.asarray(out)
+    assert o.min() >= -1e-5 and o.max() <= 1 + 1e-5
+    assert not np.allclose(o, np.asarray(x))
+
+
+def test_hsv_roundtrip():
+    from lafs_cvpr2024_tpu.ops.augment_device import _hsv_to_rgb, _rgb_to_hsv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (100, 3)).astype(np.float32))
+    h, s, v = _rgb_to_hsv(x)
+    back = _hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_lafs_multicrop_device_layout():
+    # structured images (smooth gradients): blur keeps clean/aug correlated
+    yy, xx = np.mgrid[0:112, 0:112]
+    base = np.stack([yy, xx, (yy + xx) / 2], axis=-1).astype(np.float32)
+    imgs = jnp.asarray(
+        np.stack([(base * (i + 1) / 4) % 256 for i in range(4)]).astype(np.uint8)
+    )
+    gc, ga, lc, la = lafs_multicrop_device(
+        jax.random.PRNGKey(7), imgs, local_crops_number=2
+    )
+    assert gc.shape == (2, 4, 112, 112, 3) and ga.shape == gc.shape
+    assert lc.shape == (2, 4, 112, 112, 3) and la.shape == lc.shape
+    for t in (gc, ga, lc, la):
+        arr = np.asarray(t)
+        assert arr.min() >= -1.001 and arr.max() <= 1.001
+    # clean and aug share geometry: highly correlated
+    c = np.asarray(gc[0]).ravel()
+    a = np.asarray(ga[0]).ravel()
+    assert np.corrcoef(c, a)[0, 1] > 0.5
