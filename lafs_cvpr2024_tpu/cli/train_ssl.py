@@ -86,7 +86,10 @@ def main():
     )
     from ..utils import JSONLLogger, MetricLogger
 
+    from ..utils.logging import dump_config
+
     os.makedirs(args.output_dir, exist_ok=True)
+    dump_config(os.path.join(args.output_dir, "config.txt"), args)
     mesh = create_mesh(model=1)
     n_dev = len(jax.devices())
 

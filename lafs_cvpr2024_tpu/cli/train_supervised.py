@@ -58,6 +58,8 @@ def get_args():
     p.add_argument("--mixup", type=float, default=0.2)
     p.add_argument("--mixup-prob", type=float, default=0.1)
     p.add_argument("--partition", type=float, default=None, help="few-shot fraction")
+    p.add_argument("--kshot", type=int, default=None,
+                   help="k images per identity (few-shot protocol, README.md:52-56)")
     p.add_argument("--model-axis", type=int, default=1, help="classifier TP shards")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=1335)
@@ -99,7 +101,10 @@ def main():
     )
     from ..utils import JSONLLogger, MetricLogger, TensorBoardWriter, need_save
 
+    from ..utils.logging import dump_config
+
     os.makedirs(args.work_path, exist_ok=True)
+    dump_config(os.path.join(args.work_path, "config.txt"), args)
     mesh = create_mesh(model=args.model_axis)
     n_dev = len(jax.devices())
 
@@ -116,6 +121,8 @@ def main():
         bgr=args.bgr,
         partition=args.partition,
     )
+    if args.kshot:
+        dataset.restrict_to_keys(dataset.kshot_keys(args.kshot, seed=args.seed))
     # --batch-size is PER data shard per microbatch (the reference's per-GPU
     # batch); one step consumes batch * acc_step * data_shards rows
     n_data = mesh.shape["data"]

@@ -15,7 +15,7 @@ is a jitted batch loop supplied by the caller (``embed_fn``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

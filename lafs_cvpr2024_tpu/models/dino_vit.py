@@ -10,7 +10,7 @@ resolutions (``vision_transformer.py:174-194``), plus introspection hooks
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

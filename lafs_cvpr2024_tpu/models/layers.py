@@ -15,8 +15,6 @@ All math is jnp; XLA fuses LN/GELU/softmax into the matmuls.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ adds the 1×1 convs + pooled classifier head.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -26,7 +26,7 @@ ViT_face.py:717-758); ``pool='mean'``; mask-token SimMIM path.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

@@ -15,12 +15,10 @@ sharded along classes together with the weight.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _l2norm(x, axis=-1, eps=1e-12):

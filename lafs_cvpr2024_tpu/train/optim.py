@@ -15,7 +15,7 @@ layer-wise lr decay (``train_largescale.py:122-197``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

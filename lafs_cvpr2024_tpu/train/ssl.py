@@ -17,9 +17,8 @@ Static-shape multi-crop: exactly two compiled token shapes (2B×197 global,
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -21,10 +21,10 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.partfvit import PartFViT, PartFViTConfig
-from ..ops.mixup import MixupConfig, mixup_cutmix, one_hot_smooth
+from ..ops.mixup import MixupConfig, mixup_cutmix
 from ..parallel.sharded_cosface import (
     local_margin_logits,
     shard_one_hot,

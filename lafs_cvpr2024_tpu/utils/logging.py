@@ -15,7 +15,7 @@ import os
 import struct
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -243,6 +243,35 @@ def _crc32c(data: bytes) -> int:
 def _crc32c_masked(data: bytes) -> int:
     crc = _crc32c(data)
     return ((crc >> 15) | (crc << 17)) & 0xFFFFFFFF
+
+
+def get_sha(repo_root: Optional[str] = None) -> str:
+    """Git SHA + dirty flag stamp (reference ``utils.py:403-420``)."""
+    import subprocess
+
+    cwd = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def _run(cmd):
+        return subprocess.check_output(cmd, cwd=cwd).decode("ascii").strip()
+
+    try:
+        sha = _run(["git", "rev-parse", "HEAD"])
+        diff = _run(["git", "diff-index", "HEAD"])
+        status = "has uncommitted changes" if diff else "clean"
+        branch = _run(["git", "rev-parse", "--abbrev-ref", "HEAD"])
+        return f"sha: {sha}, status: {status}, branch: {branch}"
+    except Exception:
+        return "sha: N/A"
+
+
+def dump_config(path: str, args) -> None:
+    """Write the run configuration (reference writes ``config.txt``,
+    ``train_largescale.py:490-491``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(get_sha() + "\n")
+        for k, v in sorted(vars(args).items()):
+            f.write(f"{k}: {v}\n")
 
 
 def need_save(acc, highest_acc):

@@ -6,7 +6,7 @@ provided for inventory completeness, numpy-only.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
