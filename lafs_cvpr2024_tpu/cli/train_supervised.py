@@ -60,6 +60,10 @@ def get_args():
     p.add_argument("--partition", type=float, default=None, help="few-shot fraction")
     p.add_argument("--kshot", type=int, default=None,
                    help="k images per identity (few-shot protocol, README.md:52-56)")
+    p.add_argument("--landmark-distill", action="store_true",
+                   help="add MSE against the frozen landmark teacher "
+                        "(pre_land+keep_land, train_largescale.py:807-836; "
+                        "requires --landmark-checkpoint)")
     p.add_argument("--model-axis", type=int, default=1, help="classifier TP shards")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=1335)
@@ -150,11 +154,19 @@ def main():
             mixup_alpha=args.mixup, prob=args.mixup_prob, num_classes=num_classes
         ),
         shard_classifier=args.model_axis > 1,
+        landmark_distill=args.landmark_distill,
     )
 
     rng = jax.random.PRNGKey(args.seed)
     state = jax.jit(lambda r: create_state(cfg, r))(rng)
     cls_w, cls_opt = create_classifier(cfg, jax.random.fold_in(rng, 1))
+    land_vars = None
+    if args.landmark_distill:
+        from ..train.ssl import SSLConfig, create_landmark_provider
+
+        land_vars = create_landmark_provider(
+            SSLConfig(model=cfg.model), jax.random.fold_in(rng, 2)
+        )
 
     # checkpoint surgery: SSL teacher init + landmark stem
     if args.ssl_checkpoint and args.ssl_checkpoint.endswith(".pth"):
@@ -169,6 +181,13 @@ def main():
             params=merge_params(state.params, params, ["stn", "output"]),
             batch_stats=merge_params(state.batch_stats, stats, ["stn"]),
         )
+        if land_vars is not None:
+            land_vars = {
+                "params": merge_params(land_vars["params"], params, ["stn", "output"]),
+                "batch_stats": merge_params(
+                    land_vars.get("batch_stats", {}), stats, ["stn"]
+                ),
+            }
 
     steps_per_epoch = sampler.steps_per_epoch()
     total_steps = args.epochs * steps_per_epoch
@@ -208,9 +227,18 @@ def main():
         t_epoch = time.time()
         for images, labels in pipe.epoch(epoch):
             lr = float(lr_sched[min(gstep, total_steps - 1)])
-            state, cls_w, cls_opt, metrics = step_fn(
-                state, cls_w, cls_opt, images, labels.astype(jnp.int32), lr
-            )
+            if args.landmark_distill:
+                from ..train.supervised import land_loss_schedule
+
+                state, cls_w, cls_opt, metrics = step_fn(
+                    state, cls_w, cls_opt, images, labels.astype(jnp.int32),
+                    lr, land_vars=land_vars,
+                    land_weight=land_loss_schedule(epoch),
+                )
+            else:
+                state, cls_w, cls_opt, metrics = step_fn(
+                    state, cls_w, cls_opt, images, labels.astype(jnp.int32), lr
+                )
             logger.update(loss=metrics["loss"], lr=lr)
             if gstep % args.disp_freq == 0 and is_main_process():
                 print(f"epoch {epoch} step {gstep}: {logger}")

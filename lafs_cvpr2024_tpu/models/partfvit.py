@@ -249,6 +249,7 @@ class LandmarkProvider(nn.Module):
         ran_sample: int = 0,
         random_coor: bool = False,
         train: bool = False,
+        return_land: bool = False,
     ):
         if random_coor:
             assert rng is not None
@@ -270,6 +271,8 @@ class LandmarkProvider(nn.Module):
                     k, (x.shape[0], ran_sample), 0, theta.shape[1]
                 )
                 theta = jnp.take_along_axis(theta, idx[..., None], axis=1)
+        if return_land:  # landmarks only (reference ViT_face.py:1402-1403)
+            return theta, x
         src = x if x_aug is None else x_aug
         tokens = patch_gather(src, theta, self.patch_size, impl=self.gather_impl)
         return theta, tokens

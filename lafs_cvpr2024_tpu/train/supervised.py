@@ -44,6 +44,9 @@ class SupervisedConfig:
     mixup: MixupConfig = field(default_factory=lambda: MixupConfig(prob=0.1))
     compute_dtype: Any = jnp.bfloat16
     shard_classifier: bool = True   # TP the CosFace weight over 'model'
+    landmark_distill: bool = False  # add MSE(teacher landmarks, predicted)
+                                    # (the reference's pre_land+keep_land path,
+                                    # train_largescale.py:807-836)
 
 
 class TrainState(NamedTuple):
@@ -76,6 +79,20 @@ def create_state(cfg: SupervisedConfig, rng: jax.Array) -> TrainState:
         step=jnp.zeros((), jnp.int32),
         rng=rng,
     )
+
+
+def land_loss_schedule(epoch: int) -> float:
+    """Landmark-distillation weight schedule (``train_largescale.py:826-835``):
+    1000 → 100 → 1 → 0.11 → 0 by epoch bands."""
+    if epoch <= 7:
+        return 1000.0
+    if epoch <= 13:
+        return 100.0
+    if epoch <= 20:
+        return 1.0
+    if epoch <= 27:
+        return 0.11
+    return 0.0
 
 
 def make_train_step(
@@ -111,8 +128,19 @@ def make_train_step(
     _pmean_data = (
         (lambda x: jax.lax.pmean(x, "data")) if (multi and n_data > 1) else (lambda x: x)
     )
+    if cfg.landmark_distill:
+        assert cfg.model.with_land, "landmark_distill needs with_land=True"
+        from ..models.partfvit import LandmarkProvider
 
-    def loss_fn(params, batch_stats, images, soft_targets, rng, cls_weight):
+        land_teacher = LandmarkProvider(
+            num_landmarks=cfg.model.num_patches,
+            patch_size=cfg.model.patch_size,
+            stn_mode=cfg.model.stn_mode,
+            coord_scale=float(cfg.model.image_size - 1),
+        )
+
+    def loss_fn(params, batch_stats, images, soft_targets, rng, cls_weight,
+                land_vars=None, land_weight=0.0):
         cparams = _cast(params, cfg.compute_dtype)
         # sharded path: model emits embeddings, margin head applied manually;
         # unsharded: the model's own margin head consumes the (soft) targets
@@ -121,9 +149,11 @@ def make_train_step(
             images.astype(cfg.compute_dtype),
             None if shard_cls else soft_targets,
             train=True,
+            return_tokens=shard_cls and cfg.landmark_distill,
             rngs={"dropout": rng, "augment": jax.random.fold_in(rng, 7)},
             mutable=["batch_stats"] if batch_stats else [],
         )
+        theta = out[-1] if isinstance(out, tuple) else None
         if shard_cls:
             emb = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
             # soft_targets arrive class-sharded (B, C/n_model)
@@ -138,12 +168,27 @@ def make_train_step(
         else:
             logits = out[0] if isinstance(out, tuple) else out
             loss = softmax_cross_entropy(logits.astype(jnp.float32), soft_targets)
+        if cfg.landmark_distill and land_vars is not None:
+            # MSE against the frozen landmark teacher on the SAME (mixed)
+            # inputs, coords normalized by image_size-1
+            # (train_largescale.py:822-836)
+            t_theta, _ = land_teacher.apply(
+                land_vars, images.astype(jnp.float32), return_land=True
+            )
+            t_theta = jax.lax.stop_gradient(t_theta)
+            s = float(cfg.model.image_size - 1)
+            land_loss = jnp.mean(
+                ((t_theta / s) - (theta.astype(jnp.float32) / s)) ** 2
+            )
+            loss = loss + land_weight * land_loss
         new_stats = mutated.get("batch_stats", batch_stats) if batch_stats else batch_stats
         return loss, new_stats
 
-    # layer-wise lr decay + wd trees are built lazily from the first params
+    # layer-wise lr decay + wd trees are built lazily from the first params;
+    # land_vars/land_weight precede the partial-bound kwargs so the optional
+    # distillation args bind positionally
     def step_impl(state: TrainState, cls_weight, cls_opt, images, labels, lr,
-                  lr_scale_tree, wd_tree):
+                  land_vars=None, land_weight=0.0, *, lr_scale_tree, wd_tree):
         b = images.shape[0] // cfg.acc_step
         images = images.reshape(cfg.acc_step, b, *images.shape[1:])
         labels = labels.reshape(cfg.acc_step, b)
@@ -165,7 +210,8 @@ def make_train_step(
                 else:
                     targets = shard_one_hot(labs, num_classes, "model")
             (loss, new_stats), grads = jax.value_and_grad(
-                lambda p, w: loss_fn(p, stats, imgs, targets, drng, w),
+                lambda p, w: loss_fn(p, stats, imgs, targets, drng, w,
+                                     land_vars, land_weight),
                 argnums=(0, 1),
                 has_aux=True,
             )(state.params, cls_weight)
@@ -214,7 +260,11 @@ def make_train_step(
     # concrete state.
     cache = {}
 
-    def step_fn(state, cls_weight, cls_opt, images, labels, lr):
+    def step_fn(state, cls_weight, cls_opt, images, labels, lr,
+                land_vars=None, land_weight=0.0):
+        distill_args = (
+            (land_vars, jnp.float32(land_weight)) if cfg.landmark_distill else ()
+        )
         if "fn" not in cache:
             lr_scale_tree, wd_tree = param_groups_lrd(
                 state.params, cfg.model.depth, cfg.weight_decay,
@@ -225,13 +275,17 @@ def make_train_step(
             )
             if not multi:
                 cache["fn"] = jax.jit(impl)
-                return cache["fn"](state, cls_weight, cls_opt, images, labels, lr)
+                return cache["fn"](state, cls_weight, cls_opt, images, labels,
+                                   lr, *distill_args)
             replicate = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
             # classifier opt-state moments are (C, D) like the weight →
             # sharded over 'model'; the scalar step count stays replicated
             cls_opt_spec = jax.tree_util.tree_map(
                 lambda x: P("model", None) if getattr(x, "ndim", 0) == 2 else P(),
                 cls_opt,
+            )
+            extra_specs = (
+                (replicate(land_vars), P()) if cfg.landmark_distill else ()
             )
             cache["fn"] = jax.jit(
                 jax.shard_map(
@@ -244,7 +298,7 @@ def make_train_step(
                         P("data"),
                         P("data"),
                         P(),
-                    ),
+                    ) + extra_specs,
                     out_specs=(
                         replicate(state),
                         P("model", None),
@@ -257,7 +311,8 @@ def make_train_step(
                     check_vma=False,
                 )
             )
-        return cache["fn"](state, cls_weight, cls_opt, images, labels, lr)
+        return cache["fn"](state, cls_weight, cls_opt, images, labels, lr,
+                           *distill_args)
 
     return step_fn
 

@@ -65,3 +65,37 @@ def test_classifier_stays_sharded_shape(setup):
     state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-3)
     assert w.shape == (16, 32)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_landmark_distill_step():
+    """pre_land+keep_land path: MSE against a frozen landmark teacher."""
+    from lafs_cvpr2024_tpu.train.ssl import create_landmark_provider, SSLConfig
+    from lafs_cvpr2024_tpu.train.supervised import land_loss_schedule
+
+    cfg = SupervisedConfig(
+        model=TINY_MODEL, acc_step=1,
+        mixup=MixupConfig(mixup_alpha=0.0, prob=0.0, num_classes=16),
+        compute_dtype=jnp.float32, landmark_distill=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    land_vars = create_landmark_provider(
+        SSLConfig(model=TINY_MODEL), jax.random.PRNGKey(2)
+    )
+    images = jax.random.uniform(jax.random.PRNGKey(3), (4, 48, 48, 3)) * 2 - 1
+    labels = jnp.arange(4) % 16
+    s0, w0, o0, m0 = step(state, w, w_opt, images, labels, 1e-3,
+                          land_vars=land_vars, land_weight=0.0)
+    s1, w1, o1, m1 = step(state, w, w_opt, images, labels, 1e-3,
+                          land_vars=land_vars, land_weight=1000.0)
+    assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
+    # the distillation term contributes when weighted
+    assert float(m1["loss"]) > float(m0["loss"])
+    # schedule bands (train_largescale.py:826-835)
+    assert land_loss_schedule(5) == 1000.0
+    assert land_loss_schedule(10) == 100.0
+    assert land_loss_schedule(15) == 1.0
+    assert land_loss_schedule(25) == 0.11
+    assert land_loss_schedule(30) == 0.0
