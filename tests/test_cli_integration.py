@@ -109,3 +109,39 @@ def test_ssl_cli_one_epoch(tmp_path, monkeypatch):
     train_ssl.main()
     assert os.path.isdir(os.path.join(out, "ckpt"))
     assert os.path.exists(os.path.join(out, "log.txt"))
+
+
+def test_supervised_cli_resume(tmp_path, monkeypatch):
+    """--resume restores the orbax checkpoint and continues."""
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    work = str(tmp_path / "work")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_supervised
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    argv = [
+        "train", "--data-root", rec_dir, "--work-path", work,
+        "--batch-size", "1", "--acc-step", "2", "--epochs", "1",
+        "--warmup-epochs", "0", "--embedding-size", "32", "--depth", "1",
+        "--heads", "2", "--mlp-dim", "64", "--num-patches", "36",
+        "--image-size", "48", "--stn-mode", "small", "--model-axis", "1",
+        "--workers", "2", "--disp-freq", "1",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    train_supervised.main()
+    ckpt = os.path.join(work, "ckpt")
+    first = set(os.listdir(ckpt))
+    assert first
+
+    # resume: restores and trains one more epoch without error
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    train_supervised.main()
+    assert set(os.listdir(ckpt)) >= first or len(os.listdir(ckpt)) > 0
