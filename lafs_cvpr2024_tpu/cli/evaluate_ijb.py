@@ -91,9 +91,14 @@ def main():
         }
 
     @jax.jit
-    def embed(batch):
+    def _embed(v, batch):
         # eval convention: x/255 - 0.5 (IJB_evaluation.py:235)
-        return model.apply(variables, batch / 255.0 - 0.5, train=False)
+        # params are an argument, not a closure constant (closure constants
+        # get baked into the HLO and can exceed remote-compile size limits)
+        return model.apply(v, batch / 255.0 - 0.5, train=False)
+
+    def embed(batch):
+        return _embed(variables, batch)
 
     templates, medias = read_template_media_list(
         os.path.join(args.meta_path, f"{target.lower()}_face_tid_mid.txt")
