@@ -1,0 +1,84 @@
+"""Coverage for per-process sampling (DistributedSampler semantics), mesh
+helpers, and the contrastive pair sampler."""
+
+import io
+
+import jax
+import numpy as np
+from PIL import Image
+
+from lafs_cvpr2024_tpu.data import ContrastivePairSampler, EpochSampler, FaceRecordDataset
+from lafs_cvpr2024_tpu.data.recordio import IRHeader, IndexedRecordIOWriter, pack
+from lafs_cvpr2024_tpu.parallel.mesh import (
+    classifier_sharding,
+    create_mesh,
+    is_main_process,
+    replicated,
+    shard_batch,
+)
+
+
+def test_epoch_sampler_process_shards_partition_everything():
+    n, procs, bs = 103, 4, 4
+    samplers = [
+        EpochSampler(n, bs, process_index=i, process_count=procs, drop_last=False)
+        for i in range(procs)
+    ]
+    all_idx = np.concatenate([s.epoch_indices(3) for s in samplers])
+    # every sample covered (with wraparound padding allowed)
+    assert set(all_idx.tolist()) == set(range(n))
+    # shards are disjoint modulo the pad
+    sizes = [len(s.epoch_indices(3)) for s in samplers]
+    assert len(set(sizes)) == 1  # equal shard sizes
+
+
+def test_epoch_sampler_drop_last():
+    s = EpochSampler(10, 4, process_index=0, process_count=1)
+    assert len(s.epoch_indices(0)) == 8
+    assert s.steps_per_epoch() == 2
+
+
+def test_shard_batch_and_shardings():
+    mesh = create_mesh(model=2)
+    x = np.zeros((8, 4), np.float32)
+    arr = shard_batch(mesh, x)
+    assert arr.shape == (8, 4)
+    assert classifier_sharding(mesh).spec[0] == "model"
+    assert replicated(mesh).spec == ()
+    assert is_main_process()
+
+
+def _identity_rec(tmp_path, n_ids=3, per=4):
+    rng = np.random.default_rng(0)
+    rec = str(tmp_path / "c.rec")
+    w = IndexedRecordIOWriter(str(tmp_path / "c.idx"), rec)
+    key = 1
+    ranges = []
+    for ident in range(n_ids):
+        start = key
+        for _ in range(per):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (16, 16, 3), np.uint8)
+            ).save(buf, format="JPEG")
+            w.write_idx(key, pack(IRHeader(0, float(ident), key, 0), buf.getvalue()))
+            key += 1
+        ranges.append((start, key))
+    ident_start = key
+    for a, b in ranges:
+        w.write_idx(key, pack(IRHeader(2, np.array([a, b], np.float32), key, 0), b""))
+        key += 1
+    w.write_idx(0, pack(IRHeader(2, np.array([ident_start, key], np.float32), 0, 0), b""))
+    w.close()
+    return rec
+
+
+def test_contrastive_pair_sampler(tmp_path):
+    ds = FaceRecordDataset(_identity_rec(tmp_path))
+    sampler = ContrastivePairSampler(ds, pos_prob=1.0, seed=0)
+    (img1, img2), same = sampler.sample_pair(0)
+    assert same == 1
+    assert img1.shape == img2.shape == (16, 16, 3)
+    sampler_neg = ContrastivePairSampler(ds, pos_prob=0.0, seed=0)
+    results = [sampler_neg.sample_pair(i)[1] for i in range(6)]
+    assert 0 in results  # negatives do appear
