@@ -59,7 +59,9 @@ def get_args():
     p.add_argument("--device-aug", action="store_true",
                    help="run the 20-crop LAFS augmentation ON DEVICE (host "
                         "ships one uint8 image/sample; frees host CPU)")
-    return p.parse_args()
+    from ..utils.config import apply_toml_defaults
+
+    return apply_toml_defaults(p, table='ssl')
 
 
 def main():

@@ -69,7 +69,9 @@ def get_args():
     p.add_argument("--seed", type=int, default=1335)
     p.add_argument("--disp-freq", type=int, default=2000)
     p.add_argument("--resume", action="store_true")
-    return p.parse_args()
+    from ..utils.config import apply_toml_defaults
+
+    return apply_toml_defaults(p, table='train')
 
 
 def main():

@@ -82,3 +82,32 @@ def test_contrastive_pair_sampler(tmp_path):
     sampler_neg = ContrastivePairSampler(ds, pos_prob=0.0, seed=0)
     results = [sampler_neg.sample_pair(i)[1] for i in range(6)]
     assert 0 in results  # negatives do appear
+
+
+def test_toml_config_defaults(tmp_path):
+    import argparse
+
+    from lafs_cvpr2024_tpu.utils.config import apply_toml_defaults
+
+    cfg = tmp_path / "run.toml"
+    cfg.write_text("[train]\nbatch-size = 7\nlr = 0.5\n")
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=0.1)
+    args = apply_toml_defaults(p, ["--config", str(cfg)])
+    assert args.batch_size == 7 and args.lr == 0.5
+    # explicit flags beat config
+    p2 = argparse.ArgumentParser()
+    p2.add_argument("--batch-size", type=int, default=1)
+    p2.add_argument("--lr", type=float, default=0.1)
+    args2 = apply_toml_defaults(p2, ["--config", str(cfg), "--batch-size", "3"])
+    assert args2.batch_size == 3 and args2.lr == 0.5
+    # typo detection
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[train]\nbatchsz = 2\n")
+    p3 = argparse.ArgumentParser()
+    p3.add_argument("--batch-size", type=int, default=1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_toml_defaults(p3, ["--config", str(bad)])
