@@ -145,3 +145,53 @@ def test_supervised_cli_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", argv + ["--resume"])
     train_supervised.main()
     assert set(os.listdir(ckpt)) >= first or len(os.listdir(ckpt)) > 0
+
+
+def test_supervised_cli_with_eval(tmp_path, monkeypatch):
+    """In-training verification: --eval-path drives perform_val + need_save."""
+    import pickle
+
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    work = str(tmp_path / "work")
+    eval_dir = str(tmp_path / "eval")
+    os.makedirs(data_dir)
+    os.makedirs(eval_dir)
+    _make_imagefolder(data_dir)
+
+    # synthetic lfw.bin: 8 pairs of 48x48 jpegs
+    rng = np.random.default_rng(0)
+    bins, issame = [], []
+    for p in range(8):
+        issame.append(p % 2 == 0)
+        for _ in range(2):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (48, 48, 3), np.uint8)
+            ).save(buf, format="JPEG")
+            bins.append(buf.getvalue())
+    with open(os.path.join(eval_dir, "lfw.bin"), "wb") as f:
+        pickle.dump((bins, issame), f)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_supervised
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "train", "--data-root", rec_dir, "--work-path", work,
+            "--eval-path", eval_dir, "--targets", "lfw",
+            "--batch-size", "1", "--acc-step", "1", "--epochs", "2",
+            "--warmup-epochs", "0", "--embedding-size", "32", "--depth", "1",
+            "--heads", "2", "--mlp-dim", "64", "--num-patches", "36",
+            "--image-size", "48", "--stn-mode", "small", "--model-axis", "1",
+            "--workers", "2", "--disp-freq", "1",
+        ],
+    )
+    train_supervised.main()
+    assert os.path.exists(os.path.join(work, "log.txt"))
