@@ -130,3 +130,58 @@ def test_global_token_variant():
     assert "global_token" in var["params"]
     logits, theta = m.apply(var, x, jnp.array([0, 1]))
     assert logits.shape == (2, 8)
+
+
+def test_patch_grid_and_heatmap(tmp_path):
+    from lafs_cvpr2024_tpu.utils.visualize import attention_heatmap, save_patch_grid
+
+    rng = np.random.default_rng(7)
+    patches = rng.uniform(-1, 1, (9, 8, 8, 3)).astype(np.float32)
+    out = str(tmp_path / "grid.png")
+    save_patch_grid(patches, out)
+    assert os.path.getsize(out) > 0
+
+    img = rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32)
+    rollout = rng.uniform(0, 1, 36)
+    png = attention_heatmap(img, rollout)
+    assert png[:4] == b"\x89PNG"
+
+
+def test_kshot_keys_restrict(tmp_path):
+    import io as _io
+
+    from PIL import Image as _Image
+
+    from lafs_cvpr2024_tpu.data.recordio import IRHeader, IndexedRecordIOWriter, pack
+    from lafs_cvpr2024_tpu.data import FaceRecordDataset
+
+    rng = np.random.default_rng(8)
+    rec = str(tmp_path / "k.rec")
+    w = IndexedRecordIOWriter(str(tmp_path / "k.idx"), rec)
+    key = 1
+    ranges = []
+    for ident in range(3):
+        start = key
+        for _ in range(5):
+            buf = _io.BytesIO()
+            _Image.fromarray(rng.integers(0, 255, (16, 16, 3), np.uint8)).save(
+                buf, format="JPEG"
+            )
+            w.write_idx(key, pack(IRHeader(0, float(ident), key, 0), buf.getvalue()))
+            key += 1
+        ranges.append((start, key))
+    ident_start = key
+    for a, b in ranges:
+        w.write_idx(key, pack(IRHeader(2, np.array([a, b], np.float32), key, 0), b""))
+        key += 1
+    w.write_idx(0, pack(IRHeader(2, np.array([ident_start, key], np.float32), 0, 0), b""))
+    w.close()
+
+    ds = FaceRecordDataset(rec)
+    assert len(ds) == 15
+    keys2 = ds.kshot_keys(2, seed=0)
+    assert len(keys2) == 6
+    ds.restrict_to_keys(keys2)
+    assert len(ds) == 6
+    labels = sorted(ds[i][1] for i in range(6))
+    assert labels == [0.0, 0.0, 1.0, 1.0, 2.0, 2.0]
