@@ -121,6 +121,7 @@ def main():
         out_dim=args.out_dim,
         local_crops_number=args.local_crops_number,
         clip_grad=args.clip_grad,
+        fused_device_aug=args.device_aug,
     )
 
     rng = jax.random.PRNGKey(args.seed)
@@ -176,16 +177,10 @@ def main():
         ):
             gstep = epoch * steps_per_epoch + it
             if args.device_aug:
-                from ..ops.augment_device import lafs_multicrop_device
-
-                raw = jax.device_put(np.asarray(crops))  # (B, H, W, 3) uint8
-                gc, ga, lc, la = lafs_multicrop_device(
-                    jax.random.fold_in(jax.random.PRNGKey(args.seed), gstep),
-                    raw,
-                    local_crops_number=args.local_crops_number,
-                    out_size=args.image_size,
-                    global_crops_scale=tuple(args.global_crops_scale),
-                )
+                # fused path: the step does the 20-crop augmentation itself
+                # (measured FREE — XLA overlaps it with the step's compute)
+                gc = jax.device_put(np.asarray(crops))  # raw (B, H, W, 3) uint8
+                ga = lc = la = jnp.zeros((1,), jnp.float32)
             else:
                 gc, ga, lc, la = assemble_crop_batches(crops)
                 gc, ga, lc, la = (

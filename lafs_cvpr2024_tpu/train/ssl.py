@@ -63,6 +63,11 @@ class SSLConfig:
                                        # bf16 is safe (landmarks get N(0,5px)
                                        # jitter anyway) and skips fp32 convs
 
+    fused_device_aug: bool = False  # run the 20-crop augmentation INSIDE the
+                                    # train step (input = raw uint8 batch);
+                                    # one compiled program, XLA overlaps the
+                                    # aug with the backward of the prior ops
+
     @property
     def ncrops(self) -> int:
         return self.local_crops_number + 2
@@ -200,6 +205,17 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
                   loc_aug, lr, wd, momentum, teacher_temp, freeze_last):
         rng = jax.random.fold_in(state.rng, state.step)
         k_land, k_student, k_rest = jax.random.split(rng, 3)
+        if cfg.fused_device_aug:
+            # glob_clean carries the RAW uint8 batch (B, H, W, 3); the other
+            # three crop inputs are ignored
+            from ..ops.augment_device import lafs_multicrop_device
+
+            glob_clean, glob_aug, loc_clean, loc_aug = lafs_multicrop_device(
+                jax.random.fold_in(rng, 11),
+                glob_clean,
+                local_crops_number=cfg.local_crops_number,
+                out_size=cfg.model.image_size,
+            )
         g_tokens, l_tokens = make_tokens(
             landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, k_land
         )
@@ -262,14 +278,18 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
                 cache["fn"] = jax.jit(step_impl)
             else:
                 rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
-                batch_spec = P(None, "data")
+                if cfg.fused_device_aug:
+                    # arg 2 is the raw (B, H, W, 3) batch; args 3-5 are dummies
+                    crop_specs = (P("data"), P(), P(), P())
+                else:
+                    crop_specs = (P(None, "data"),) * 4
                 cache["fn"] = jax.jit(
                     jax.shard_map(
                         step_impl,
                         mesh=mesh,
                         in_specs=(
                             rep(state), rep(landmark_vars),
-                            batch_spec, batch_spec, batch_spec, batch_spec,
+                            *crop_specs,
                             P(), P(), P(), P(), P(),
                         ),
                         out_specs=(rep(state), {"loss": P()}),

@@ -103,3 +103,25 @@ def test_ssl_loss_decreases_on_fixed_batch(setup):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_ssl_fused_device_aug_step():
+    """fused_device_aug: raw uint8 batch in, full aug+train in one program."""
+    cfg = SSLConfig(
+        model=TINY.model, out_dim=64, head_hidden_dim=32, head_bottleneck_dim=16,
+        local_crops_number=2, compute_dtype=jnp.float32, fused_device_aug=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
+    step = make_ssl_train_step(cfg, mesh)
+    raw = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 48, 48, 3)).astype(np.uint8)
+    )
+    dummy = jnp.zeros((1,), jnp.float32)
+    args = dict(lr=jnp.float32(1e-3), wd=jnp.float32(0.0),
+                momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                freeze_last=jnp.float32(1.0))
+    state, m = step(state, land, raw, dummy, dummy, dummy, **args)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
