@@ -58,6 +58,21 @@ def shard_batch(mesh: Mesh, batch):
     return jax.device_put(batch, data_sharding(mesh))
 
 
+def global_batch(mesh: Mesh, local_batch, spec: P = P("data")):
+    """Multi-host batch assembly: each process contributes its LOCAL rows and
+    receives a global jax.Array sharded per ``spec`` (the per-host feeding
+    that replaces DistributedSampler + DDP's implicit global batch).
+
+    Single-process: plain device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, NamedSharding(mesh, spec))
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        local_batch, mesh, spec
+    )
+
+
 def is_main_process() -> bool:
     """rank-0 gating (reference ``utils.py:443-449``)."""
     return jax.process_index() == 0
