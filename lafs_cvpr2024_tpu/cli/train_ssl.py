@@ -108,8 +108,14 @@ def main():
         subset_cache_path=os.path.join(args.output_dir, "random_index.json"),
         seed=args.seed,
     )
+    # global rows/step = per-chip batch × chips; each process's sampler
+    # contributes rows/process_count (global assembly via global_batch below)
     batch = args.batch_size_per_chip * n_dev
-    sampler = EpochSampler(len(dataset), batch, seed=args.seed)
+    n_proc = jax.process_count()
+    assert batch % n_proc == 0, (
+        f"global batch {batch} must divide process count {n_proc}"
+    )
+    sampler = EpochSampler(len(dataset), batch // n_proc, seed=args.seed)
     pipe = DataPipeline(dataset, sampler, num_workers=args.workers)
 
     cfg = SSLConfig(
@@ -164,8 +170,10 @@ def main():
         state = restored
         start_epoch = restored_step // max(steps_per_epoch, 1)
 
+    from ..parallel.mesh import global_batch
+
     step_fn = make_ssl_train_step(cfg, mesh)
-    sharding = NamedSharding(mesh, P(None, "data"))
+    crop_spec = P(None, "data")
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
 
@@ -179,12 +187,13 @@ def main():
             if args.device_aug:
                 # fused path: the step does the 20-crop augmentation itself
                 # (measured FREE — XLA overlaps it with the step's compute)
-                gc = jax.device_put(np.asarray(crops))  # raw (B, H, W, 3) uint8
+                # raw (B, H, W, 3) uint8, batch sharded over 'data'
+                gc = global_batch(mesh, np.asarray(crops), P("data"))
                 ga = lc = la = jnp.zeros((1,), jnp.float32)
             else:
                 gc, ga, lc, la = assemble_crop_batches(crops)
                 gc, ga, lc, la = (
-                    jax.device_put(x, sharding) for x in (gc, ga, lc, la)
+                    global_batch(mesh, x, crop_spec) for x in (gc, ga, lc, la)
                 )
             state, metrics = step_fn(
                 state, landmark_vars, gc, ga, lc, la,

@@ -130,13 +130,19 @@ def main():
     if args.kshot:
         dataset.restrict_to_keys(dataset.kshot_keys(args.kshot, seed=args.seed))
     # --batch-size is PER data shard per microbatch (the reference's per-GPU
-    # batch); one step consumes batch * acc_step * data_shards rows
+    # batch); one step consumes batch * acc_step * data_shards rows GLOBALLY,
+    # of which each process contributes rows/process_count (the sampler is
+    # process-local; global assembly happens in DataPipeline via global_batch)
     n_data = mesh.shape["data"]
+    n_proc = jax.process_count()
     rows_per_step = args.batch_size * args.acc_step * n_data
-    sampler = EpochSampler(len(dataset), rows_per_step, seed=args.seed)
+    assert rows_per_step % n_proc == 0, (
+        f"global rows/step {rows_per_step} must divide process count {n_proc}"
+    )
+    sampler = EpochSampler(len(dataset), rows_per_step // n_proc, seed=args.seed)
     pipe = DataPipeline(
         dataset, sampler, num_workers=args.workers,
-        sharding=NamedSharding(mesh, P("data")),
+        mesh=mesh, spec=P("data"),
         postprocess=lambda imgs, labels: (
             imgs.astype(np.float32) / 255.0 * 2 - 1,  # train convention
             labels,
@@ -160,8 +166,11 @@ def main():
     )
 
     rng = jax.random.PRNGKey(args.seed)
-    state = jax.jit(lambda r: create_state(cfg, r))(rng)
-    cls_w, cls_opt = create_classifier(cfg, jax.random.fold_in(rng, 1))
+    # with the class-sharded head active, skip the in-model margin head (its
+    # replicated (C, D) weight + moments would be dead state) and vice versa
+    shard_cls = cfg.shard_classifier and mesh.shape["model"] > 1
+    state = jax.jit(lambda r: create_state(cfg, r, sharded_classifier=shard_cls))(rng)
+    cls_w, cls_opt = create_classifier(cfg, jax.random.fold_in(rng, 1), enabled=shard_cls)
     land_vars = None
     if args.landmark_distill:
         from ..train.ssl import SSLConfig, create_landmark_provider
@@ -198,19 +207,27 @@ def main():
         base_lr, total_steps, args.warmup_epochs * steps_per_epoch
     )
 
+    # the disabled (zero-row) classifier is excluded from checkpoints
+    # (orbax rejects zero-size arrays, and there is nothing to persist)
+    def ckpt_payload():
+        payload = {"state": state}
+        if shard_cls:
+            payload["cls_w"], payload["cls_opt"] = cls_w, cls_opt
+        return payload
+
     start_step = 0
     if args.resume:
         restored, start_step = restore_checkpoint(
             os.path.join(args.work_path, "ckpt"),
             jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                {"state": state, "cls_w": cls_w, "cls_opt": cls_opt},
+                ckpt_payload(),
             ),
         )
         if restored is not None:
-            state, cls_w, cls_opt = (
-                restored["state"], restored["cls_w"], restored["cls_opt"]
-            )
+            state = restored["state"]
+            if shard_cls:
+                cls_w, cls_opt = restored["cls_w"], restored["cls_opt"]
         else:
             start_step = 0
 
@@ -262,16 +279,14 @@ def main():
                 if need_save(accs, highest_acc):
                     save_checkpoint(
                         os.path.join(args.work_path, "ckpt"),
-                        {"state": state, "cls_w": cls_w, "cls_opt": cls_opt},
+                        ckpt_payload(),
                         step=gstep,
                     )
             gstep += 1
         jsonl.write({"epoch": epoch, "loss": logger.meters["loss"].global_avg,
                      "epoch_time_s": time.time() - t_epoch})
     save_checkpoint(
-        os.path.join(args.work_path, "ckpt"),
-        {"state": state, "cls_w": cls_w, "cls_opt": cls_opt},
-        step=gstep,
+        os.path.join(args.work_path, "ckpt"), ckpt_payload(), step=gstep
     )
 
 

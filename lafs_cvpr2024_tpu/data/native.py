@@ -36,7 +36,16 @@ def load_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    src = os.path.join(_REPO_ROOT, "native", "lafs_dataplane.cc")
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+    )
+    # rebuild on stale: a leftover binary must never shadow newer C++ source
+    if stale and not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -88,7 +88,14 @@ class DataPipeline:
       num_workers: decode threads.
       prefetch: queue depth of device-put batches.
       sharding: optional ``jax.sharding.NamedSharding`` for device_put;
-        None keeps batches on the default device.
+        None keeps batches on the default device. Single-process only —
+        multi-host feeding must go through ``mesh``/``spec``.
+      mesh: optional ``jax.sharding.Mesh``; batches are assembled into
+        GLOBAL arrays via ``parallel.mesh.global_batch`` (each process
+        contributes its local rows — multi-host safe, replaces
+        DistributedSampler + DDP's implicit global batch). Overrides
+        ``sharding``.
+      spec: PartitionSpec used with ``mesh`` (default ``P('data')``).
       postprocess: optional host fn(batch_items, labels) -> (items, labels).
     """
 
@@ -100,6 +107,8 @@ class DataPipeline:
         prefetch: int = 2,
         sharding=None,
         postprocess: Optional[Callable] = None,
+        mesh=None,
+        spec=None,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -107,6 +116,13 @@ class DataPipeline:
         self.prefetch = prefetch
         self.sharding = sharding
         self.postprocess = postprocess
+        self.mesh = mesh
+        self.spec = spec
+        if sharding is not None and mesh is None and jax.process_count() > 1:
+            raise ValueError(
+                "multi-process feeding needs mesh= (global_batch assembly); "
+                "a raw device_put sharding would address non-local devices"
+            )
 
     def epoch(self, epoch: int) -> Iterator:
         indices = self.sampler.epoch_indices(epoch)
@@ -125,7 +141,19 @@ class DataPipeline:
                         items, labels = _collate(samples)
                         if self.postprocess is not None:
                             items, labels = self.postprocess(items, labels)
-                        if self.sharding is not None:
+                        if self.mesh is not None:
+                            from jax.sharding import PartitionSpec
+                            from ..parallel.mesh import global_batch
+
+                            sp = (
+                                self.spec if self.spec is not None
+                                else PartitionSpec("data")
+                            )
+                            items = jax.tree_util.tree_map(
+                                lambda a: global_batch(self.mesh, a, sp), items
+                            )
+                            labels = global_batch(self.mesh, labels, sp)
+                        elif self.sharding is not None:
                             items = jax.device_put(items, self.sharding)
                             labels = jax.device_put(labels, self.sharding)
                         q.put((items, labels))

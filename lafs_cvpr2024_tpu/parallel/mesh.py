@@ -10,8 +10,8 @@ Axes:
   the TP-shaped component of the reference — ``ViT_face.py:54-64``)
 
 Multi-host: ``jax.distributed.initialize()`` + the same mesh over all
-processes; per-host data feeding uses process-local shards
-(``host_local_batch_spec``).
+processes; per-host data feeding assembles each process's local rows into a
+global array via ``global_batch`` (host_local_array_to_global_array).
 """
 
 from __future__ import annotations
@@ -71,6 +71,20 @@ def global_batch(mesh: Mesh, local_batch, spec: P = P("data")):
     return multihost_utils.host_local_array_to_global_array(
         local_batch, mesh, spec
     )
+
+
+def fold_in_shard(rng: jax.Array, axis_name: str = "data") -> jax.Array:
+    """Decorrelate per-shard randomness inside a shard_map'd step.
+
+    Folds the shard's axis index into the key so each data shard draws
+    independent augmentation / dropout / jitter / mask randomness — the
+    analogue of the reference's independent per-DDP-worker torch RNG
+    (``lafs_train.py:186-193``). Without this, sample i on every shard gets
+    identical crops/jitter, silently cutting randomness diversity by the
+    data-parallel factor. Only valid under shard_map/pmap; do NOT fold the
+    'model' axis (class shards must see identical mixup/dropout draws).
+    """
+    return jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
 
 def is_main_process() -> bool:

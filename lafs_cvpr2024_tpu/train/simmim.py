@@ -103,6 +103,11 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh) -> Callable:
 
     def step_impl(state, landmark_vars, images, lr, wd):
         rng = jax.random.fold_in(state.rng, state.step)
+        if multi:
+            # independent per-data-shard masks/dropout (stored rng unchanged)
+            from ..parallel.mesh import fold_in_shard
+
+            rng = fold_in_shard(rng, "data")
         k_land, k_mask, k_drop = jax.random.split(rng, 3)
         b = images.shape[0]
         n = cfg.model.num_patches

@@ -13,6 +13,15 @@ center all-reduce — lives inside the single compiled step.
 Static-shape multi-crop: exactly two compiled token shapes (2B×197 global,
 8B×37 local) replace the reference's dynamic shape-grouping
 (``utils.py:619-629``).
+
+Intentional deviation: the teacher forward runs deterministic
+(``train=False``). The reference builds the teacher with
+dropout=0.1/emb_dropout=0.1 and never calls ``teacher.eval()``
+(``lafs_train.py:340-377``), so its teacher has ACTIVE dropout — widely
+considered an oversight (DINO's original recipe uses drop_path/dropout 0 on
+the teacher); a deterministic teacher gives cleaner targets. Other faithful
+quirks (local crops drawing the GLOBAL scale, attention dim**-0.5, 704 inner
+dim) are preserved — see the module docstrings where each lives.
 """
 
 from __future__ import annotations
@@ -108,9 +117,9 @@ def create_ssl_state(cfg: SSLConfig, rng: jax.Array) -> SSLTrainState:
     """Init student/teacher (identical weights — ``lafs_train.py:377``)."""
     backbone = _backbone(cfg)
     head = _head(cfg)
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     tokens = jnp.zeros((2, cfg.model.num_patches, 3 * cfg.model.patch_size ** 2))
-    bb = backbone.init({"params": k1, "dropout": k1}, tokens)["params"]
+    bb = backbone.init({"params": k1, "dropout": k4}, tokens)["params"]
     hd = head.init(k2, jnp.zeros((2, cfg.model.dim)))["params"]
     student = {"backbone": bb, "head": hd}
     return SSLTrainState(
@@ -204,6 +213,12 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
     def step_impl(state, landmark_vars, glob_clean, glob_aug, loc_clean,
                   loc_aug, lr, wd, momentum, teacher_temp, freeze_last):
         rng = jax.random.fold_in(state.rng, state.step)
+        if multi:
+            # independent per-data-shard randomness (aug/jitter/dropout);
+            # the stored state.rng stays replicated — only local keys fold
+            from ..parallel.mesh import fold_in_shard
+
+            rng = fold_in_shard(rng, "data")
         k_land, k_student, k_rest = jax.random.split(rng, 3)
         if cfg.fused_device_aug:
             # glob_clean carries the RAW uint8 batch (B, H, W, 3); the other

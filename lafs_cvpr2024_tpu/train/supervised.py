@@ -64,9 +64,22 @@ def _cast(tree, dtype):
     )
 
 
-def create_state(cfg: SupervisedConfig, rng: jax.Array) -> TrainState:
-    """Host-side init (run under jit by the caller for speed)."""
-    model = PartFViT(cfg.model)
+def create_state(
+    cfg: SupervisedConfig, rng: jax.Array, sharded_classifier: bool = False
+) -> TrainState:
+    """Host-side init (run under jit by the caller for speed).
+
+    ``sharded_classifier=True`` (pass ``cfg.shard_classifier and
+    mesh.shape['model'] > 1``) skips the in-model margin head: the train step
+    uses the separate class-sharded CosFace weight instead, and carrying a
+    dead fully-replicated (num_classes, dim) weight + two AdamW moments
+    (~1.9 GB/device at 205k classes) would defeat the TP memory saving and
+    bloat checkpoints.
+    """
+    model_cfg = cfg.model
+    if sharded_classifier:
+        model_cfg = PartFViTConfig(**{**cfg.model.__dict__, "loss_type": "None"})
+    model = PartFViT(model_cfg)
     x = jnp.zeros((2, cfg.model.image_size, cfg.model.image_size, 3))
     labels = jnp.zeros((2,), jnp.int32)
     variables = model.init({"params": rng, "dropout": rng}, x, labels, train=False)
@@ -193,6 +206,13 @@ def make_train_step(
         images = images.reshape(cfg.acc_step, b, *images.shape[1:])
         labels = labels.reshape(cfg.acc_step, b)
         rng, step_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
+        if multi and n_data > 1:
+            # independent per-data-shard mixup/dropout draws; the stored
+            # state.rng (``rng``) stays replicated, and the 'model' axis is
+            # NOT folded (class shards must see identical draws)
+            from ..parallel.mesh import fold_in_shard
+
+            step_rng = fold_in_shard(step_rng, "data")
 
         def micro(carry, xs):
             grads_acc, wgrads_acc, stats, loss_acc, mrng = carry
@@ -317,8 +337,17 @@ def make_train_step(
     return step_fn
 
 
-def create_classifier(cfg: SupervisedConfig, rng) -> Tuple[jnp.ndarray, AdamWState]:
-    """Sharded CosFace weight (C, D) + its optimizer state."""
+def create_classifier(
+    cfg: SupervisedConfig, rng, enabled: bool = True
+) -> Tuple[jnp.ndarray, AdamWState]:
+    """Sharded CosFace weight (C, D) + its optimizer state.
+
+    ``enabled=False`` (the in-model head is in use) returns a zero-row weight
+    so the step signature stays uniform without carrying an unused
+    (num_classes, dim) replica."""
+    if not enabled:
+        w = jnp.zeros((0, cfg.model.dim), jnp.float32)
+        return w, adamw_init({"w": w})
     w = jax.nn.initializers.xavier_uniform()(
         rng, (cfg.model.num_classes, cfg.model.dim), jnp.float32
     )
