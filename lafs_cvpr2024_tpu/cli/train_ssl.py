@@ -135,7 +135,9 @@ def main():
     landmark_vars = create_landmark_provider(cfg, jax.random.fold_in(rng, 1))
     if args.landmark_path and args.landmark_path.endswith(".pth"):
         sd = load_torch_file(args.landmark_path)
-        params, stats = import_torch_state_dict(sd)
+        imp = import_torch_state_dict(sd)
+        print(f"[import landmark ckpt] {imp.summary()}")
+        params, stats = imp
         landmark_vars = {
             "params": merge_params(landmark_vars["params"], params, ["stn", "output"]),
             "batch_stats": merge_params(

@@ -183,11 +183,19 @@ def main():
     if args.ssl_checkpoint and args.ssl_checkpoint.endswith(".pth"):
         ckpt = load_torch_file(args.ssl_checkpoint)
         sd = ckpt.get("teacher", ckpt)
-        params, stats = import_torch_state_dict(sd)
-        state = state._replace(params=merge_params(state.params, params))
+        imp = import_torch_state_dict(sd)
+        print(f"[import ssl ckpt] {imp.summary()}")
+        missing = []
+        state = state._replace(
+            params=merge_params(state.params, imp.params, unmatched=missing)
+        )
+        if missing:
+            print(f"[import ssl ckpt] not in model ({len(missing)}): {missing[:8]}")
     if args.landmark_checkpoint:
         sd = load_torch_file(args.landmark_checkpoint)
-        params, stats = import_torch_state_dict(sd)
+        imp = import_torch_state_dict(sd)
+        print(f"[import landmark ckpt] {imp.summary()}")
+        params, stats = imp
         state = state._replace(
             params=merge_params(state.params, params, ["stn", "output"]),
             batch_stats=merge_params(state.batch_stats, stats, ["stn"]),

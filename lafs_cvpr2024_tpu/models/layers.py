@@ -85,14 +85,14 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)  # torch LN eps
         h = Attention(
             self.dim, self.heads, self.dim_head, self.dropout, name="attn"
         )(h, deterministic)
         if not deterministic and self.drop_path_rate > 0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
         x = x + h
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = FeedForward(self.dim, self.mlp_dim, self.dropout, name="mlp")(h, deterministic)
         if not deterministic and self.drop_path_rate > 0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))

@@ -202,7 +202,7 @@ class PartFViT(nn.Module):
         )(h, deterministic=not train)
         all_tokens = h
         pooled = h.mean(axis=1) if cfg.pool == "mean" else h[:, 0]
-        emb = nn.LayerNorm(name="mlp_head")(pooled)
+        emb = nn.LayerNorm(epsilon=1e-5, name="mlp_head")(pooled)  # torch LN eps
 
         if return_tokens:
             return emb, all_tokens[:, 1:], theta
@@ -308,7 +308,7 @@ class OverlapViT(nn.Module):
             cfg.dropout, cfg.drop_path_rate, name="transformer",
         )(h, deterministic=not train)
         pooled = h.mean(axis=1) if cfg.pool == "mean" else h[:, 0]
-        emb = nn.LayerNorm(name="mlp_head")(pooled)
+        emb = nn.LayerNorm(epsilon=1e-5, name="mlp_head")(pooled)  # torch LN eps
         if labels is not None and cfg.loss_type != "None":
             logits = CosFace(
                 cfg.dim, cfg.num_classes, cfg.cosface_s, cfg.cosface_m, name="loss"

@@ -101,43 +101,50 @@ _BOTTLENECK_MAP = {
 }
 
 
-def _convert_stn(key: str, val: np.ndarray, params: dict, stats: dict, prefix: Tuple[str, ...]):
+def _convert_stn(key: str, val: np.ndarray, params: dict, stats: dict, prefix: Tuple[str, ...]) -> bool:
     """Map ``stn.features.*`` (torch MobileNetV3_backbone) keys."""
     parts = key.split(".")
+    if parts[1] != "features":
+        return False
     # stn.features.<block>.<...>
     block = int(parts[2])
     rest = parts[3:]
     if block == 0:
         # conv_bn stem: features.0.0 conv, features.0.1 bn
-        sub = {"0": ("conv", "conv"), "1": ("norm", "bn")}[rest[0]]
-        _emit(params, stats, prefix + ("stn", "stem"), sub, rest[1], val)
-    else:
-        name = f"block_{block - 1}"
-        if rest[0] == "conv":
-            idx = rest[1]
-            if idx == "5" and rest[2] == "fc":
-                fc = {"0": "fc1", "2": "fc2"}[rest[3]]
-                _set(params, prefix + ("stn", name, "se", fc, "kernel"), _t(val).T)
-            else:
-                sub = _BOTTLENECK_MAP[idx]
-                _emit(params, stats, prefix + ("stn", name), sub, rest[2], val)
+        sub = {"0": ("conv", "conv"), "1": ("norm", "bn")}.get(rest[0])
+        if sub is None:
+            return False
+        return _emit(params, stats, prefix + ("stn", "stem"), sub, rest[1], val)
+    name = f"block_{block - 1}"
+    if rest[0] == "conv":
+        idx = rest[1]
+        if idx == "5" and rest[2] == "fc":
+            fc = {"0": "fc1", "2": "fc2"}.get(rest[3])
+            if fc is None or not key.endswith("weight"):
+                return False
+            _set(params, prefix + ("stn", name, "se", fc, "kernel"), _t(val).T)
+            return True
+        sub = _BOTTLENECK_MAP.get(idx)
+        if sub is None:
+            return False
+        return _emit(params, stats, prefix + ("stn", name), sub, rest[2], val)
+    return False
 
 
-def _emit(params, stats, base, sub, leaf, val):
+def _emit(params, stats, base, sub, leaf, val) -> bool:
     mod, kind = sub
     v = _t(val)
     if kind == "conv":
         if leaf == "weight":
             if v.ndim == 4:
-                o, i, kh, kw = v.shape
-                if i == 1 and mod == "dw":
-                    # torch depthwise (O,1,H,W) → flax (H,W,1,O)
-                    v = v.transpose(2, 3, 1, 0)
-                else:
-                    v = v.transpose(2, 3, 1, 0)
+                # torch (O,I,H,W) → flax (H,W,I,O); depthwise (O,1,H,W)
+                # lands on (H,W,1,O) the same way
+                v = v.transpose(2, 3, 1, 0)
             _set(params, base + (mod, "kernel"), v)
-        else:
+        elif leaf == "bias":
             _set(params, base + (mod, "bias"), v)
+        else:
+            return False
     else:  # bn — flax _BN wraps nn.BatchNorm under a 'bn' scope
         if leaf == "weight":
             _set(params, base + (mod, "bn", "scale"), v)
@@ -147,25 +154,71 @@ def _emit(params, stats, base, sub, leaf, val):
             _set(stats, base + (mod, "bn", "mean"), v)
         elif leaf == "running_var":
             _set(stats, base + (mod, "bn", "var"), v)
+        else:
+            return False
+    return True
+
+
+class TorchImport:
+    """Result of ``import_torch_state_dict``.
+
+    Unpacks as ``params, stats = import_torch_state_dict(sd)`` (back-compat)
+    while carrying the key-accounting sets for diagnostics:
+      consumed — stripped keys that landed in params/batch_stats
+      skipped  — keys the mapper did NOT place (excluding known buffers)
+      buffers  — known non-parameter buffers (num_batches_tracked, …)
+    """
+
+    def __init__(self, params, stats, consumed, skipped, buffers):
+        self.params = params
+        self.stats = stats
+        self.consumed = consumed
+        self.skipped = skipped
+        self.buffers = buffers
+
+    def __iter__(self):
+        return iter((self.params, self.stats))
+
+    def summary(self) -> str:
+        return (
+            f"imported {len(self.consumed)} tensors, "
+            f"skipped {len(self.skipped)} "
+            f"({sorted(self.skipped)[:8]}{'…' if len(self.skipped) > 8 else ''}), "
+            f"{len(self.buffers)} buffers ignored"
+        )
+
+
+_IGNORED_BUFFER_SUFFIXES = ("num_batches_tracked",)
 
 
 def import_torch_state_dict(
     state_dict: Dict[str, Any],
     landmark_scope: str = "landmark",
-) -> Tuple[dict, dict]:
-    """Convert a reference Part-fViT state_dict → (params, batch_stats).
+    strict: bool = False,
+) -> TorchImport:
+    """Convert a reference Part-fViT state_dict → TorchImport(params, stats).
 
     Handles: stn (MobileNetV3), output_layer, patch_to_embedding, cls/pos
     tokens, transformer layers, mlp_head LayerNorm, CosFace loss weight,
-    DINOHead mlp + weight-norm last layer, global_token.
+    DINOHead mlp + weight-norm last layer (bare or under a ``head.`` scope —
+    the MultiCropWrapper layout), global_token.
+
+    ``strict=True`` raises if any non-buffer key was not mapped — a typo'd
+    or novel dialect must fail loudly, not yield a half-initialized model.
     """
     sd = strip_prefixes(state_dict)
     params: dict = {}
     stats: dict = {}
+    consumed: set = set()
+    buffers: set = set()
     for k, v in sd.items():
+        if k.endswith(_IGNORED_BUFFER_SUFFIXES):
+            buffers.add(k)
+            continue
         arr = _t(v)
+        ok = True
         if k.startswith("stn."):
-            _convert_stn(k, v, params, stats, (landmark_scope,))
+            ok = _convert_stn(k, v, params, stats, (landmark_scope,))
         elif k.startswith("output_layer."):
             leaf = "kernel" if k.endswith("weight") else "bias"
             val = arr.T if leaf == "kernel" else arr
@@ -184,23 +237,35 @@ def import_torch_state_dict(
             leaf = "kernel" if k.endswith("weight") else "bias"
             _set(params, ("patch_to_embedding", leaf), arr.T if leaf == "kernel" else arr)
         elif k.startswith("transformer.layers."):
-            _convert_transformer(k, arr, params)
+            ok = _convert_transformer(k, arr, params)
         elif k.startswith("mlp_head.0."):
             leaf = "scale" if k.endswith("weight") else "bias"
             _set(params, ("mlp_head", leaf), arr)
         elif k.startswith("loss.weight"):
             _set(params, ("loss", "weight"), arr)
         elif k.startswith("mlp.") or k.startswith("last_layer."):
-            _convert_dino_head(k, arr, params)
-        # silently skip anything else (buffers, num_batches_tracked, etc.)
-    return params, stats
+            ok = _convert_dino_head(k, arr, params)
+        elif k.startswith("head."):
+            # MultiCropWrapper student/teacher: DINOHead under 'head.'
+            ok = _convert_dino_head(k[len("head."):], arr, params, scope=("head",))
+        else:
+            ok = False
+        if ok:
+            consumed.add(k)
+    skipped = set(sd) - consumed - buffers
+    if strict and skipped:
+        raise ValueError(
+            f"import_torch_state_dict(strict): {len(skipped)} unmapped "
+            f"non-buffer keys: {sorted(skipped)}"
+        )
+    return TorchImport(params, stats, consumed, skipped, buffers)
 
 
-def _convert_transformer(key: str, arr: np.ndarray, params: dict):
+def _convert_transformer(key: str, arr: np.ndarray, params: dict) -> bool:
     # transformer.layers.{i}.{0|1}.fn.{norm|fn}.<rest>
     m = re.match(r"transformer\.layers\.(\d+)\.(\d)\.fn\.(.*)", key)
     if not m:
-        return
+        return False
     i, half, rest = int(m.group(1)), m.group(2), m.group(3)
     layer = ("transformer", f"layers_{i}")
     if half == "0":  # attention block
@@ -213,6 +278,8 @@ def _convert_transformer(key: str, arr: np.ndarray, params: dict):
             _set(params, layer + ("attn", "to_out", "kernel"), arr.T)
         elif rest == "fn.to_out.0.bias":
             _set(params, layer + ("attn", "to_out", "bias"), arr)
+        else:
+            return False
     else:  # feedforward block
         if rest.startswith("norm."):
             leaf = "scale" if rest.endswith("weight") else "bias"
@@ -225,28 +292,48 @@ def _convert_transformer(key: str, arr: np.ndarray, params: dict):
             _set(params, layer + ("mlp", "fc2", "kernel"), arr.T)
         elif rest == "fn.net.3.bias":
             _set(params, layer + ("mlp", "fc2", "bias"), arr)
+        else:
+            return False
+    return True
 
 
-def _convert_dino_head(key: str, arr: np.ndarray, params: dict):
+def _convert_dino_head(key: str, arr: np.ndarray, params: dict, scope=()) -> bool:
     """DINOHead: mlp.{0,2,4}.{weight,bias} + last_layer.weight_{g,v}
-    (``vision_transformer.py:265-301``; torch Sequential Linear/GELU)."""
+    (``vision_transformer.py:265-301``; torch Sequential Linear/GELU).
+    ``scope`` prefixes the target path (e.g. ('head',) for the
+    MultiCropWrapper layout)."""
     m = re.match(r"mlp\.(\d+)\.(weight|bias)", key)
     if m:
         idx = int(m.group(1))
         mlp_i = idx // 2  # Linear at 0, 2, 4 with GELUs between
         leaf = "kernel" if m.group(2) == "weight" else "bias"
-        _set(params, (f"mlp_{mlp_i}", leaf), arr.T if leaf == "kernel" else arr)
-        return
+        _set(params, scope + (f"mlp_{mlp_i}", leaf), arr.T if leaf == "kernel" else arr)
+        return True
     if key == "last_layer.weight_g":
-        _set(params, ("last_layer_g",), arr.reshape(-1, 1))
-    elif key == "last_layer.weight_v":
-        _set(params, ("last_layer_v",), arr)
+        _set(params, scope + ("last_layer_g",), arr.reshape(-1, 1))
+        return True
+    if key == "last_layer.weight_v":
+        _set(params, scope + ("last_layer_v",), arr)
+        return True
+    # torch >=2 parametrized weight_norm dialect
+    if key == "last_layer.parametrizations.weight.original0":
+        _set(params, scope + ("last_layer_g",), arr.reshape(-1, 1))
+        return True
+    if key == "last_layer.parametrizations.weight.original1":
+        _set(params, scope + ("last_layer_v",), arr)
+        return True
+    return False
 
 
-def merge_params(base: dict, update: dict, filter_substrings=None) -> dict:
+def merge_params(base: dict, update: dict, filter_substrings=None,
+                 unmatched: Optional[list] = None) -> dict:
     """Overlay ``update`` onto ``base``, optionally only for paths containing
     any of ``filter_substrings`` (the ['stn','output'] partial load of
-    ``load_part_checkpoint_landmark``, ``lafs_train.py:124-154``)."""
+    ``load_part_checkpoint_landmark``, ``lafs_train.py:124-154``).
+
+    ``unmatched``: optional list; update paths that exist nowhere in ``base``
+    (missing-in-model) are appended as '/'-joined strings for diagnostics.
+    """
     flat_u = _flatten(update)
     flat_b = _flatten(base)
     for path, val in flat_u.items():
@@ -260,6 +347,8 @@ def merge_params(base: dict, update: dict, filter_substrings=None) -> dict:
                 f"{flat_b[path].shape} vs {val.shape}"
             )
             flat_b[path] = val
+        elif unmatched is not None:
+            unmatched.append("/".join(path))
     return _unflatten(flat_b)
 
 

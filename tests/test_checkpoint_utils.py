@@ -226,3 +226,50 @@ def test_need_save_semantics():
 
 def test_count_params():
     assert count_params({"a": jnp.zeros((2, 3)), "b": jnp.zeros(5)}) == 11
+
+
+def test_import_strict_raises_on_unknown_key():
+    """A typo'd or novel-dialect key must fail LOUDLY in strict mode, and be
+    reported in .skipped otherwise — never a silent half-import."""
+    import numpy as np
+    import pytest
+
+    from lafs_cvpr2024_tpu.train.checkpoint import import_torch_state_dict
+
+    sd = {
+        "cls_token": np.zeros((1, 1, 8), np.float32),
+        "transfromer.layers.0.0.fn.norm.weight": np.ones(8, np.float32),  # typo
+        "stn.features.0.0.num_batches_tracked": np.zeros((), np.int64),  # buffer
+    }
+    imp = import_torch_state_dict(sd)
+    assert imp.consumed == {"cls_token"}
+    assert imp.skipped == {"transfromer.layers.0.0.fn.norm.weight"}
+    assert imp.buffers == {"stn.features.0.0.num_batches_tracked"}
+    assert "skipped 1" in imp.summary()
+    with pytest.raises(ValueError, match="unmapped"):
+        import_torch_state_dict(sd, strict=True)
+
+
+def test_import_head_scope_and_merge_unmatched():
+    """MultiCropWrapper 'head.' keys route into a ('head', …) subtree; merge
+    reports update paths missing from the model."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.train.checkpoint import (
+        import_torch_state_dict,
+        merge_params,
+    )
+
+    sd = {
+        "module.head.mlp.0.weight": np.ones((4, 8), np.float32),
+        "module.head.last_layer.weight_g": np.ones(16, np.float32),
+    }
+    imp = import_torch_state_dict(sd, strict=True)
+    assert imp.params["head"]["mlp_0"]["kernel"].shape == (8, 4)
+    assert imp.params["head"]["last_layer_g"].shape == (16, 1)
+
+    base = {"head": {"mlp_0": {"kernel": np.zeros((8, 4), np.float32)}}}
+    missing = []
+    merged = merge_params(base, imp.params, unmatched=missing)
+    assert missing == ["head/last_layer_g"]
+    assert float(merged["head"]["mlp_0"]["kernel"].sum()) == 32.0

@@ -1,0 +1,211 @@
+"""End-to-end numeric parity vs the ACTUAL reference torch model.
+
+Builds the reference ``ViT_face_landmark_patch8``
+(``/root/reference/face_pre_pro/ViT_face.py:560-795``) and ``DINOHead``
+(``vision_transformer.py:265-301``) on CPU torch with random weights, maps
+the state_dict through ``import_torch_state_dict``, and asserts the flax
+forward reproduces the torch embeddings to cosine ≥ 1 − 1e-3 (the
+BASELINE.json interop bar). Covers with_land=True (stn BN stats), the SSL
+token path, CosFace logits, and the DINOHead weight-norm.
+
+The reference package needs ``timm`` (absent here) only for DropPath /
+trunc_normal_ — stubbed below; eval-mode parity is unaffected (DropPath is
+identity in eval).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp  # noqa: E402
+
+from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig  # noqa: E402
+from lafs_cvpr2024_tpu.train.checkpoint import (  # noqa: E402
+    import_torch_state_dict,
+    merge_params,
+)
+
+
+def _stub_timm():
+    if "timm.models.layers" in sys.modules:
+        return
+    import torch.nn as tnn
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(tnn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):  # eval-mode identity (parity runs eval only)
+            return x
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    layers.DropPath = DropPath
+    layers.trunc_normal_ = trunc_normal_
+    models.layers = layers
+    timm.models = models
+    # torchvision.models is imported by the reference but only touched in
+    # commented-out code paths — a bare stub module suffices
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv.models = tv_models
+    sys.modules.update(
+        {"timm": timm, "timm.models": models, "timm.models.layers": layers,
+         "torchvision": tv, "torchvision.models": tv_models}
+    )
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if not os.path.isdir(REF):
+        pytest.skip("reference repo unavailable")
+    _stub_timm()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import face_pre_pro.ViT_face as ref_vit
+
+    return ref_vit
+
+
+def _cosine_rows(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    num = (a * b).sum(-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    return num / np.maximum(den, 1e-12)
+
+
+DIM, DEPTH, HEADS, MLP = 768, 2, 11, 512
+NCLS = 32
+
+
+def _flax_variables(cfg, sd):
+    """Init our model, overlay every imported tensor (merge asserts shapes)."""
+    model = PartFViT(cfg)
+    x = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+    labels = jnp.zeros((2,), jnp.int32) if cfg.loss_type != "None" else None
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x, labels
+    )
+    params, stats = import_torch_state_dict(sd)
+    new_params = merge_params(variables["params"], params)
+    out = {"params": new_params}
+    if "batch_stats" in variables:
+        out["batch_stats"] = merge_params(variables["batch_stats"], stats)
+    # parity requires every torch tensor to have landed in our tree
+    return model, out, (params, stats)
+
+
+def test_with_land_embedding_and_cosface_parity(ref):
+    torch.manual_seed(0)
+    tm = ref.ViT_face_landmark_patch8(
+        loss_type="CosFace", GPU_ID=None, num_class=NCLS, image_size=112,
+        patch_size=8, dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP,
+        with_land=True,
+    ).eval()
+    # randomize BN running stats: at init they are 0/1 in BOTH frameworks,
+    # which would mask a batch_stats mapping bug — make them information
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+    cfg = PartFViTConfig(
+        dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP, num_classes=NCLS,
+        with_land=True, loss_type="CosFace",
+    )
+    model, variables, _ = _flax_variables(cfg, tm.state_dict())
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        emb_t = tm(torch.from_numpy(x)).numpy()
+    emb_j = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a, train=False))(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    )
+    cos = _cosine_rows(emb_t, emb_j)
+    assert cos.min() >= 1 - 1e-3, f"embedding cosine {cos}"
+
+    # CosFace logits (labels path): s·(cosθ − m·y), identical weight rows
+    labels = np.array([1, 7])
+    with torch.no_grad():
+        logits_t, theta_t = tm(torch.from_numpy(x), torch.from_numpy(labels))
+    logits_j, theta_j = jax.jit(
+        lambda v, a, l: model.apply(v, a, l, train=False)
+    )(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(labels))
+    np.testing.assert_allclose(
+        np.asarray(logits_j), logits_t.numpy(), atol=5e-2, rtol=0
+    )
+    # landmarks themselves must agree (pixels in [0, 111])
+    np.testing.assert_allclose(
+        np.asarray(theta_j), theta_t.numpy(), atol=0.5, rtol=0
+    )
+
+
+def test_ssl_token_path_parity(ref):
+    """with_land=False + pre-gathered tokens — the SSL student/teacher path.
+    Covers global (196-token) and local (36-token) crop shapes (the
+    pos-embedding [:, :n+1] slice, ViT_face.py:766)."""
+    torch.manual_seed(1)
+    tm = ref.ViT_face_landmark_patch8(
+        loss_type="None", GPU_ID=None, num_class=0, image_size=112,
+        patch_size=8, dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP,
+        with_land=False,
+    ).eval()
+    cfg = PartFViTConfig(
+        dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP, num_classes=0,
+        with_land=False, loss_type="None",
+    )
+    model, variables, _ = _flax_variables(cfg, tm.state_dict())
+    rng = np.random.default_rng(5)
+    for n_tokens in (196, 36):
+        tokens = rng.normal(0, 1, (2, n_tokens, 192)).astype(np.float32)
+        with torch.no_grad():
+            emb_t = tm(torch.from_numpy(tokens)).numpy()
+        emb_j = np.asarray(
+            jax.jit(lambda v, a: model.apply(v, a, train=False))(
+                variables, jnp.asarray(tokens)
+            )
+        )
+        cos = _cosine_rows(emb_t, emb_j)
+        assert cos.min() >= 1 - 1e-3, f"{n_tokens}-token cosine {cos}"
+
+
+def test_dino_head_parity(ref):
+    torch.manual_seed(2)
+    import vision_transformer as ref_vits
+
+    th = ref_vits.DINOHead(DIM, 1024, norm_last_layer=True, hidden_dim=64,
+                           bottleneck_dim=32).eval()
+    from lafs_cvpr2024_tpu.models.heads import DINOHead
+
+    jh = DINOHead(in_dim=DIM, out_dim=1024, hidden_dim=64, bottleneck_dim=32)
+    base = jax.jit(jh.init)(jax.random.PRNGKey(0), jnp.zeros((2, DIM)))
+    params, _ = import_torch_state_dict(th.state_dict())
+    merged = merge_params(base["params"], params)
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (4, DIM)).astype(np.float32)
+    with torch.no_grad():
+        out_t = th(torch.from_numpy(x)).numpy()
+    out_j = np.asarray(jh.apply({"params": merged}, jnp.asarray(x)))
+    cos = _cosine_rows(out_t, out_j)
+    assert cos.min() >= 1 - 1e-3, f"DINOHead cosine {cos}"
+    np.testing.assert_allclose(out_j, out_t, atol=1e-4, rtol=0)
