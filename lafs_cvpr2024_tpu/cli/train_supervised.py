@@ -114,19 +114,28 @@ def main():
     mesh = create_mesh(model=args.model_axis)
     n_dev = len(jax.devices())
 
-    num_classes, h, w = read_property(args.data_root)
+    # --data-root is either a packed rec dir (train.rec + property) or a raw
+    # class-per-subdirectory ImageFolder (FaceDataset_webface path — trains
+    # directly, no packing; the file list is JSON-cached on first scan)
+    rec_file = os.path.join(args.data_root, "train.rec")
+    aug = SupervisedAugment(config_str=args.rand_aug, size=args.image_size)
+    if os.path.isfile(rec_file):
+        num_classes, h, w = read_property(args.data_root)
+        dataset = FaceRecordDataset(
+            rec_file, transform=aug, bgr=args.bgr, partition=args.partition
+        )
+    else:
+        from ..data import FaceFolderDataset
+
+        dataset = FaceFolderDataset(
+            args.data_root, transform=aug, bgr=args.bgr, partition=args.partition
+        )
+        num_classes = dataset.num_identities
     if args.num_classes:
         num_classes = args.num_classes
     # round classes up to a multiple of the model axis for even sharding
     if num_classes % args.model_axis:
         num_classes += args.model_axis - num_classes % args.model_axis
-
-    dataset = FaceRecordDataset(
-        os.path.join(args.data_root, "train.rec"),
-        transform=SupervisedAugment(config_str=args.rand_aug, size=args.image_size),
-        bgr=args.bgr,
-        partition=args.partition,
-    )
     if args.kshot:
         dataset.restrict_to_keys(dataset.kshot_keys(args.kshot, seed=args.seed))
     # --batch-size is PER data shard per microbatch (the reference's per-GPU

@@ -11,6 +11,7 @@ from .recordio import (
 from .dataset import (
     AttributeFaceDataset,
     ContrastivePairSampler,
+    FaceFolderDataset,
     FaceRecordDataset,
     decode_jpeg,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "unpack",
     "AttributeFaceDataset",
     "ContrastivePairSampler",
+    "FaceFolderDataset",
     "FaceRecordDataset",
     "decode_jpeg",
     "affine_transform",

@@ -133,6 +133,96 @@ def _wants_pil(transform) -> bool:
     return isinstance(transform, LAFSMultiCrop)
 
 
+class FaceFolderDataset:
+    """ImageFolder-direct training — no packing step required.
+
+    Replaces ``FaceDataset_webface`` (``image_iter.py:897-1082``): scan a
+    class-per-subdirectory tree, JSON-cache the (path, label) list (the
+    reference's ``Webface_list.json`` — rescanning WebFace4M's 4M files takes
+    minutes), and expose the same interface as :class:`FaceRecordDataset`
+    (``seq``/``id2range``/``num_identities``/``transform``/``kshot_keys``/
+    ``restrict_to_keys``) so the supervised CLI and the few-shot 1/2/4/10-
+    images-per-identity protocol (README.md:52-56) run straight off a folder.
+    """
+
+    _EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm")
+
+    def __init__(
+        self,
+        root: str,
+        transform: Optional[Callable] = None,
+        bgr: bool = False,
+        list_cache_path: Optional[str] = None,
+        partition: Optional[float] = None,
+        seed: int = 0,
+    ):
+        cache = list_cache_path or os.path.join(root, "Webface_list.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                samples = json.load(f)
+        else:
+            classes = sorted(
+                d for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d))
+            )
+            if not classes:
+                raise FileNotFoundError(f"no class subdirectories in {root}")
+            samples = []
+            for label, cls in enumerate(classes):
+                d = os.path.join(root, cls)
+                for fn in sorted(os.listdir(d)):
+                    if fn.lower().endswith(self._EXTS):
+                        samples.append([os.path.join(d, fn), label])
+            with open(cache, "w") as f:
+                json.dump(samples, f)
+        self.samples = [(p, int(t)) for p, t in samples]
+        self.transform = transform
+        self.bgr = bgr
+        # positions are contiguous per class (sorted scan) → id2range over
+        # positions, mirroring the rec datasets' key ranges
+        self.id2range = {}
+        start = 0
+        for i, (_, label) in enumerate(self.samples):
+            if i + 1 == len(self.samples) or self.samples[i + 1][1] != label:
+                self.id2range[label] = (start, i + 1)
+                start = i + 1
+        self.num_identities = len(self.id2range)
+        self.seq: List[int] = list(range(len(self.samples)))
+        if partition:
+            self.seq = self.seq[: int(np.int64(len(self.seq) * partition))]
+
+    def __len__(self):
+        return len(self.seq)
+
+    def __getitem__(self, index: int):
+        path, label = self.samples[self.seq[index]]
+        arr = np.asarray(Image.open(path).convert("RGB"))
+        if self.bgr:
+            arr = arr[:, :, ::-1]
+        if self.transform is not None:
+            out = (
+                self.transform(Image.fromarray(arr))
+                if _wants_pil(self.transform)
+                else self.transform(arr)
+            )
+        else:
+            out = arr
+        return out, float(label)
+
+    def kshot_keys(self, k: int, seed: int = 0) -> List[int]:
+        """k images per identity (few-shot protocol)."""
+        rng = random.Random(seed)
+        keys: List[int] = []
+        for _, (a, b) in sorted(self.id2range.items()):
+            pool = list(range(a, b))
+            rng.shuffle(pool)
+            keys.extend(pool[:k])
+        return keys
+
+    def restrict_to_keys(self, keys: Sequence[int]) -> None:
+        self.seq = list(keys)
+
+
 class AttributeFaceDataset(FaceRecordDataset):
     """RecordIO faces + per-image attribute labels from a CSV
     (``FaceDataset_withatt``, ``image_iter.py:752-893``).
@@ -175,20 +265,37 @@ class ContrastivePairSampler:
         for ident, (a, b) in self.dataset.id2range.items():
             for kk in range(a, b):
                 self._key_to_ident[kk] = ident
+        # O(1) key → dataset position (construct the sampler AFTER any
+        # restrict_to_keys/subset so this reflects the live seq)
+        self._key_to_pos = {k: i for i, k in enumerate(self.dataset.seq)}
+
+    def _draw_position(self, draw_key) -> int:
+        """Re-draw until the candidate key is actually in the (possibly
+        subsetted) dataset — never silently pair the anchor with itself."""
+        for _ in range(64):
+            pos = self._key_to_pos.get(draw_key())
+            if pos is not None:
+                return pos
+        # identity/range too sparse in this subset: any subset entry
+        return self._rng.randrange(len(self.dataset.seq))
 
     def sample_pair(self, index: int):
         """Returns ((img1, img2), same: int)."""
         key = self.dataset.seq[index]
         ident = self._key_to_ident.get(key)
-        same = int(self._rng.random() < self.pos_prob)
-        if same and ident is not None:
+        want_pos = self._rng.random() < self.pos_prob
+        if want_pos and ident is not None:
             a, b = self.dataset.id2range[ident]
-            other = self._rng.randrange(a, b)
+            i2 = self._draw_position(lambda: self._rng.randrange(a, b))
         else:
-            a, b = self._rng.choice(self._ranges)
-            other = self._rng.randrange(a, b)
-            same = int(self._key_to_ident.get(other) == ident)
-        i2 = self.dataset.seq.index(other) if other in self.dataset.seq else index
+            def _neg():
+                lo, hi = self._rng.choice(self._ranges)
+                return self._rng.randrange(lo, hi)
+
+            i2 = self._draw_position(_neg)
+        other = self.dataset.seq[i2]
+        # label from the ACTUAL partner (a fallback draw may flip intent)
+        same = int(ident is not None and self._key_to_ident.get(other) == ident)
         img1, _ = self.dataset[index]
         img2, _ = self.dataset[i2]
         return (img1, img2), same

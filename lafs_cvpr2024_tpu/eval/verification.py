@@ -41,7 +41,7 @@ def calculate_accuracy(threshold, dist, actual_issame):
     fn = np.sum(np.logical_and(np.logical_not(predict), actual_issame))
     tpr = 0 if (tp + fn == 0) else tp / (tp + fn)
     fpr = 0 if (fp + tn == 0) else fp / (fp + tn)
-    acc = (tp + tn) / dist.size
+    acc = 0.0 if dist.size == 0 else (tp + tn) / dist.size
     return tpr, fpr, acc
 
 
@@ -179,7 +179,9 @@ def load_bin(path: str, image_size=(112, 112)):
         if not isinstance(raw, (bytes, bytearray)):
             raw = raw.tobytes() if hasattr(raw, "tobytes") else bytes(raw)
         img = Image.open(io.BytesIO(raw)).convert("RGB")
-        if img.size[0] != image_size[1]:
+        # PIL size is (W, H); resize when EITHER dim differs (a width-only
+        # check breaks on non-square sources)
+        if img.size != (image_size[1], image_size[0]):
             img = img.resize((image_size[1], image_size[0]), Image.BILINEAR)
         arr = np.asarray(img)
         data[0, i] = arr

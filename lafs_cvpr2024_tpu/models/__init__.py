@@ -1,6 +1,6 @@
 from .layers import Attention, FeedForward, Transformer, TransformerBlock, drop_path
 from .heads import ArcFace, CosFace, DINOHead, SFace, SoftmaxHead, cosface_logits
-from .mobilenet import MobileNetV3, MobileNetV3Backbone
+from .mobilenet import MobileDINO, MobileNetV3, MobileNetV3Backbone
 from .partfvit import (
     LandmarkProvider,
     LandmarkRegressor,
@@ -39,6 +39,7 @@ __all__ = [
     "SFace",
     "SoftmaxHead",
     "cosface_logits",
+    "MobileDINO",
     "MobileNetV3",
     "MobileNetV3Backbone",
     "LandmarkProvider",

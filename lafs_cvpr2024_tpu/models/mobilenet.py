@@ -185,3 +185,21 @@ class MobileNetV3(nn.Module):
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         return nn.Dense(self.num_classes, name="classifier")(x)
+
+
+class MobileDINO(nn.Module):
+    """MobileNetV3 DINO student/teacher: stem → mean-pool → Dropout(0.5) →
+    Dense(embd_dim) (reference ``mobile_dino``, ``ViT_face.py:1203-1217``) —
+    the lightweight backbone used to pretrain the landmark CNN with DINO
+    before it becomes the frozen Part-fViT landmark provider."""
+
+    embd_dim: int = 128
+    mode: str = "large"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = MobileNetV3Backbone(self.mode, self.axis_name, name="stn")(x, train)
+        pooled = jnp.mean(feat, axis=(1, 2))
+        h = nn.Dropout(0.5)(pooled, deterministic=not train)
+        return nn.Dense(self.embd_dim, name="output_layer")(h)

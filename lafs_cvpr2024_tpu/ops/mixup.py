@@ -26,7 +26,7 @@ class MixupConfig:
     switch_prob: float = 0.5
     label_smoothing: float = 0.0
     num_classes: int = 1000
-    mode: str = "batch"  # 'batch' | 'elem' (per-sample lam, vectorized)
+    mode: str = "batch"  # 'batch' | 'elem' | 'pair' (vectorized per-sample)
 
     @property
     def enabled(self) -> bool:
@@ -40,19 +40,66 @@ def _beta_vec(key, alpha: float, n: int):
     return g1 / (g1 + g2)
 
 
-def _mixup_elem(key, images, y1, cfg: "MixupConfig"):
-    """Per-element mixup (timm ``_mix_elem``, ``util/mixup_my.py:152-167``:
-    element i mixes with element n-1-i). CutMix-elem is intentionally folded
-    into mixup here — per-sample boxes via masks cost a full-image mask per
-    element; batch mode covers the shipped configs."""
+def _mixup_elem_or_pair(key, images, y1, cfg: "MixupConfig", pair: bool):
+    """Vectorized per-element mixup/cutmix (timm ``_mix_elem`` /
+    ``_mix_pair``, ``util/mixup_my.py:114-132,152-187``): element i mixes
+    with element n−1−i; 'pair' draws ONE (lam, box) per (i, n−1−i) pair so
+    both elements mix symmetrically. Per-element CutMix uses per-sample
+    boxes (a (B,H,W,1) mask — cheap next to the conv/matmul work)."""
     n = images.shape[0]
-    k_prob, k_lam = jax.random.split(key)
-    lam = _beta_vec(k_lam, cfg.mixup_alpha, n)
-    apply = jax.random.uniform(k_prob, (n,)) < cfg.prob
-    lam = jnp.where(apply, lam, 1.0)
+    if pair:
+        assert n % 2 == 0, "pair mode needs an even batch (mixup_my.py:203)"
+    m = n // 2 if pair else n
+    k_prob, k_switch, k_lam, k_box = jax.random.split(key, 4)
+    apply = jax.random.uniform(k_prob, (m,)) < cfg.prob
+    both = cfg.mixup_alpha > 0 and cfg.cutmix_alpha > 0
+    if both:
+        use_cutmix = jax.random.uniform(k_switch, (m,)) < cfg.switch_prob
+        lam_mix = jnp.where(
+            use_cutmix,
+            _beta_vec(k_lam, cfg.cutmix_alpha, m),
+            _beta_vec(jax.random.fold_in(k_lam, 2), cfg.mixup_alpha, m),
+        )
+    elif cfg.cutmix_alpha > 0:
+        use_cutmix = jnp.ones((m,), bool)
+        lam_mix = _beta_vec(k_lam, cfg.cutmix_alpha, m)
+    else:
+        use_cutmix = jnp.zeros((m,), bool)
+        lam_mix = _beta_vec(k_lam, cfg.mixup_alpha, m)
+    lam = jnp.where(apply, lam_mix, 1.0)
+
+    # per-element CutMix boxes (timm rand_bbox + correct_lam)
+    h, w = images.shape[1], images.shape[2]
+    ratio = jnp.sqrt(1.0 - lam)
+    cut_h = (h * ratio).astype(jnp.int32)
+    cut_w = (w * ratio).astype(jnp.int32)
+    cy = jax.random.randint(k_box, (m,), 0, h)
+    cx = jax.random.randint(jax.random.fold_in(k_box, 1), (m,), 0, w)
+    yl = jnp.clip(cy - cut_h // 2, 0, h)
+    yh = jnp.clip(cy + cut_h // 2, 0, h)
+    xl = jnp.clip(cx - cut_w // 2, 0, w)
+    xh = jnp.clip(cx + cut_w // 2, 0, w)
+    lam_cut = 1.0 - ((yh - yl) * (xh - xl)).astype(jnp.float32) / (h * w)
+    use_cut = apply & use_cutmix
+    lam_eff = jnp.where(use_cut, lam_cut, lam)
+
+    if pair:
+        # mirror the per-pair draws onto the second half (i and j share them)
+        mirror = lambda a: jnp.concatenate([a, jnp.flip(a, axis=0)])
+        yl, yh, xl, xh = mirror(yl), mirror(yh), mirror(xl), mirror(xh)
+        lam_eff, use_cut, lam = mirror(lam_eff), mirror(use_cut), mirror(lam)
+
+    rows = jnp.arange(h)[None, :, None, None]
+    cols = jnp.arange(w)[None, None, :, None]
+    e = lambda a: a.reshape((n, 1, 1, 1))
+    in_box = (rows >= e(yl)) & (rows < e(yh)) & (cols >= e(xl)) & (cols < e(xh))
+
+    flipped = jnp.flip(images, axis=0)
     lam_img = lam.reshape((n,) + (1,) * (images.ndim - 1))
-    mixed = images * lam_img + jnp.flip(images, axis=0) * (1 - lam_img)
-    target = y1 * lam[:, None] + jnp.flip(y1, axis=0) * (1 - lam[:, None])
+    mixed_mix = images * lam_img + flipped * (1 - lam_img)
+    mixed_cut = jnp.where(in_box, flipped, images)
+    mixed = jnp.where(e(use_cut), mixed_cut, mixed_mix)
+    target = y1 * lam_eff[:, None] + jnp.flip(y1, axis=0) * (1 - lam_eff[:, None])
     return mixed, target
 
 
@@ -84,8 +131,13 @@ def mixup_cutmix(key, images, labels, cfg: MixupConfig):
     y1 = one_hot_smooth(labels, cfg.num_classes, cfg.label_smoothing)
     if not cfg.enabled:
         return images, y1
-    if cfg.mode == "elem":
-        return _mixup_elem(key, images, y1, cfg)
+    if cfg.mode in ("elem", "pair"):
+        return _mixup_elem_or_pair(key, images, y1, cfg, pair=cfg.mode == "pair")
+    if cfg.mode != "batch":
+        raise ValueError(
+            f"unsupported mixup mode {cfg.mode!r}: expected 'batch', 'elem' "
+            "or 'pair' (util/mixup_my.py:202-209)"
+        )
 
     k_prob, k_switch, k_lam, k_box = jax.random.split(key, 4)
     apply = jax.random.uniform(k_prob) < cfg.prob
@@ -130,3 +182,107 @@ def mixup_cutmix(key, images, labels, cfg: MixupConfig):
     y2 = jnp.flip(y1, axis=0)
     target = y1 * lam_eff + y2 * (1.0 - lam_eff)
     return mixed, target
+
+
+class FastCollateMixup:
+    """Host-side collate-time mixup/cutmix on uint8 batches
+    (timm ``FastCollateMixup``, ``util/mixup_my.py:214-307``): mixing happens
+    while collating so the device receives the final batch. Plug in as a
+    ``DataPipeline`` postprocess: ``lambda imgs, labels: collate(imgs, labels)``.
+
+    The device-side :func:`mixup_cutmix` (fused into the train step) is the
+    recommended path on TPU; this exists for host-pipeline parity and for
+    feeding externally-preprocessed batches.
+    """
+
+    def __init__(self, cfg: MixupConfig, seed: int = 0):
+        import numpy as np
+
+        if cfg.mode not in ("batch", "elem", "pair"):
+            raise ValueError(f"unsupported mixup mode {cfg.mode!r}")
+        self.cfg = cfg
+        self._rng = np.random.default_rng(seed)
+
+    def _params(self, m):
+        import numpy as np
+
+        cfg = self.cfg
+        lam = np.ones(m, np.float32)
+        use_cutmix = np.zeros(m, bool)
+        both = cfg.mixup_alpha > 0 and cfg.cutmix_alpha > 0
+        if both:
+            use_cutmix = self._rng.random(m) < cfg.switch_prob
+            lam_mix = np.where(
+                use_cutmix,
+                self._rng.beta(cfg.cutmix_alpha, cfg.cutmix_alpha, m),
+                self._rng.beta(cfg.mixup_alpha, cfg.mixup_alpha, m),
+            )
+        elif cfg.cutmix_alpha > 0:
+            use_cutmix[:] = True
+            lam_mix = self._rng.beta(cfg.cutmix_alpha, cfg.cutmix_alpha, m)
+        else:
+            lam_mix = self._rng.beta(cfg.mixup_alpha, cfg.mixup_alpha, m)
+        apply = self._rng.random(m) < cfg.prob
+        lam = np.where(apply, lam_mix.astype(np.float32), lam)
+        return lam, use_cutmix & apply
+
+    def _bbox(self, h, w, lam):
+        import numpy as np
+
+        ratio = np.sqrt(1.0 - lam)
+        ch, cw = int(h * ratio), int(w * ratio)
+        cy, cx = self._rng.integers(0, h), self._rng.integers(0, w)
+        yl, yh = np.clip(cy - ch // 2, 0, h), np.clip(cy + ch // 2, 0, h)
+        xl, xh = np.clip(cx - cw // 2, 0, w), np.clip(cx + cw // 2, 0, w)
+        lam_c = 1.0 - (yh - yl) * (xh - xl) / float(h * w)
+        return (yl, yh, xl, xh), np.float32(lam_c)
+
+    def __call__(self, images, labels):
+        """images: (B,H,W,C) uint8; labels: (B,) ints.
+        Returns (mixed uint8, (B, num_classes) float32 soft targets)."""
+        import numpy as np
+
+        cfg = self.cfg
+        n, h, w = images.shape[0], images.shape[1], images.shape[2]
+        assert n % 2 == 0, "batch size should be even"
+        out = images.astype(np.float32).copy()
+        if cfg.mode == "batch":
+            lam1, use_cut = self._params(1)
+            lam = lam1[0]
+            if use_cut[0]:
+                (yl, yh, xl, xh), lam = self._bbox(h, w, lam)
+                out[:, yl:yh, xl:xh] = out[::-1][:, yl:yh, xl:xh]
+            elif lam != 1.0:
+                out = out * lam + out[::-1] * (1 - lam)
+            lam_eff = np.full(n, lam, np.float32)
+        else:
+            pair = cfg.mode == "pair"
+            m = n // 2 if pair else n
+            lam_b, use_cut = self._params(m)
+            orig = out.copy()
+            lam_eff = np.ones(n, np.float32)
+            for i in range(m):
+                j = n - 1 - i
+                lam = lam_b[i]
+                if lam == 1.0 and not use_cut[i]:
+                    continue
+                if use_cut[i]:
+                    (yl, yh, xl, xh), lam = self._bbox(h, w, lam)
+                    out[i, yl:yh, xl:xh] = orig[j, yl:yh, xl:xh]
+                    if pair:
+                        out[j, yl:yh, xl:xh] = orig[i, yl:yh, xl:xh]
+                else:
+                    out[i] = orig[i] * lam + orig[j] * (1 - lam)
+                    if pair:
+                        out[j] = orig[j] * lam + orig[i] * (1 - lam)
+                lam_eff[i] = lam
+                if pair:
+                    lam_eff[j] = lam
+        y = np.asarray(
+            one_hot_smooth(
+                jnp.asarray(np.asarray(labels, np.int32)),
+                cfg.num_classes, cfg.label_smoothing,
+            )
+        )
+        target = y * lam_eff[:, None] + y[::-1] * (1 - lam_eff[:, None])
+        return np.rint(out).astype(images.dtype), target.astype(np.float32)

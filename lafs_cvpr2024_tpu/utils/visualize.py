@@ -155,3 +155,66 @@ def attention_heatmap(
     plt.savefig(buf, format="png", bbox_inches="tight")
     plt.close(fig)
     return buf.getvalue()
+
+
+def per_head_cls_attention(attn_layer: np.ndarray, out_size: int = 112) -> np.ndarray:
+    """Per-head CLS→token maps for ONE layer, nearest-upsampled to the image
+    (the DINO-style view, ``visualize_attentionmap_DINO``,
+    ``util/utils.py:808-858``).
+
+    attn_layer: (heads, N, N) or (1, heads, N, N). Returns
+    (heads, out_size, out_size)."""
+    a = attn_layer[0] if attn_layer.ndim == 4 else attn_layer
+    nh = a.shape[0]
+    cls_attn = a[:, 0, 1:]
+    r = int(np.sqrt(cls_attn.shape[-1]))
+    maps = cls_attn[:, : r * r].reshape(nh, r, r)
+    scale = out_size // r
+    return np.kron(maps, np.ones((1, scale, scale)))
+
+
+def attention_heatmap_landmark(
+    image: np.ndarray,
+    token_attn: np.ndarray,
+    landmarks: np.ndarray,
+    patch_size: int = 8,
+    save_path: Optional[str] = None,
+    denorm: bool = True,
+) -> Optional[bytes]:
+    """Landmark-splatted attention map (``visualize_attentionmap_DINO_landmark``
+    / ``_new_landmark``, ``util/utils.py:860-988``): each token's attention
+    block is accumulated AT ITS PREDICTED LANDMARK position (clamped to the
+    image) instead of the regular grid — showing where the model actually
+    looked on the irregular Part-fViT patch layout.
+
+    image: (H, W, C); token_attn: (N,) CLS→token attribution (e.g. one
+    rollout row or a fused per-head slice); landmarks: (N, 2) pixel coords
+    with [..., 0] = x.
+    """
+    plt = _plt()
+    img = image
+    if denorm:
+        img = ((image * 0.5 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    half = patch_size // 2
+    heat = np.zeros((h, w), np.float32)
+    n = min(token_attn.shape[0], landmarks.shape[0])
+    for i in range(n):
+        # clamp the block fully inside the image (utils.py:908-916)
+        cx, cy = np.rint(landmarks[i]).astype(int)
+        cx = min(max(cx, half), w - half)
+        cy = min(max(cy, half), h - half)
+        heat[cy - half : cy + half, cx - half : cx + half] += token_attn[i]
+    fig = plt.figure(figsize=(4, 4))
+    plt.imshow(img)
+    plt.imshow(heat, alpha=0.5, interpolation="nearest", cmap="jet")
+    plt.axis("off")
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        plt.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    buf = io.BytesIO()
+    plt.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    return buf.getvalue()

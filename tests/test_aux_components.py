@@ -185,3 +185,27 @@ def test_kshot_keys_restrict(tmp_path):
     assert len(ds) == 6
     labels = sorted(ds[i][1] for i in range(6))
     assert labels == [0.0, 0.0, 1.0, 1.0, 2.0, 2.0]
+
+
+def test_attention_rollout_variants():
+    """Landmark-splatted heatmap + per-head CLS maps (utils.py:730-988)."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.utils.visualize import (
+        attention_heatmap_landmark,
+        per_head_cls_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    nh, n = 3, 17  # 16 tokens + CLS
+    attn = rng.uniform(0, 1, (nh, n, n)).astype(np.float32)
+    attn /= attn.sum(-1, keepdims=True)
+    maps = per_head_cls_attention(attn, out_size=32)
+    assert maps.shape == (nh, 32, 32)
+    # nearest-upsample preserves per-token values
+    assert np.isclose(maps[0, 0, 0], attn[0, 0, 1])
+
+    img = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    lands = rng.uniform(0, 31, (16, 2)).astype(np.float32)
+    png = attention_heatmap_landmark(img, attn[0, 0, 1:], lands, patch_size=8)
+    assert isinstance(png, bytes) and png[:4] == b"\x89PNG"

@@ -195,3 +195,41 @@ def test_supervised_cli_with_eval(tmp_path, monkeypatch):
     )
     train_supervised.main()
     assert os.path.exists(os.path.join(work, "log.txt"))
+
+
+def test_train_directly_from_imagefolder(tmp_path, monkeypatch):
+    """ImageFolder-direct path (FaceDataset_webface): trains WITHOUT packing,
+    caches the file list, and the k-shot protocol runs off the folder."""
+    data_dir = str(tmp_path / "images")
+    work = str(tmp_path / "work")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir)
+
+    from lafs_cvpr2024_tpu.cli import train_supervised
+
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "train",
+            "--data-root", data_dir,   # the FOLDER, not a rec dir
+            "--work-path", work,
+            "--kshot", "2",
+            "--batch-size", "1",
+            "--acc-step", "1",
+            "--epochs", "1",
+            "--warmup-epochs", "0",
+            "--embedding-size", "32",
+            "--depth", "1",
+            "--heads", "2",
+            "--mlp-dim", "64",
+            "--num-patches", "36",
+            "--image-size", "48",
+            "--stn-mode", "small",
+            "--model-axis", "1",
+            "--workers", "2",
+            "--disp-freq", "1",
+        ],
+    )
+    train_supervised.main()
+    assert os.path.exists(os.path.join(data_dir, "Webface_list.json"))
+    assert os.path.isdir(os.path.join(work, "ckpt"))

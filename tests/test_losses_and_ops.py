@@ -150,3 +150,81 @@ def test_mixup_elem_mode():
     for i in range(4):
         lo, hi = sorted([i, 3 - i])
         assert lo - 1e-5 <= m[i].mean() <= hi + 1e-5
+
+
+def test_mixup_pair_mode_symmetric():
+    """'pair' (mixup_my.py:169-187): i and n-1-i share one lam and mix with
+    each other symmetrically, so every pair's pixel/target sums are
+    conserved."""
+    cfg = MixupConfig(mixup_alpha=0.8, prob=1.0, num_classes=6, mode="pair")
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (6, 8, 8, 3)).astype(np.float32))
+    labels = jnp.arange(6) % 6
+    mixed, targets = mixup_cutmix(jax.random.PRNGKey(3), imgs, labels, cfg)
+    mixed, targets = np.asarray(mixed), np.asarray(targets)
+    for i in range(3):
+        j = 5 - i
+        np.testing.assert_allclose(
+            mixed[i] + mixed[j], np.asarray(imgs[i] + imgs[j]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            targets[i] + targets[j],
+            np.asarray(
+                jax.nn.one_hot(labels[i], 6) + jax.nn.one_hot(labels[j], 6)
+            ),
+            atol=1e-5,
+        )
+    assert not np.allclose(mixed, np.asarray(imgs))  # something actually mixed
+
+
+def test_mixup_elem_cutmix_boxes():
+    """Per-element CutMix: each output is a patchwork of {self, partner}
+    pixels, and the soft-target weight equals the kept-pixel fraction
+    (correct_lam)."""
+    cfg = MixupConfig(
+        mixup_alpha=0.0, cutmix_alpha=1.0, prob=1.0, num_classes=8, mode="elem"
+    )
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+    labels = jnp.arange(4)
+    mixed, targets = mixup_cutmix(jax.random.PRNGKey(5), imgs, labels, cfg)
+    mixed, targets = np.asarray(mixed), np.asarray(targets)
+    imgs = np.asarray(imgs)
+    for i in range(4):
+        j = 3 - i
+        from_self = np.isclose(mixed[i], imgs[i]).all(-1)
+        from_partner = np.isclose(mixed[i], imgs[j]).all(-1)
+        assert (from_self | from_partner).all(), "pixels must be a patchwork"
+        frac_partner = from_partner.mean()
+        # target weight on the partner class == box fraction
+        np.testing.assert_allclose(targets[i][j], frac_partner, atol=0.02)
+
+
+def test_mixup_unknown_mode_raises():
+    import pytest
+
+    cfg = MixupConfig(mixup_alpha=0.2, prob=1.0, num_classes=4, mode="half")
+    imgs = jnp.zeros((4, 8, 8, 3))
+    with pytest.raises(ValueError, match="unsupported mixup mode"):
+        mixup_cutmix(jax.random.PRNGKey(0), imgs, jnp.zeros(4, jnp.int32), cfg)
+
+
+def test_fast_collate_mixup_host():
+    from lafs_cvpr2024_tpu.ops.mixup import FastCollateMixup
+
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (6, 12, 12, 3)).astype(np.uint8)
+    labels = np.arange(6) % 4
+    for mode in ("batch", "elem", "pair"):
+        collate = FastCollateMixup(
+            MixupConfig(mixup_alpha=0.9, cutmix_alpha=0.9, prob=1.0,
+                        num_classes=4, mode=mode),
+            seed=3,
+        )
+        mixed, targets = collate(imgs, labels)
+        assert mixed.dtype == np.uint8 and mixed.shape == imgs.shape
+        np.testing.assert_allclose(targets.sum(-1), 1.0, atol=1e-5)
+    import pytest
+
+    with pytest.raises(ValueError):
+        FastCollateMixup(MixupConfig(mode="nope"))

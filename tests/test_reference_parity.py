@@ -209,3 +209,35 @@ def test_dino_head_parity(ref):
     cos = _cosine_rows(out_t, out_j)
     assert cos.min() >= 1 - 1e-3, f"DINOHead cosine {cos}"
     np.testing.assert_allclose(out_j, out_t, atol=1e-4, rtol=0)
+
+
+def test_mobile_dino_parity(ref):
+    """MobileDINO (mobile_dino, ViT_face.py:1203-1217): stn features →
+    mean-pool → Dense(embd_dim), eval-mode outputs match after import."""
+    torch.manual_seed(4)
+    tm = ref.mobile_dino(embd_dim=64).eval()
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+    from lafs_cvpr2024_tpu.models import MobileDINO
+
+    jm = MobileDINO(embd_dim=64)
+    x = np.random.default_rng(11).uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    base = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+    imp = import_torch_state_dict(tm.state_dict(), strict=True)
+    variables = {
+        "params": merge_params(base["params"], imp.params["landmark"]),
+        "batch_stats": merge_params(base["batch_stats"], imp.stats["landmark"]),
+    }
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x)).numpy()
+    out_j = np.asarray(
+        jax.jit(lambda v, a: jm.apply(v, a, train=False))(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    )
+    cos = _cosine_rows(out_t, out_j)
+    assert cos.min() >= 1 - 1e-3, f"mobile_dino cosine {cos}"

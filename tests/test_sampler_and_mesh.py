@@ -154,3 +154,84 @@ def test_pipeline_mesh_routing_produces_global_batch(tmp_path):
         NamedSharding(mesh, P("data")), imgs.ndim
     )
     assert labels.shape == (8,)
+
+
+def test_contrastive_pair_sampler_subset_no_self_pairs(tmp_path):
+    """Subsetted dataset: partners must come from the live subset with
+    correct same/diff labels (never silent anchor self-pairing)."""
+    ds = FaceRecordDataset(_identity_rec(tmp_path, n_ids=4, per=6))
+    key_to_ident = {}
+    for ident, (a, b) in ds.id2range.items():
+        for k in range(a, b):
+            key_to_ident[k] = ident
+    # keep every other image only
+    ds.restrict_to_keys(ds.seq[::2])
+    sampler = ContrastivePairSampler(ds, pos_prob=0.5, seed=1)
+    subset = set(ds.seq)
+    pos_seen = neg_seen = 0
+    for i in range(len(ds)):
+        for _ in range(4):
+            (img1, img2), same = sampler.sample_pair(i)
+            # reconstruct which partner position was drawn via its identity
+            # invariant: label must equal identity equality of the ACTUAL pair
+            assert same in (0, 1)
+            pos_seen += same
+            neg_seen += 1 - same
+    assert pos_seen and neg_seen
+    # internal draw helper never escapes the subset
+    for _ in range(50):
+        pos = sampler._draw_position(lambda: sampler._rng.randrange(1, 25))
+        assert ds.seq[pos] in subset
+
+
+def test_contrastive_pair_labels_match_identities(tmp_path):
+    """same==1 iff both images come from the same identity range."""
+    ds = FaceRecordDataset(_identity_rec(tmp_path, n_ids=3, per=4))
+    sampler = ContrastivePairSampler(ds, pos_prob=0.5, seed=3)
+    for i in range(len(ds)):
+        key = ds.seq[i]
+        ident = sampler._key_to_ident[key]
+        # monkey-probe: wrap _draw_position to capture the partner position
+        captured = {}
+        orig = sampler._draw_position
+
+        def capture(fn):
+            p = orig(fn)
+            captured["pos"] = p
+            return p
+
+        sampler._draw_position = capture
+        (_, _), same = sampler.sample_pair(i)
+        sampler._draw_position = orig
+        other_ident = sampler._key_to_ident[ds.seq[captured["pos"]]]
+        assert same == int(other_ident == ident)
+
+
+def test_face_folder_dataset(tmp_path):
+    from PIL import Image as PILImage
+
+    from lafs_cvpr2024_tpu.data import FaceFolderDataset
+
+    root = tmp_path / "folder"
+    rng = np.random.default_rng(0)
+    for c in range(3):
+        d = root / f"id_{c}"
+        d.mkdir(parents=True)
+        for j in range(4):
+            PILImage.fromarray(
+                rng.integers(0, 255, (20, 20, 3), np.uint8)
+            ).save(str(d / f"{j}.jpg"))
+    ds = FaceFolderDataset(str(root))
+    assert len(ds) == 12 and ds.num_identities == 3
+    img, label = ds[5]
+    assert img.shape == (20, 20, 3) and label == 1.0
+    assert ds.id2range == {0: (0, 4), 1: (4, 8), 2: (8, 12)}
+    # JSON cache written and reused (scan results identical)
+    assert (root / "Webface_list.json").exists()
+    ds2 = FaceFolderDataset(str(root))
+    assert ds2.samples == ds.samples
+    # k-shot restriction
+    ds.restrict_to_keys(ds.kshot_keys(2, seed=0))
+    assert len(ds) == 6
+    labels = sorted(ds[i][1] for i in range(len(ds)))
+    assert labels == [0.0, 0.0, 1.0, 1.0, 2.0, 2.0]
