@@ -97,8 +97,14 @@ def main():
         # get baked into the HLO and can exceed remote-compile size limits)
         return model.apply(v, batch / 255.0 - 0.5, train=False)
 
+    # scale the extraction sweep over all local devices (data-axis sharding)
+    from ..parallel.mesh import create_mesh, sharded_batch_apply
+
+    mesh = create_mesh(model=1)
+    _embed_sharded = sharded_batch_apply(_embed, mesh)
+
     def embed(batch):
-        return _embed(variables, batch)
+        return _embed_sharded(variables, batch)
 
     templates, medias = read_template_media_list(
         os.path.join(args.meta_path, f"{target.lower()}_face_tid_mid.txt")

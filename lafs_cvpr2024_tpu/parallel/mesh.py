@@ -73,6 +73,31 @@ def global_batch(mesh: Mesh, local_batch, spec: P = P("data")):
     )
 
 
+def sharded_batch_apply(fn, mesh: Mesh):
+    """Scale a jitted eval fn ``fn(variables, batch) -> out`` across the
+    mesh's data axis: the host batch is padded to a multiple of the axis,
+    sharded over it (GSPMD data parallelism — no shard_map needed for a pure
+    forward), and the output unpadded. Replaces the reference's
+    single-process eval loop for pod-slice sweeps (perform_val / IJB
+    extraction). Single-device meshes and multi-process runs (where eval is
+    rank-0-gated host-local) pass through unchanged."""
+    n_data = int(mesh.shape.get("data", 1))
+    if mesh.size == 1 or jax.process_count() > 1:
+        return fn
+    sharding = NamedSharding(mesh, P("data"))
+
+    def wrapped(variables, batch):
+        batch = np.asarray(batch)
+        n = batch.shape[0]
+        pad = (-n) % n_data
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+        out = fn(variables, jax.device_put(batch, sharding))
+        return np.asarray(out)[:n] if pad else out
+
+    return wrapped
+
+
 def fold_in_shard(rng: jax.Array, axis_name: str = "data") -> jax.Array:
     """Decorrelate per-shard randomness inside a shard_map'd step.
 

@@ -355,7 +355,11 @@ def create_classifier(
 
 
 def make_embed_fn(cfg: SupervisedConfig, mesh: Optional[Mesh] = None):
-    """Jitted eval-time embedding fn for perform_val / IJB sweeps."""
+    """Jitted eval-time embedding fn for perform_val / IJB sweeps.
+
+    With a multi-device mesh the batch is padded to a multiple of the data
+    axis and sharded over it, so in-training verification and IJB extraction
+    scale across the pod slice instead of running single-device."""
     model_cfg = PartFViTConfig(**{**cfg.model.__dict__, "loss_type": "None"})
     model = PartFViT(model_cfg)
 
@@ -363,4 +367,8 @@ def make_embed_fn(cfg: SupervisedConfig, mesh: Optional[Mesh] = None):
     def embed(variables, images):
         return model.apply(variables, images, train=False)
 
+    if mesh is not None and mesh.size > 1:
+        from ..parallel.mesh import sharded_batch_apply
+
+        return sharded_batch_apply(embed, mesh)
     return embed
