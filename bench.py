@@ -52,12 +52,14 @@ def main():
         out_dim=100000,
         local_crops_number=8,
         compute_dtype=jnp.bfloat16,
+        landmark_dtype=jnp.bfloat16,
+        head_dtype=jnp.bfloat16,
     )
 
     rng = jax.random.PRNGKey(0)
     state = jax.jit(lambda r: create_ssl_state(cfg, r))(rng)
     land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
-    step = make_ssl_train_step(cfg, mesh)
+    step = make_ssl_train_step(cfg, mesh, donate=True)
 
     shape = (batch, 112, 112, 3)
     k = jax.random.PRNGKey(2)

@@ -174,7 +174,7 @@ def main():
 
     from ..parallel.mesh import global_batch
 
-    step_fn = make_ssl_train_step(cfg, mesh)
+    step_fn = make_ssl_train_step(cfg, mesh, donate=True)
     crop_spec = P(None, "data")
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())

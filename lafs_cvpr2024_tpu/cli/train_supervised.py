@@ -248,7 +248,7 @@ def main():
         else:
             start_step = 0
 
-    step_fn = make_train_step(cfg, mesh)
+    step_fn = make_train_step(cfg, mesh, donate=True)
     embed_fn = make_embed_fn(cfg, mesh)
     vers = get_val_data(args.eval_path, args.targets) if args.eval_path else []
     highest_acc = [0.0 for _ in args.targets]

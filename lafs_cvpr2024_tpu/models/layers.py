@@ -30,6 +30,29 @@ def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndar
     return jnp.where(mask, x / keep, 0.0)
 
 
+class FastDropout(nn.Module):
+    """Dropout via uint16 threshold masks.
+
+    Same Bernoulli semantics as ``nn.Dropout`` but draws 16 random bits per
+    element instead of a float32 uniform — half the PRNG traffic on the
+    biggest tensors in the step (the (tokens, mlp_dim) activations). The
+    keep probability is quantized to 1/65536 (max deviation 7.6e-6 from the
+    configured rate — immaterial). Mask generation measured ~10% of the SSL
+    train step with the stock dropout under the rbg PRNG.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        thresh = jnp.uint16(min(int(round(keep * 65536.0)), 65535))
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x))
+
+
 class FeedForward(nn.Module):
     dim: int
     hidden_dim: int
@@ -39,9 +62,9 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, name="fc2")(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout)(x, deterministic=deterministic)
         return x
 
 
@@ -50,6 +73,7 @@ class Attention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    attn_impl: str = "einsum"  # 'einsum' | 'flash' (pallas fused kernel)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -63,16 +87,46 @@ class Attention(nn.Module):
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
         scale = self.dim ** -0.5  # reference quirk: model-dim scaling
-        # NOTE: jax.nn.dot_product_attention wins isolated microbenchmarks
-        # (~2x) but makes the FULL SSL step 10% slower — the explicit einsums
-        # fuse better with the surrounding graph. End-to-end wins.
-        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        if self.attn_impl == "flash":
+            out = _flash_attention(q, k, v, scale)
+        else:
+            # NOTE: jax.nn.dot_product_attention wins isolated microbenchmarks
+            # (~2x) but makes the FULL SSL step 10% slower — the explicit
+            # einsums fuse better with the surrounding graph. End-to-end wins.
+            logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = FastDropout(self.dropout)(out, deterministic=deterministic)
         return out
+
+
+def _flash_attention(q, k, v, scale: float):
+    """Fused pallas flash attention (fwd + custom-vjp bwd kernels): never
+    materializes the (B, H, N, N) logits in HBM. Sequences are padded to the
+    kernel's 128-multiple block size with segment-id masking, so padded keys
+    can't attend to / be attended by real tokens; padded query rows are
+    sliced off."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, n, d = q.shape
+    npad = -(-n // 128) * 128
+    pad = npad - n
+    if pad:
+        padded = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q, k, v = padded(q), padded(k), padded(v)
+        seg = jnp.broadcast_to(
+            (jnp.arange(npad) >= n).astype(jnp.int32)[None], (b, npad)
+        )
+        sids = SegmentIds(q=seg, kv=seg)
+    else:
+        sids = None
+    out = flash_attention(q, k, v, segment_ids=sids, sm_scale=scale)
+    return out[:, :, :n, :] if pad else out
 
 
 class TransformerBlock(nn.Module):
@@ -82,12 +136,14 @@ class TransformerBlock(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     drop_path_rate: float = 0.1
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)  # torch LN eps
         h = Attention(
-            self.dim, self.heads, self.dim_head, self.dropout, name="attn"
+            self.dim, self.heads, self.dim_head, self.dropout,
+            self.attn_impl, name="attn"
         )(h, deterministic)
         if not deterministic and self.drop_path_rate > 0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
@@ -110,17 +166,30 @@ class Transformer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     drop_path_rate: float = 0.1
+    attn_impl: str = "einsum"
+    remat_policy: str = "none"  # 'none' | 'dots' | 'all' — trade backward
+                                # HBM traffic for recompute FLOPs
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        block_cls = TransformerBlock
+        if self.remat_policy != "none":
+            policy = (
+                None if self.remat_policy == "all"
+                else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
+            block_cls = nn.remat(
+                TransformerBlock, policy=policy, static_argnums=(2,)
+            )
         for i in range(self.depth):
-            x = TransformerBlock(
+            x = block_cls(
                 self.dim,
                 self.heads,
                 self.dim_head,
                 self.mlp_dim,
                 self.dropout,
                 self.drop_path_rate,
+                self.attn_impl,
                 name=f"layers_{i}",
             )(x, deterministic)
         return x

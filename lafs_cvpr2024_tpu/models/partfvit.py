@@ -37,7 +37,7 @@ from flax import linen as nn
 from ..ops.patch_gather import patch_gather, patch_gather_mosaic
 from ..ops.patchify import patchify, standard_grid_landmarks, unfold_overlap
 from .heads import ArcFace, CosFace, SFace, SoftmaxHead
-from .layers import Transformer
+from .layers import FastDropout, Transformer
 from .mobilenet import MobileNetV3Backbone
 
 
@@ -65,6 +65,10 @@ class PartFViTConfig:
     cosface_m: float = 0.4
     cosface_s: float = 64.0
     gather_impl: str = "mxu"
+    attn_impl: str = "einsum"       # 'einsum' | 'flash' (pallas fused kernel;
+                                    # TPU-only, numerics match to ~1e-3;
+                                    # measured SLOWER at 197/37-token seqs)
+    remat_policy: str = "none"      # transformer remat: 'none'|'dots'|'all'
     bn_axis_name: Optional[str] = None  # set to mesh axis for SyncBN
     stn_mode: str = "large"            # MobileNetV3 variant for the stem
     simmim: bool = False               # masked-image-modeling forward
@@ -189,7 +193,7 @@ class PartFViT(nn.Module):
         )
         h = jnp.concatenate([first, tokens], axis=1)
         h = h + pos[:, : n + 1]
-        h = nn.Dropout(cfg.emb_dropout)(h, deterministic=not train)
+        h = FastDropout(cfg.emb_dropout)(h, deterministic=not train)
         h = Transformer(
             cfg.dim,
             cfg.depth,
@@ -198,6 +202,8 @@ class PartFViT(nn.Module):
             cfg.mlp_dim,
             cfg.dropout,
             cfg.drop_path_rate,
+            cfg.attn_impl,
+            cfg.remat_policy,
             name="transformer",
         )(h, deterministic=not train)
         all_tokens = h
@@ -235,6 +241,10 @@ class LandmarkProvider(nn.Module):
     num_landmarks: int = 196
     patch_size: int = 8
     gather_impl: str = "mxu"
+    attn_impl: str = "einsum"       # 'einsum' | 'flash' (pallas fused kernel;
+                                    # TPU-only, numerics match to ~1e-3;
+                                    # measured SLOWER at 197/37-token seqs)
+    remat_policy: str = "none"      # transformer remat: 'none'|'dots'|'all'
     bn_axis_name: Optional[str] = None
     stn_mode: str = "large"
     coord_scale: float = 111.0
@@ -302,10 +312,11 @@ class OverlapViT(nn.Module):
         )
         h = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.dim)), tokens], axis=1)
         h = h + pos[:, : n + 1]
-        h = nn.Dropout(cfg.emb_dropout)(h, deterministic=not train)
+        h = FastDropout(cfg.emb_dropout)(h, deterministic=not train)
         h = Transformer(
             cfg.dim, cfg.depth, cfg.heads, cfg.dim_head, cfg.mlp_dim,
-            cfg.dropout, cfg.drop_path_rate, name="transformer",
+            cfg.dropout, cfg.drop_path_rate, cfg.attn_impl, cfg.remat_policy,
+            name="transformer",
         )(h, deterministic=not train)
         pooled = h.mean(axis=1) if cfg.pool == "mean" else h[:, 0]
         emb = nn.LayerNorm(epsilon=1e-5, name="mlp_head")(pooled)  # torch LN eps

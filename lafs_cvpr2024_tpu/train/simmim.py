@@ -87,7 +87,7 @@ def create_simmim_state(cfg: SimMIMConfig, rng: jax.Array) -> SimMIMTrainState:
     )
 
 
-def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh) -> Callable:
+def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh, donate: bool = False) -> Callable:
     """Returns ``step_fn(state, landmark_vars, images, lr, wd) ->
     (state, metrics)``; images (B, H, W, 3) in [-1, 1], batch sharded over
     ``data``. ``landmark_vars`` are frozen provider variables (ignored when
@@ -159,8 +159,9 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh) -> Callable:
 
     def step_fn(state, landmark_vars, images, lr, wd):
         if "fn" not in cache:
+            dk = dict(donate_argnums=(0,)) if donate else {}
             if not multi:
-                cache["fn"] = jax.jit(step_impl)
+                cache["fn"] = jax.jit(step_impl, **dk)
             else:
                 rep = lambda t: jax.tree_util.tree_map(lambda _: P(), t)
                 cache["fn"] = jax.jit(
@@ -170,7 +171,8 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh) -> Callable:
                         in_specs=(rep(state), rep(landmark_vars),
                                   P("data"), P(), P()),
                         out_specs=(rep(state), {"loss": P()}),
-                    )
+                    ),
+                    **dk,
                 )
         return cache["fn"](state, landmark_vars, images, lr, wd)
 

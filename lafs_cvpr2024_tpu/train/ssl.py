@@ -143,12 +143,18 @@ def create_landmark_provider(cfg: SSLConfig, rng: jax.Array):
     return jax.jit(provider.init)({"params": rng}, x)
 
 
-def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
+def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Callable:
     """Build ``step_fn(state, landmark_vars, glob_clean, glob_aug, loc_clean,
     loc_aug, lr, wd, momentum, teacher_temp, freeze_last) -> (state, metrics)``.
 
     glob_*: (2, B, H, W, 3); loc_*: (L, B, H, W, 3) float in [-1, 1]
     (the LAFSMultiCrop output), batch dim sharded over ``data``.
+
+    ``donate=True`` donates the input state's buffers to the step (XLA
+    updates student/teacher/opt in place instead of allocating + copying
+    ~1.4 GB of fresh buffers per step) — use when the caller never touches
+    the pre-step state again (the CLIs and bench do; some tests re-step from
+    a saved state and must not donate).
     """
     backbone = _backbone(cfg)
     head = _head(cfg)
@@ -289,8 +295,9 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
     def step_fn(state, landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug,
                 lr, wd, momentum, teacher_temp, freeze_last):
         if "fn" not in cache:
+            dk = dict(donate_argnums=(0,)) if donate else {}
             if not multi:
-                cache["fn"] = jax.jit(step_impl)
+                cache["fn"] = jax.jit(step_impl, **dk)
             else:
                 rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
                 if cfg.fused_device_aug:
@@ -309,6 +316,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh) -> Callable:
                         ),
                         out_specs=(rep(state), {"loss": P()}),
                     ),
+                    **dk,
                 )
         return cache["fn"](state, landmark_vars, glob_clean, glob_aug,
                            loc_clean, loc_aug, lr, wd, momentum, teacher_temp,

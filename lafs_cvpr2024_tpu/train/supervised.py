@@ -112,6 +112,7 @@ def make_train_step(
     cfg: SupervisedConfig,
     mesh: Mesh,
     example_params=None,
+    donate: bool = False,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
@@ -293,8 +294,9 @@ def make_train_step(
             impl = functools.partial(
                 step_impl, lr_scale_tree=lr_scale_tree, wd_tree=wd_tree
             )
+            dk = dict(donate_argnums=(0, 1, 2)) if donate else {}
             if not multi:
-                cache["fn"] = jax.jit(impl)
+                cache["fn"] = jax.jit(impl, **dk)
                 return cache["fn"](state, cls_weight, cls_opt, images, labels,
                                    lr, *distill_args)
             replicate = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
@@ -329,7 +331,8 @@ def make_train_step(
                     # shard sees identical inputs and a psum'd loss) but the
                     # static vma check can't infer it through value_and_grad
                     check_vma=False,
-                )
+                ),
+                **dk,
             )
         return cache["fn"](state, cls_weight, cls_opt, images, labels, lr,
                            *distill_args)
