@@ -249,7 +249,7 @@ def main():
             start_step = 0
 
     step_fn = make_train_step(cfg, mesh, donate=True)
-    embed_fn = make_embed_fn(cfg, mesh)
+    embed_fn = make_embed_fn(cfg, mesh, input_scale="half")
     vers = get_val_data(args.eval_path, args.targets) if args.eval_path else []
     highest_acc = [0.0 for _ in args.targets]
 
@@ -287,7 +287,8 @@ def main():
                 accs = []
                 for name, data, issame in vers:
                     res = perform_val(
-                        lambda b: embed_fn(variables, jnp.asarray(b)), data, issame
+                        lambda b: embed_fn(variables, jnp.asarray(b)),
+                        data, issame, device_scale=True,
                     )
                     accs.append(res.accuracy)
                     print(f"[{name}][{gstep}] acc {res.accuracy:.5f}±{res.accuracy_std:.5f} "

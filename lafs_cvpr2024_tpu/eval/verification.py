@@ -217,6 +217,7 @@ def perform_val(
     batch_size: int = 512,
     nrof_folds: int = 10,
     input_scale: str = "half",
+    device_scale: bool = False,
 ) -> VerificationResult:
     """In-training verification (reference ``util/utils.py:292-397``).
 
@@ -226,6 +227,9 @@ def perform_val(
       issame: (N/2,) bool.
       input_scale: 'half' = x/255 - 0.5 (the reference eval convention,
         ``util/utils.py:316``) or 'unit' = x/255*2-1 (train convention).
+      device_scale: pass the RAW uint8 batch to ``embed_fn`` (which must
+        scale on device — ``make_embed_fn(..., input_scale=...)``); 4× less
+        host→device transfer, which dominates eval sweeps on thin links.
 
     Flip fusion: embeddings of orig and flipped are ADDED then normalized.
     """
@@ -235,8 +239,13 @@ def perform_val(
     for flip in range(2):
         chunks = []
         for start in range(0, n, batch_size):
-            batch = data[flip, start : start + batch_size].astype(np.float32)
-            batch = batch / 255.0 - 0.5 if input_scale == "half" else batch / 255.0 * 2 - 1
+            batch = data[flip, start : start + batch_size]
+            if not device_scale:
+                batch = batch.astype(np.float32)
+                batch = (
+                    batch / 255.0 - 0.5 if input_scale == "half"
+                    else batch / 255.0 * 2 - 1
+                )
             emb = np.asarray(embed_fn(batch))
             chunks.append(emb)
         embeddings_list.append(np.concatenate(chunks, axis=0))

@@ -357,17 +357,31 @@ def create_classifier(
     return w, adamw_init({"w": w})
 
 
-def make_embed_fn(cfg: SupervisedConfig, mesh: Optional[Mesh] = None):
+def make_embed_fn(
+    cfg: SupervisedConfig,
+    mesh: Optional[Mesh] = None,
+    input_scale: Optional[str] = None,
+):
     """Jitted eval-time embedding fn for perform_val / IJB sweeps.
 
     With a multi-device mesh the batch is padded to a multiple of the data
     axis and sharded over it, so in-training verification and IJB extraction
-    scale across the pod slice instead of running single-device."""
+    scale across the pod slice instead of running single-device.
+
+    ``input_scale`` ('half' = x/255−0.5, 'unit' = x/255·2−1): accept RAW
+    uint8 batches and normalize ON DEVICE — 4× less host→device transfer
+    (pair with ``perform_val(..., device_scale=True)``)."""
     model_cfg = PartFViTConfig(**{**cfg.model.__dict__, "loss_type": "None"})
     model = PartFViT(model_cfg)
 
     @jax.jit
     def embed(variables, images):
+        if input_scale is not None:
+            images = images.astype(jnp.float32)
+            images = (
+                images / 255.0 - 0.5 if input_scale == "half"
+                else images / 255.0 * 2 - 1
+            )
         return model.apply(variables, images, train=False)
 
     if mesh is not None and mesh.size > 1:

@@ -157,3 +157,44 @@ def test_sharded_eval_matches_single_device():
     )
     assert res_1.accuracy == res_n.accuracy
     np.testing.assert_allclose(res_1.xnorm, res_n.xnorm, rtol=1e-5)
+
+
+def test_device_scale_eval_matches_host_scale():
+    """perform_val(device_scale=True) + make_embed_fn(input_scale=...) must
+    reproduce the host-scaled sweep exactly (uint8 ships, scaling on device
+    — 4x less transfer)."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.eval.verification import perform_val
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
+    from lafs_cvpr2024_tpu.train.supervised import (
+        SupervisedConfig,
+        create_state,
+        make_embed_fn,
+    )
+
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            image_size=32, dim=16, depth=1, heads=2, dim_head=8, mlp_dim=32,
+            num_patches=16, patch_size=8, num_classes=8, with_land=False,
+            use_standcoord=True, stn_mode="small",
+        ),
+        compute_dtype=jnp.float32,
+    )
+    state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
+    variables = {"params": state.params}
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 255, (2, 8, 32, 32, 3)).astype(np.uint8)
+    issame = np.asarray([True, False, True, False])
+
+    host = make_embed_fn(cfg)
+    dev = make_embed_fn(cfg, input_scale="half")
+    res_h = perform_val(
+        lambda b: host(variables, jnp.asarray(b)), data, issame, batch_size=4
+    )
+    res_d = perform_val(
+        lambda b: dev(variables, jnp.asarray(b)), data, issame, batch_size=4,
+        device_scale=True,
+    )
+    assert res_h.accuracy == res_d.accuracy
+    np.testing.assert_allclose(res_h.xnorm, res_d.xnorm, rtol=1e-5)
