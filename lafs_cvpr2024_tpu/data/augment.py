@@ -212,7 +212,12 @@ class LAFSMultiCrop:
 class SupervisedAugment:
     """Supervised train-time augmentation (``image_iter.py:187-362``):
     optional mirror + face RandAugment + RandomResizedCrop(0.9-1.0) +
-    ColorJitter(0.1) + RandomErasing. Input/output: uint8 HWC RGB.
+    ColorJitter + RandomErasing. Input/output: uint8 HWC RGB.
+
+    The ``FaceDataset_adaaug`` variant (``image_iter.py:366-401``; its
+    ada_aug Augmenter import is commented out in the reference, so the only
+    LIVE difference is ColorJitter(0.5, 0.5, 0.5, hue=0) with no crop/
+    erasing) is the :meth:`adaaug` preset.
     """
 
     rand_mirror: bool = True
@@ -220,7 +225,18 @@ class SupervisedAugment:
     random_resizecrop: bool = True
     config_str: str = "rand-m1-mstd0.5-inc1"
     size: int = 112
+    jitter: tuple = (0.1, 0.1, 0.1, 0.1)  # brightness/contrast/saturation/hue
+    erasing: bool = True
     _ra: object = field(default=None, repr=False)
+
+    crop_and_erase: bool = True  # adaaug's trans is jitter-only
+
+    @classmethod
+    def adaaug(cls, size: int = 112, **kw) -> "SupervisedAugment":
+        """``FaceDataset_adaaug``'s live pipeline (``image_iter.py:389-399``)."""
+        return cls(
+            size=size, jitter=(0.5, 0.5, 0.5, 0.0), crop_and_erase=False, **kw
+        )
 
     def __post_init__(self):
         if self.rand_au:
@@ -237,9 +253,15 @@ class SupervisedAugment:
         if self.rand_au:
             img = self._ra(img)
         if self.random_resizecrop:
-            img = random_resized_crop(img, self.size, scale=(0.9, 1.0))
-            img = color_jitter(img, 0.1, 0.1, 0.1, 0.1)
+            # the reference gates the whole trans Compose on this flag;
+            # its CONTENT varies by dataset class (crop+jitter+erase vs
+            # adaaug's jitter-only)
+            if self.crop_and_erase:
+                img = random_resized_crop(img, self.size, scale=(0.9, 1.0))
+            if any(self.jitter):
+                img = color_jitter(img, *self.jitter)
             out = np.asarray(img)
-            out = random_erasing(out, p=0.5, scale=(0.02, 0.1))
+            if self.crop_and_erase and self.erasing:
+                out = random_erasing(out, p=0.5, scale=(0.02, 0.1))
             return out
         return np.asarray(img)
