@@ -117,7 +117,7 @@ def ssl_epoch(data_dir: str, n_workers: int = 4):
     }))
 
 
-def finetune_and_val(data_dir: str, n_workers: int = 4):
+def finetune_and_val(data_dir: str, n_workers: int = 4, device_aug: bool = False):
     from lafs_cvpr2024_tpu.data import DataPipeline, EpochSampler, FaceRecordDataset, SupervisedAugment, read_property
     from lafs_cvpr2024_tpu.eval.verification import perform_val
     from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
@@ -139,16 +139,21 @@ def finetune_and_val(data_dir: str, n_workers: int = 4):
         ),
         acc_step=3,
         mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=num_classes),
+        fused_device_aug=device_aug,
     )
     dataset = FaceRecordDataset(
         os.path.join(data_dir, "train.rec"),
-        transform=SupervisedAugment(config_str="rand-m1-mstd0.5-inc1", size=112),
+        transform=None if device_aug else SupervisedAugment(
+            config_str="rand-m1-mstd0.5-inc1", size=112
+        ),
     )
     batch = 64  # per microbatch; 3 microbatches/step
     sampler = EpochSampler(len(dataset), batch * cfg.acc_step, seed=0)
     pipe = DataPipeline(
         dataset, sampler, num_workers=n_workers,
-        postprocess=lambda x, y: (x.astype(np.float32) / 255.0 * 2 - 1, y),
+        postprocess=None if device_aug else (
+            lambda x, y: (x.astype(np.float32) / 255.0 * 2 - 1, y)
+        ),
     )
     state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
     w, wopt = create_classifier(cfg, jax.random.PRNGKey(1))
@@ -171,7 +176,7 @@ def finetune_and_val(data_dir: str, n_workers: int = 4):
     wall = time.time() - t0
     per_step = wall / max(steps - 1, 1)
     print(json.dumps({
-        "phase": "finetune_epoch", "steps": steps,
+        "phase": "finetune_epoch", "device_aug": device_aug, "steps": steps,
         "imgs": steps * batch * cfg.acc_step,
         "wall_s": round(wall, 2), "ms_per_step": round(per_step * 1e3, 1),
         "imgs_per_sec": round(batch * cfg.acc_step / per_step, 1),
@@ -210,3 +215,5 @@ if __name__ == "__main__":
         ssl_epoch(out)
     if which in ("all", "finetune"):
         finetune_and_val(out)
+    if which == "finetune-devaug":
+        finetune_and_val(out, device_aug=True)

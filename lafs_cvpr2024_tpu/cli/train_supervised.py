@@ -64,6 +64,10 @@ def get_args():
                    help="add MSE against the frozen landmark teacher "
                         "(pre_land+keep_land, train_largescale.py:807-836; "
                         "requires --landmark-checkpoint)")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run mirror+RandAugment+crop+jitter+erasing ON DEVICE "
+                        "inside the train step (host ships raw uint8; "
+                        "host-immune input pipeline)")
     p.add_argument("--model-axis", type=int, default=1, help="classifier TP shards")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=1335)
@@ -118,7 +122,11 @@ def main():
     # class-per-subdirectory ImageFolder (FaceDataset_webface path — trains
     # directly, no packing; the file list is JSON-cached on first scan)
     rec_file = os.path.join(args.data_root, "train.rec")
-    aug = SupervisedAugment(config_str=args.rand_aug, size=args.image_size)
+    # --device-aug: the host ships raw uint8 images; the whole augmentation
+    # pipeline runs inside the compiled step
+    aug = None if args.device_aug else SupervisedAugment(
+        config_str=args.rand_aug, size=args.image_size
+    )
     if os.path.isfile(rec_file):
         num_classes, h, w = read_property(args.data_root)
         dataset = FaceRecordDataset(
@@ -152,9 +160,11 @@ def main():
     pipe = DataPipeline(
         dataset, sampler, num_workers=args.workers,
         mesh=mesh, spec=P("data"),
-        postprocess=lambda imgs, labels: (
-            imgs.astype(np.float32) / 255.0 * 2 - 1,  # train convention
-            labels,
+        postprocess=None if args.device_aug else (
+            lambda imgs, labels: (
+                imgs.astype(np.float32) / 255.0 * 2 - 1,  # train convention
+                labels,
+            )
         ),
     )
 
@@ -171,6 +181,8 @@ def main():
             mixup_alpha=args.mixup, prob=args.mixup_prob, num_classes=num_classes
         ),
         shard_classifier=args.model_axis > 1,
+        fused_device_aug=args.device_aug,
+        rand_aug=args.rand_aug,
         landmark_distill=args.landmark_distill,
     )
 

