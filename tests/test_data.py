@@ -184,3 +184,43 @@ def test_pipeline_multicrop_collate(tmp_path):
     (crops, labels) = next(iter(pipe.epoch(0)))
     assert isinstance(crops, list) and len(crops) == 8  # 4 + 2*2
     assert np.asarray(crops[0]).shape == (2, 112, 112, 3)
+
+
+def test_auto_augment_and_augmix():
+    """AutoAugment policies + AugMix (reference rand_aa_face.py:347-808)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from lafs_cvpr2024_tpu.data.rand_augment import (
+        augment_and_mix_transform,
+        auto_augment_policy,
+        auto_augment_transform,
+        solarize_add,
+    )
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    )
+    for name in ("v0", "v0r", "original", "originalr"):
+        aa = auto_augment_transform(f"{name}-mstd0.5")
+        out = aa(img)
+        assert out.size == (32, 32) and out.mode == "RGB"
+    # the face edit: 'original' must carry NO solarize sub-policies
+    names = {op.name for sp in auto_augment_policy("original") for op in sp}
+    assert not any("Solarize" in n for n in names)
+    assert any("Solarize" in op.name for sp in auto_augment_policy("v0") for op in sp)
+    with pytest.raises(ValueError):
+        auto_augment_policy("nope")
+
+    am = augment_and_mix_transform("augmix-m5-w4-d2")
+    assert am.width == 4 and am.depth == 2 and len(am.ops) == 13
+    out = am(img)
+    assert out.size == (32, 32)
+    with pytest.raises(ValueError):
+        augment_and_mix_transform("augmix-q3")
+
+    # SolarizeAdd semantics: +add below threshold, identity above
+    arr = np.array([[(10, 200, 127)]], np.uint8).repeat(8, 0).repeat(8, 1)
+    out = np.asarray(solarize_add(Image.fromarray(arr), 50))
+    assert out[0, 0, 0] == 60 and out[0, 0, 1] == 200 and out[0, 0, 2] == 177
