@@ -60,6 +60,7 @@ def main():
             dropout=dropout, emb_dropout=dropout,
             drop_path_rate=0.0 if variant == "nodrop" else 0.1,
             attn_impl="flash" if variant == "flash" else "einsum",
+            gather_impl={"gxla": "gather", "gpallas": "pallas"}.get(variant, "mxu"),
             remat_policy={"rematdots": "dots", "rematall": "all"}.get(variant, "none"),
         ),
         out_dim=100000,

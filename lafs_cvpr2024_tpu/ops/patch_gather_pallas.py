@@ -41,14 +41,20 @@ def _kernel(x0_ref, y0_ref, wx_ref, wy_ref, img_ref, out_ref, *, n_land, p, chan
         y0 = y0_ref[b, n]
         wx = wx_ref[b, n]
         wy = wy_ref[b, n]
-        # per channel plane: dynamic sublane slice + dynamic lane rotate.
+        # Mosaic requires DYNAMIC sublane starts to be provably 8-aligned:
+        # slice a 16-row window at the aligned base (y0//8*8 — the compiler
+        # can prove the multiple) and roll the sub-tile remainder into place.
+        y0a = (y0 // 8) * 8
+        ry = y0 - y0a
+        # per channel plane: aligned sublane slice + sublane/lane rotates.
         # (A (y,c)-interleaved single-slice variant was measured SLOWER —
         # 20.4 ms vs 14.3 ms at B=64 — unaligned 3C-row windows cost more
         # than 3 aligned small ones.)
         for c in range(channels):  # static unroll
-            win = img_ref[0, c, pl.ds(y0, p + 1), :]          # (P+1, 128)
+            win = img_ref[0, c, pl.ds(y0a, 16), :]            # (16, 128)
+            win = pltpu.roll(win, -ry, axis=0)                # rows y0.. → 0..
             win = pltpu.roll(win, -x0, axis=1)                # columns x0.. → 0..
-            cols = win[:, 0 : p + 1]                          # (P+1, P+1)
+            cols = win[0 : p + 1, 0 : p + 1]                  # (P+1, P+1)
             by = cols[0:p, :] * (1.0 - wy) + cols[1 : p + 1, :] * wy
             patch = by[:, 0:p] * (1.0 - wx) + by[:, 1 : p + 1] * wx  # (P,P) [y,x]
             out_ref[0, n, c] = patch
@@ -75,12 +81,15 @@ def patch_gather_pallas(
     # samples) keeps zero-padding semantics exact. pad = 2p+2 guarantees
     # every clamped window stays inside the padded frame.
     pad = 2 * p + 2
-    # channel-major padded planes: (B, C, Hp, Wp)
+    # channel-major padded planes: (B, C, Hp, Wp); Mosaic's dynamic rotate /
+    # aligned-slice lowering needs lane counts that are 128-multiples and
+    # sublane counts that are 8-multiples, so round the plane up
+    Hp = -(-(H + 2 * pad) // 8) * 8
+    Wp = -(-(W + 2 * pad) // 128) * 128
     padded = jnp.pad(
         images.astype(jnp.float32).transpose(0, 3, 1, 2),
-        ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+        ((0, 0), (0, 0), (pad, Hp - H - pad), (pad, Wp - W - pad)),
     )
-    Hp, Wp = H + 2 * pad, W + 2 * pad
 
     lm = landmarks.astype(jnp.float32)
     lx = jnp.clip(lm[..., 0], -(p + 1.0), W + p + 1.0)
