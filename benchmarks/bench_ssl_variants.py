@@ -7,6 +7,7 @@ Variants stack (each includes the previous unless noted):
   donate    — donate the state buffers to the step
   land16    — + landmark CNN in bf16
   head16    — + DINOHead projection in bf16
+  mom16     — + AdamW moments stored bf16 (fp32 math)
   nodrop    — head16 + dropout/drop_path 0 (DIAGNOSTIC: quantifies mask cost)
   depth6    — head16 + depth 6 (DIAGNOSTIC: per-layer vs fixed cost split)
   flash     — head16 + pallas flash attention (padded 197→256, segment mask)
@@ -68,6 +69,7 @@ def main():
         compute_dtype=jnp.bfloat16,
         landmark_dtype=land_dtype,
         head_dtype=head_dtype,
+        moment_dtype=jnp.bfloat16 if variant == "mom16" else jnp.float32,
     )
 
     rng = jax.random.PRNGKey(0)

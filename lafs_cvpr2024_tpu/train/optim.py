@@ -27,8 +27,11 @@ class AdamWState(NamedTuple):
     nu: Any
 
 
-def adamw_init(params) -> AdamWState:
-    zeros = lambda p: jnp.zeros_like(p)
+def adamw_init(params, moment_dtype=None) -> AdamWState:
+    """``moment_dtype`` stores the moments in a lower precision (bf16 halves
+    the optimizer's HBM traffic — ~2 GB/step on the flagship SSL state); the
+    update math always runs in fp32 (optax ``mu_dtype`` semantics)."""
+    zeros = lambda p: jnp.zeros_like(p, dtype=moment_dtype or p.dtype)
     return AdamWState(
         count=jnp.zeros((), jnp.int32),
         mu=jax.tree_util.tree_map(zeros, params),
@@ -57,8 +60,17 @@ def adamw_update(
     count = state.count + 1
     c1 = 1 - b1 ** count.astype(jnp.float32)
     c2 = 1 - b2 ** count.astype(jnp.float32)
-    mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-    nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+    # moment math in fp32 regardless of storage dtype (bf16-stored moments
+    # would otherwise swallow the (1-b2)=1e-3 vu increments entirely)
+    mu = jax.tree_util.tree_map(
+        lambda m, g: b1 * m.astype(jnp.float32) + (1 - b1) * g.astype(jnp.float32),
+        state.mu, grads,
+    )
+    nu = jax.tree_util.tree_map(
+        lambda v, g: b2 * v.astype(jnp.float32)
+        + (1 - b2) * jnp.square(g.astype(jnp.float32)),
+        state.nu, grads,
+    )
 
     ones = jax.tree_util.tree_map(lambda p: 1.0, params)
     wd_t = wd_scale_tree if wd_scale_tree is not None else ones
@@ -67,11 +79,16 @@ def adamw_update(
     def upd(p, m, v, wscale, lscale):
         mhat = m / c1
         vhat = v / c2
-        step = mhat / (jnp.sqrt(vhat) + eps) + (wd * wscale) * p
-        return p - (lr * lscale) * step
+        step = mhat / (jnp.sqrt(vhat) + eps) + (wd * wscale) * p.astype(jnp.float32)
+        return (p.astype(jnp.float32) - (lr * lscale) * step).astype(p.dtype)
 
     new_params = jax.tree_util.tree_map(upd, params, mu, nu, wd_t, lr_t)
-    return new_params, AdamWState(count, mu, nu)
+    cast_back = lambda new, old: jax.tree_util.tree_map(
+        lambda n, o: n.astype(o.dtype), new, old
+    )
+    return new_params, AdamWState(
+        count, cast_back(mu, state.mu), cast_back(nu, state.nu)
+    )
 
 
 class LARSState(NamedTuple):

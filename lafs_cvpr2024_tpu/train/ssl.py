@@ -71,6 +71,9 @@ class SSLConfig:
     landmark_dtype: Any = jnp.float32  # frozen landmark-CNN compute dtype;
                                        # bf16 is safe (landmarks get N(0,5px)
                                        # jitter anyway) and skips fp32 convs
+    moment_dtype: Any = jnp.float32  # AdamW moment STORAGE dtype (math is
+                                     # always fp32); bf16 halves the ~2 GB
+                                     # optimizer HBM traffic per step
 
     fused_device_aug: bool = False  # run the 20-crop augmentation INSIDE the
                                     # train step (input = raw uint8 batch);
@@ -125,7 +128,7 @@ def create_ssl_state(cfg: SSLConfig, rng: jax.Array) -> SSLTrainState:
     return SSLTrainState(
         student=student,
         teacher=jax.tree_util.tree_map(jnp.copy, student),
-        opt_state=adamw_init(student),
+        opt_state=adamw_init(student, moment_dtype=cfg.moment_dtype),
         center=jnp.zeros((1, cfg.out_dim)),
         step=jnp.zeros((), jnp.int32),
         rng=k3,

@@ -120,3 +120,28 @@ def test_lars_runs():
     new_params, state = lars_update(grads, state, params, lr=0.1, wd=1e-4)
     assert np.asarray(new_params["w"]).std() >= 0
     assert not np.allclose(np.asarray(new_params["w"]), np.asarray(params["w"]))
+
+
+def test_adamw_bf16_moments_tracks_fp32():
+    """bf16-STORED moments (fp32 math) stay close to the fp32 trajectory —
+    the perf knob must not change optimizer semantics beyond storage
+    rounding."""
+    rng = np.random.default_rng(1)
+    p0 = rng.standard_normal((8, 4)).astype(np.float32)
+    params32 = {"w": jnp.asarray(p0)}
+    params16 = {"w": jnp.asarray(p0)}
+    s32 = adamw_init(params32)
+    s16 = adamw_init(params16, moment_dtype=jnp.bfloat16)
+    assert s16.mu["w"].dtype == jnp.bfloat16
+    assert s16.nu["w"].dtype == jnp.bfloat16
+
+    for i in range(20):
+        g = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+        params32, s32 = adamw_update({"w": g}, s32, params32, lr=1e-2, wd=0.1)
+        params16, s16 = adamw_update({"w": g}, s16, params16, lr=1e-2, wd=0.1)
+    assert s16.mu["w"].dtype == jnp.bfloat16  # storage dtype preserved
+    assert params16["w"].dtype == jnp.float32  # params stay full precision
+    # bf16 has ~3 decimal digits; after 20 steps of lr=1e-2 drift stays small
+    np.testing.assert_allclose(
+        np.asarray(params16["w"]), np.asarray(params32["w"]), atol=2e-3
+    )
