@@ -8,6 +8,7 @@ Variants stack (each includes the previous unless noted):
   land16    — + landmark CNN in bf16
   head16    — + DINOHead projection in bf16
   mom16     — + AdamW moments stored bf16 (fp32 math)
+  fusedmlp  — + pallas fused-MLP kernel (ops/fused_mlp.py)
   nodrop    — head16 + dropout/drop_path 0 (DIAGNOSTIC: quantifies mask cost)
   depth6    — head16 + depth 6 (DIAGNOSTIC: per-layer vs fixed cost split)
   flash     — head16 + pallas flash attention (padded 197→256, segment mask)
@@ -61,6 +62,7 @@ def main():
             dropout=dropout, emb_dropout=dropout,
             drop_path_rate=0.0 if variant == "nodrop" else 0.1,
             attn_impl="flash" if variant == "flash" else "einsum",
+            mlp_impl="fused" if variant == "fusedmlp" else "dense",
             gather_impl={"gxla": "gather", "gpallas": "pallas"}.get(variant, "mxu"),
             remat_policy={"rematdots": "dots", "rematall": "all"}.get(variant, "none"),
         ),
@@ -69,7 +71,7 @@ def main():
         compute_dtype=jnp.bfloat16,
         landmark_dtype=land_dtype,
         head_dtype=head_dtype,
-        moment_dtype=jnp.bfloat16 if variant == "mom16" else jnp.float32,
+        moment_dtype=jnp.bfloat16 if variant in ("mom16", "fusedmlp") else jnp.float32,
     )
 
     rng = jax.random.PRNGKey(0)

@@ -56,6 +56,10 @@ def get_args():
     p.add_argument("--saveckp-freq", type=int, default=10)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mlp-impl", default="auto",
+                   choices=["auto", "dense", "fused"],
+                   help="transformer MLP impl; 'fused' = pallas fc1+gelu+"
+                        "dropout+fc2 kernel (auto: fused on TPU)")
     p.add_argument("--device-aug", action="store_true",
                    help="run the 20-crop LAFS augmentation ON DEVICE (host "
                         "ships one uint8 image/sample; frees host CPU)")
@@ -72,6 +76,7 @@ def main():
     from ..models.partfvit import PartFViTConfig
     from ..ops.schedules import cosine_scheduler, dino_lr_scaling, teacher_temp_schedule
     from ..parallel.mesh import create_mesh, is_main_process
+    from ..utils.config import resolve_mlp_impl
     from ..train.checkpoint import (
         import_torch_state_dict,
         load_torch_file,
@@ -123,6 +128,7 @@ def main():
             dim=args.dim, depth=args.depth, heads=args.heads, mlp_dim=args.mlp_dim,
             num_patches=args.num_patches, with_land=False, loss_type="None",
             num_classes=0, image_size=args.image_size, stn_mode=args.stn_mode,
+            mlp_impl=resolve_mlp_impl(args.mlp_impl),
         ),
         out_dim=args.out_dim,
         local_crops_number=args.local_crops_number,

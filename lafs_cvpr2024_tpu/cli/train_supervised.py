@@ -64,6 +64,10 @@ def get_args():
                    help="add MSE against the frozen landmark teacher "
                         "(pre_land+keep_land, train_largescale.py:807-836; "
                         "requires --landmark-checkpoint)")
+    p.add_argument("--mlp-impl", default="auto",
+                   choices=["auto", "dense", "fused"],
+                   help="transformer MLP impl; 'fused' = pallas fc1+gelu+"
+                        "dropout+fc2 kernel (auto: fused on TPU)")
     p.add_argument("--device-aug", action="store_true",
                    help="run mirror+RandAugment+crop+jitter+erasing ON DEVICE "
                         "inside the train step (host ships raw uint8; "
@@ -80,6 +84,7 @@ def get_args():
 
 def main():
     args = get_args()
+    from ..utils.config import resolve_mlp_impl
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from ..data import (
@@ -175,6 +180,7 @@ def main():
             patch_size=args.patch_size, num_classes=num_classes,
             with_land=args.with_land, loss_type=args.head_name,
             image_size=args.image_size, stn_mode=args.stn_mode,
+            mlp_impl=resolve_mlp_impl(args.mlp_impl),
         ),
         acc_step=args.acc_step,
         mixup=MixupConfig(

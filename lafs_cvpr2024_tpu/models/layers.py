@@ -53,13 +53,49 @@ class FastDropout(nn.Module):
         return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x))
 
 
+class _LinearParams(nn.Module):
+    """Parameter holder matching ``nn.Dense``'s tree (kernel/bias) so the
+    fused-MLP path loads the same checkpoints as the dense path."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class FeedForward(nn.Module):
+    """Reference MLP (``ViT_face.py:128-142``): Linear, GELU(exact), Dropout,
+    Linear, Dropout. ``mlp_impl='fused'`` runs the whole block as ONE Pallas
+    kernel (hidden activation + dropout masks never touch HBM — see
+    ``ops/fused_mlp.py``); param tree is identical to the dense path."""
+
     dim: int
     hidden_dim: int
     dropout: float = 0.0
+    mlp_impl: str = "dense"  # 'dense' | 'fused' (pallas, needs dims % 128)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.mlp_impl == "fused" and self.dim % 128 == 0 and self.hidden_dim % 128 == 0:
+            from ..ops.fused_mlp import fused_mlp
+
+            w1, b1 = _LinearParams(self.dim, self.hidden_dim, name="fc1")()
+            w2, b2 = _LinearParams(self.hidden_dim, self.dim, name="fc2")()
+            rng = None
+            if not deterministic and self.dropout > 0.0:
+                rng = self.make_rng("dropout")
+            return fused_mlp(
+                x, w1.astype(x.dtype), b1.astype(x.dtype),
+                w2.astype(x.dtype), b2.astype(x.dtype),
+                rate=self.dropout, rng=rng, deterministic=deterministic,
+            )
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = FastDropout(self.dropout)(x, deterministic=deterministic)
@@ -137,6 +173,7 @@ class TransformerBlock(nn.Module):
     dropout: float = 0.0
     drop_path_rate: float = 0.1
     attn_impl: str = "einsum"
+    mlp_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -149,7 +186,9 @@ class TransformerBlock(nn.Module):
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
         x = x + h
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = FeedForward(self.dim, self.mlp_dim, self.dropout, name="mlp")(h, deterministic)
+        h = FeedForward(
+            self.dim, self.mlp_dim, self.dropout, self.mlp_impl, name="mlp"
+        )(h, deterministic)
         if not deterministic and self.drop_path_rate > 0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
         return x + h
@@ -167,6 +206,7 @@ class Transformer(nn.Module):
     dropout: float = 0.0
     drop_path_rate: float = 0.1
     attn_impl: str = "einsum"
+    mlp_impl: str = "dense"
     remat_policy: str = "none"  # 'none' | 'dots' | 'all' — trade backward
                                 # HBM traffic for recompute FLOPs
 
@@ -190,6 +230,7 @@ class Transformer(nn.Module):
                 self.dropout,
                 self.drop_path_rate,
                 self.attn_impl,
+                self.mlp_impl,
                 name=f"layers_{i}",
             )(x, deterministic)
         return x

@@ -68,6 +68,9 @@ class PartFViTConfig:
     attn_impl: str = "einsum"       # 'einsum' | 'flash' (pallas fused kernel;
                                     # TPU-only, numerics match to ~1e-3;
                                     # measured SLOWER at 197/37-token seqs)
+    mlp_impl: str = "dense"         # 'dense' | 'fused' (pallas fc1+gelu+
+                                    # dropout+fc2 kernel; needs dim/mlp_dim
+                                    # % 128; measured FASTER — ops/fused_mlp)
     remat_policy: str = "none"      # transformer remat: 'none'|'dots'|'all'
     bn_axis_name: Optional[str] = None  # set to mesh axis for SyncBN
     stn_mode: str = "large"            # MobileNetV3 variant for the stem
@@ -203,6 +206,7 @@ class PartFViT(nn.Module):
             cfg.dropout,
             cfg.drop_path_rate,
             cfg.attn_impl,
+            cfg.mlp_impl,
             cfg.remat_policy,
             name="transformer",
         )(h, deterministic=not train)
@@ -244,6 +248,7 @@ class LandmarkProvider(nn.Module):
     attn_impl: str = "einsum"       # 'einsum' | 'flash' (pallas fused kernel;
                                     # TPU-only, numerics match to ~1e-3;
                                     # measured SLOWER at 197/37-token seqs)
+    mlp_impl: str = "dense"         # 'dense' | 'fused' (see PartFViTConfig)
     remat_policy: str = "none"      # transformer remat: 'none'|'dots'|'all'
     bn_axis_name: Optional[str] = None
     stn_mode: str = "large"
@@ -315,7 +320,8 @@ class OverlapViT(nn.Module):
         h = FastDropout(cfg.emb_dropout)(h, deterministic=not train)
         h = Transformer(
             cfg.dim, cfg.depth, cfg.heads, cfg.dim_head, cfg.mlp_dim,
-            cfg.dropout, cfg.drop_path_rate, cfg.attn_impl, cfg.remat_policy,
+            cfg.dropout, cfg.drop_path_rate, cfg.attn_impl, cfg.mlp_impl,
+            cfg.remat_policy,
             name="transformer",
         )(h, deterministic=not train)
         pooled = h.mean(axis=1) if cfg.pool == "mean" else h[:, 0]

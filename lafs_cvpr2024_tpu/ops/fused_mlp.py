@@ -1,0 +1,306 @@
+"""Fused transformer-MLP Pallas TPU kernel (fc1 + GELU + dropout + fc2 +
+dropout in ONE kernel).
+
+Why: the reference MLP (``face_pre_pro/ViT_face.py:128-142`` — Linear, GELU,
+Dropout, Linear, Dropout) lowered through XLA round-trips the 2048-wide
+hidden activation and two dropout-bit tensors through HBM every layer
+(~180 MB/layer at the flagship 22k-token student batch). This kernel keeps
+the hidden activation in VMEM and draws dropout bits with the on-core PRNG
+(`pltpu.prng_random_bits`) so no mask ever touches HBM. Measured on the
+v5e-lite chip (``benchmarks/bench_mlp_fusion.py``, 22016 tokens, 768→2048):
+1.45 ms vs 1.79 ms XLA with dropout per layer forward (96 vs 77 TF/s).
+
+Backward (custom VJP): one Pallas "prep" kernel regenerates the masks from
+the same per-tile seeds, recomputes GELU from the saved pre-activation, and
+computes the dy @ W2ᵀ matmul in-kernel; the weight-gradient contractions
+(dW1, dW2, dx) stay in XLA where they fuse with the surrounding graph.
+
+GELU is the exact (erf) flavor, matching the reference's ``nn.GELU()``;
+Mosaic lacks erf, so we use the Abramowitz–Stegun 7.1.26 rational
+approximation (|err| ≤ 1.5e-7 — below bf16 resolution).
+
+Dropout semantics: keep-prob threshold on uint32 bits (quantization 2⁻³²).
+The bit stream is the on-core PRNG (or a counter-hash in interpret mode for
+CPU tests), NOT jax.random — dropout RNG provenance is an implementation
+detail; determinism per (seed, tile) is what fwd/bwd correctness needs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128       # token-tile; fwd AND bwd must tile identically (mask
+                 # seeds are per-tile); 256 puts the bwd kernel over VMEM
+TILE_WIDE = 64   # fp32 inputs: weights occupy 2x VMEM, shrink the tile
+
+
+def _phi(u):
+    """Standard normal CDF via the A&S 7.1.26 erf approximation."""
+    z = u * (2.0 ** -0.5)
+    s = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-a * a))
+    return 0.5 * (1.0 + erf)
+
+
+def _gelu(u):
+    return u * _phi(u)
+
+
+def _gelu_grad(u):
+    # d/du [u Φ(u)] = Φ(u) + u φ(u)
+    pdf = jnp.exp(-0.5 * u * u) * (1.0 / np.sqrt(2.0 * np.pi))
+    return _phi(u) + u * pdf
+
+
+def _bits(shape, seed, tile_idx, draw_idx: int, interpret: bool):
+    """uint32 random bits, a pure function of (seed, tile, draw, element).
+
+    Compiled: re-seed the on-core PRNG with the (seed, tile, draw) triple
+    immediately before each draw — draw-order independent, so the backward
+    kernel regenerates the forward's masks exactly no matter how Mosaic
+    schedules the (independent) draws. Interpret (CPU tests): a counter-hash
+    with the same key structure."""
+    if not interpret:
+        # Mosaic caps prng_seed at 2 values — pack (tile, draw) into one
+        pltpu.prng_seed(seed, tile_idx * 2 + np.int32(draw_idx))
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(2654435761)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * np.uint32(0x9E3779B9)
+    v = r ^ c ^ (seed.astype(jnp.uint32)
+                 + tile_idx.astype(jnp.uint32) * np.uint32(0xB5297A4D)
+                 + np.uint32(draw_idx) * np.uint32(0x85EBCA6B))
+    v = (v ^ (v >> 16)) * np.uint32(0x7FEB352D)
+    v = (v ^ (v >> 15)) * np.uint32(0x846CA68B)
+    return v ^ (v >> 16)
+
+
+def _thresh(rate: float) -> np.uint32:
+    return np.uint32(int(round((1.0 - rate) * 2.0 ** 32)) & 0xFFFFFFFF)
+
+
+def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                y_ref, u_ref, *, rate: float, interpret: bool):
+    i = pl.program_id(0)
+    seed = seed_ref[0]
+    u = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[:].astype(jnp.float32)
+    if u_ref is not None:
+        u_ref[:] = u.astype(u_ref.dtype)
+    h = _gelu(u)
+    if rate > 0.0:
+        keep = 1.0 - rate
+        m1 = _bits(h.shape, seed, i, 0, interpret) < _thresh(rate)
+        h = jnp.where(m1, h * (1.0 / keep), 0.0)
+    h = h.astype(x_ref.dtype)
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o = o + b2_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        keep = 1.0 - rate
+        m2 = _bits(o.shape, seed, i, 1, interpret) < _thresh(rate)
+        o = jnp.where(m2, o * (1.0 / keep), 0.0)
+    y_ref[:] = o.astype(y_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, u_ref, dy_ref, w2_ref,
+                do_ref, hd_ref, du_ref, *, rate: float, interpret: bool):
+    """Per token-tile: regenerate both masks, recompute GELU from the saved
+    pre-activation, apply the dropout backwards, and run the dy@W2ᵀ matmul.
+    Outputs feed the XLA-side dW1/dW2/dx contractions."""
+    i = pl.program_id(0)
+    seed = seed_ref[0]
+    u = u_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
+    h = _gelu(u)
+    if rate > 0.0:
+        keep = 1.0 - rate
+        # same (seed, tile, draw) keys as the forward kernel
+        m1 = _bits(u.shape, seed, i, 0, interpret) < _thresh(rate)
+        m2 = _bits(dy.shape, seed, i, 1, interpret) < _thresh(rate)
+        do = jnp.where(m2, dy * (1.0 / keep), 0.0)
+        hd = jnp.where(m1, h * (1.0 / keep), 0.0)
+    else:
+        do = dy
+        hd = h
+    do = do.astype(do_ref.dtype)
+    do_ref[:] = do
+    hd_ref[:] = hd.astype(hd_ref.dtype)
+    # dhd = do @ W2ᵀ : (T, D) x (H, D) contracting D
+    dhd = jax.lax.dot_general(
+        do, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        keep = 1.0 - rate
+        dhd = jnp.where(m1, dhd * (1.0 / keep), 0.0)
+    du_ref[:] = (dhd * _gelu_grad(u)).astype(du_ref.dtype)
+
+
+def _pad_tokens(a, tp):
+    t = a.shape[0]
+    return a if t == tp else jnp.pad(a, ((0, tp - t), (0, 0)))
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tile(dtype) -> int:
+    return TILE if jnp.dtype(dtype).itemsize <= 2 else TILE_WIDE
+
+
+def _fwd_call(x, w1, b1, w2, b2, seed, rate: float, save_u: bool,
+              interpret: bool):
+    t, d = x.shape
+    h = w1.shape[1]
+    tile = _tile(x.dtype)
+    tp = pl.cdiv(t, tile) * tile
+    xp = _pad_tokens(x, tp)
+    grid = (tp // tile,)
+    out_shape = [jax.ShapeDtypeStruct((tp, d), x.dtype)]
+    out_specs = [pl.BlockSpec((tile, d), lambda i, s: (i, 0))]
+    if save_u:
+        out_shape.append(jax.ShapeDtypeStruct((tp, h), x.dtype))
+        out_specs.append(pl.BlockSpec((tile, h), lambda i, s: (i, 0)))
+        kernel = functools.partial(_fwd_kernel, rate=rate, interpret=interpret)
+    else:
+        def kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
+            _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        y_ref, None, rate=rate, interpret=interpret)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, d), lambda i, s: (i, 0)),
+                pl.BlockSpec((d, h), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, h), lambda i, s: (0, 0)),
+                pl.BlockSpec((h, d), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, s: (0, 0)),
+            ],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(seed, xp, w1, b1.reshape(1, h), w2, b2.reshape(1, d))
+    y = outs[0][:t]
+    return (y, outs[1]) if save_u else (y, None)
+
+
+def _bwd_call(u_pad, dy, w2, seed, rate: float, interpret: bool):
+    t, d = dy.shape
+    h = w2.shape[0]
+    tile = _tile(dy.dtype)  # same dtype as the fwd ⇒ same tiling ⇒ the
+                            # per-tile seeds regenerate the same masks
+    tp = u_pad.shape[0]
+    dyp = _pad_tokens(dy, tp)
+    grid = (tp // tile,)
+    do, hd, du = pl.pallas_call(
+        functools.partial(_bwd_kernel, rate=rate, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, h), lambda i, s: (i, 0)),
+                pl.BlockSpec((tile, d), lambda i, s: (i, 0)),
+                pl.BlockSpec((h, d), lambda i, s: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile, d), lambda i, s: (i, 0)),
+                pl.BlockSpec((tile, h), lambda i, s: (i, 0)),
+                pl.BlockSpec((tile, h), lambda i, s: (i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, d), dy.dtype),
+            jax.ShapeDtypeStruct((tp, h), dy.dtype),
+            jax.ShapeDtypeStruct((tp, h), dy.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(seed, u_pad, dyp, w2)
+    return do[:t], hd, du  # hd/du stay padded (pad rows are exactly zero
+                           # where it matters: du pad rows = 0 since dy pad
+                           # rows = 0 ⇒ do = 0 ⇒ dhd = 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_mlp2d(x, w1, b1, w2, b2, seed, rate: float, interpret: bool):
+    y, _ = _fwd_call(x, w1, b1, w2, b2, seed, rate, save_u=False,
+                     interpret=interpret)
+    return y
+
+
+def _fused_mlp2d_fwd(x, w1, b1, w2, b2, seed, rate: float, interpret: bool):
+    y, u = _fwd_call(x, w1, b1, w2, b2, seed, rate, save_u=True,
+                     interpret=interpret)
+    return y, (x, u, w1, w2, seed)
+
+
+def _fused_mlp2d_bwd(rate: float, interpret: bool, res, dy):
+    x, u_pad, w1, w2, seed = res
+    t = x.shape[0]
+    do, hd, du = _bwd_call(u_pad, dy, w2, seed, rate, interpret)
+    du_t = du[:t]
+    f32 = jnp.float32
+    # weight grads contract over tokens; XLA fuses these with the psum
+    dw2 = jax.lax.dot_general(
+        hd, _pad_tokens(do, hd.shape[0]),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(w2.dtype)
+    dw1 = jax.lax.dot_general(
+        x, du_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(w1.dtype)
+    dx = jax.lax.dot_general(
+        du_t, w1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(x.dtype)
+    db1 = jnp.sum(du_t.astype(f32), axis=0).astype(x.dtype)
+    db2 = jnp.sum(do.astype(f32), axis=0).astype(x.dtype)
+    dseed = np.zeros((1,), dtype=jax.dtypes.float0)
+    return dx, dw1, db1, dw2, db2, dseed
+
+
+_fused_mlp2d.defvjp(_fused_mlp2d_fwd, _fused_mlp2d_bwd)
+
+
+def fused_mlp(x, w1, b1, w2, b2, *, rate: float = 0.0, rng=None,
+              deterministic: bool = True, interpret: bool | None = None):
+    """y = drop(gelu(x @ w1 + b1) @ w2 + b2) with both dropouts fused.
+
+    x: (..., D); w1: (D, H); w2: (H, D). Requires D, H multiples of 128
+    (flagship: 768/2048) — callers fall back to the dense path otherwise.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    rate = 0.0 if deterministic else float(rate)
+    if rate > 0.0:
+        if rng is None:
+            raise ValueError("fused_mlp: dropout active but no rng given")
+        seed = jax.random.randint(
+            rng, (1,), 0, np.int32(2**31 - 1), dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    y = _fused_mlp2d(x2, w1, b1, w2, b2, seed, rate, interpret)
+    return y.reshape(*lead, d)

@@ -43,3 +43,13 @@ def apply_toml_defaults(
     parser.add_argument("--config", default=known.config,
                         help="TOML file with flag defaults")
     return parser.parse_args(rest)
+
+
+def resolve_mlp_impl(choice: str) -> str:
+    """'auto' → the pallas fused MLP on TPU backends, dense elsewhere (the
+    fused kernel falls back to slow interpret mode off-TPU)."""
+    if choice != "auto":
+        return choice
+    import jax
+
+    return "fused" if jax.default_backend() == "tpu" else "dense"

@@ -1,0 +1,145 @@
+"""Fused Pallas MLP vs the dense reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from lafs_cvpr2024_tpu.models.layers import FeedForward
+from lafs_cvpr2024_tpu.ops.fused_mlp import fused_mlp
+
+D, H = 128, 256  # %128 like the flagship 768/2048 but test-sized
+
+
+def _ref_mlp(x, w1, b1, w2, b2):
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    return h @ w2 + b2
+
+
+def _params(key, t=48):
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (t, D), jnp.float32)
+    w1 = jax.random.normal(ks[1], (D, H), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[2], (H,), jnp.float32) * 0.01
+    w2 = jax.random.normal(ks[3], (H, D), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (D,), jnp.float32) * 0.01
+    return x, w1, b1, w2, b2
+
+
+def test_forward_matches_dense_no_dropout():
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(0))
+    y = fused_mlp(x, w1, b1, w2, b2, rate=0.0, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(_ref_mlp(x, w1, b1, w2, b2)),
+        atol=2e-5, rtol=1e-5,
+    )
+
+
+def test_forward_batched_leading_dims():
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(1), t=36)
+    x3 = x.reshape(3, 12, D)
+    y = fused_mlp(x3, w1, b1, w2, b2, deterministic=True)
+    assert y.shape == (3, 12, D)
+    np.testing.assert_allclose(
+        np.asarray(y.reshape(36, D)),
+        np.asarray(_ref_mlp(x, w1, b1, w2, b2)), atol=2e-5, rtol=1e-5,
+    )
+
+
+def test_grads_match_dense_no_dropout():
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(2))
+
+    def loss_fused(args):
+        return jnp.sum(fused_mlp(*args, rate=0.0, deterministic=True) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(_ref_mlp(*args) ** 2)
+
+    gf = jax.grad(loss_fused)((x, w1, b1, w2, b2))
+    gr = jax.grad(loss_ref)((x, w1, b1, w2, b2))
+    for a, b, name in zip(gf, gr, ["x", "w1", "b1", "w2", "b2"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_dropout_zero_fraction_and_scaling():
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(3), t=256)
+    rate = 0.3
+    y = fused_mlp(
+        x, w1, b1, w2, b2, rate=rate, rng=jax.random.PRNGKey(7),
+        deterministic=False,
+    )
+    zero_frac = float(jnp.mean(y == 0.0))
+    assert abs(zero_frac - rate) < 0.02, zero_frac
+    # kept elements are scaled by 1/keep twice at most — just check finite
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # different rng ⇒ different mask
+    y2 = fused_mlp(
+        x, w1, b1, w2, b2, rate=rate, rng=jax.random.PRNGKey(8),
+        deterministic=False,
+    )
+    assert not bool(jnp.all(y == y2))
+    # same rng ⇒ deterministic
+    y3 = fused_mlp(
+        x, w1, b1, w2, b2, rate=rate, rng=jax.random.PRNGKey(7),
+        deterministic=False,
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y3))
+
+
+def test_dropout_vjp_matches_finite_differences():
+    """The backward kernel must regenerate the SAME masks the forward drew:
+    a finite-difference directional derivative through the fixed-seed
+    dropout catches any fwd/bwd mask drift."""
+    x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(4), t=32)
+    rng = jax.random.PRNGKey(11)
+    rate = 0.2
+
+    def f(xx):
+        return jnp.sum(
+            fused_mlp(xx, w1, b1, w2, b2, rate=rate, rng=rng,
+                      deterministic=False)
+        )
+
+    g = jax.grad(f)(x)
+    v = jax.random.normal(jax.random.PRNGKey(5), x.shape) * 0.5
+    eps = 1e-3
+    fd = (f(x + eps * v) - f(x - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(
+        float(jnp.vdot(g, v)), float(fd), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_feedforward_fused_loads_dense_params():
+    """Param-tree compatibility: a checkpoint initialized on the dense path
+    must run unchanged on the fused path."""
+    dense = FeedForward(dim=D, hidden_dim=H, dropout=0.1, mlp_impl="dense")
+    fused = FeedForward(dim=D, hidden_dim=H, dropout=0.1, mlp_impl="fused")
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 10, D))
+    variables = dense.init(jax.random.PRNGKey(0), x)
+    y_dense = dense.apply(variables, x, deterministic=True)
+    y_fused = fused.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_dense), atol=2e-5, rtol=1e-5
+    )
+    jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: a.shape == b.shape,
+            variables, fused.init(jax.random.PRNGKey(0), x),
+        )
+    )
+
+
+def test_feedforward_fused_train_mode_runs():
+    fused = FeedForward(dim=D, hidden_dim=H, dropout=0.1, mlp_impl="fused")
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 10, D))
+    variables = fused.init(jax.random.PRNGKey(0), x)
+    y = fused.apply(
+        variables, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
