@@ -16,6 +16,7 @@ def main():
     cfg = PartFViTConfig(
         dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
         num_patches=196, with_land=True, loss_type="None", num_classes=0,
+        mlp_impl="fused",
     )
     model = PartFViT(cfg)
     x = jnp.zeros((2 * B, 112, 112, 3), jnp.bfloat16)

@@ -9,6 +9,8 @@ Variants stack (each includes the previous unless noted):
   head16    — + DINOHead projection in bf16
   mom16     — + AdamW moments stored bf16 (fp32 math)
   fusedmlp  — + pallas fused-MLP kernel (ops/fused_mlp.py)
+  fm_nodrop — fusedmlp + dropout/drop_path 0 (DIAGNOSTIC)
+  fm_depth6 — fusedmlp + depth 6 (DIAGNOSTIC)
   nodrop    — head16 + dropout/drop_path 0 (DIAGNOSTIC: quantifies mask cost)
   depth6    — head16 + depth 6 (DIAGNOSTIC: per-layer vs fixed cost split)
   flash     — head16 + pallas flash attention (padded 197→256, segment mask)
@@ -48,8 +50,8 @@ def main():
     mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("data", "model"))
 
     donate = variant != "base"
-    depth = 6 if variant == "depth6" else 12
-    dropout = 0.0 if variant == "nodrop" else 0.1
+    depth = 6 if variant in ("depth6", "fm_depth6") else 12
+    dropout = 0.0 if variant in ("nodrop", "fm_nodrop") else 0.1
     land_dtype = jnp.float32 if variant in ("base", "donate") else jnp.bfloat16
     head_dtype = (
         jnp.float32 if variant in ("base", "donate", "land16") else jnp.bfloat16
@@ -60,9 +62,9 @@ def main():
             dim=768, depth=depth, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, with_land=False, loss_type="None", num_classes=0,
             dropout=dropout, emb_dropout=dropout,
-            drop_path_rate=0.0 if variant == "nodrop" else 0.1,
+            drop_path_rate=0.0 if variant in ("nodrop", "fm_nodrop") else 0.1,
             attn_impl="flash" if variant == "flash" else "einsum",
-            mlp_impl="fused" if variant == "fusedmlp" else "dense",
+            mlp_impl="fused" if variant.startswith(("fusedmlp", "fm_")) else "dense",
             gather_impl={"gxla": "gather", "gpallas": "pallas"}.get(variant, "mxu"),
             remat_policy={"rematdots": "dots", "rematall": "all"}.get(variant, "none"),
         ),
@@ -71,7 +73,7 @@ def main():
         compute_dtype=jnp.bfloat16,
         landmark_dtype=land_dtype,
         head_dtype=head_dtype,
-        moment_dtype=jnp.bfloat16 if variant in ("mom16", "fusedmlp") else jnp.float32,
+        moment_dtype=jnp.bfloat16 if variant in ("mom16", "fusedmlp") or variant.startswith("fm_") else jnp.float32,
     )
 
     rng = jax.random.PRNGKey(0)

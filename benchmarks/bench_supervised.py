@@ -28,7 +28,7 @@ def main():
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, num_classes=NUM_CLASSES, with_land=True,
-            loss_type="CosFace",
+            loss_type="CosFace", mlp_impl="fused",
         ),
         acc_step=3,
         mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=NUM_CLASSES),

@@ -70,6 +70,7 @@ def ssl_epoch(data_dir: str, n_workers: int = 4):
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, with_land=False, loss_type="None", num_classes=0,
+            mlp_impl="fused",
         ),
         out_dim=100000, local_crops_number=8,
         landmark_dtype=jnp.bfloat16, head_dtype=jnp.bfloat16,
@@ -135,7 +136,7 @@ def finetune_and_val(data_dir: str, n_workers: int = 4, device_aug: bool = False
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, num_classes=num_classes, with_land=True,
-            loss_type="CosFace",
+            loss_type="CosFace", mlp_impl="fused",
         ),
         acc_step=3,
         mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=num_classes),

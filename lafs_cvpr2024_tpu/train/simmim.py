@@ -37,6 +37,7 @@ class SimMIMConfig:
     mask_ratio: float = 0.6
     clip_grad: float = 5.0
     compute_dtype: Any = jnp.bfloat16
+    moment_dtype: Any = jnp.float32  # AdamW moment storage (math stays fp32)
     use_landmarks: bool = True  # gather patches at predicted landmarks
 
 
@@ -81,7 +82,7 @@ def create_simmim_state(cfg: SimMIMConfig, rng: jax.Array) -> SimMIMTrainState:
     params = {"backbone": bb, "decoder": dec}
     return SimMIMTrainState(
         params=params,
-        opt_state=adamw_init(params),
+        opt_state=adamw_init(params, moment_dtype=cfg.moment_dtype),
         step=jnp.zeros((), jnp.int32),
         rng=k3,
     )

@@ -53,6 +53,9 @@ class SupervisedConfig:
                                     # run INSIDE the step (host-immune input
                                     # pipeline, like the SSL fused-aug path)
     rand_aug: str = "rand-m1-mstd0.5-inc1"  # device RandAugment policy
+    moment_dtype: Any = jnp.float32  # AdamW moment STORAGE dtype (math is
+                                     # always fp32); bf16 halves optimizer
+                                     # HBM traffic (~1.2 GB on the 205k head)
 
 
 class TrainState(NamedTuple):
@@ -94,7 +97,7 @@ def create_state(
     return TrainState(
         params=params,
         batch_stats=batch_stats,
-        opt_state=adamw_init(params),
+        opt_state=adamw_init(params, moment_dtype=cfg.moment_dtype),
         step=jnp.zeros((), jnp.int32),
         rng=rng,
     )
@@ -369,11 +372,11 @@ def create_classifier(
     (num_classes, dim) replica."""
     if not enabled:
         w = jnp.zeros((0, cfg.model.dim), jnp.float32)
-        return w, adamw_init({"w": w})
+        return w, adamw_init({"w": w}, moment_dtype=cfg.moment_dtype)
     w = jax.nn.initializers.xavier_uniform()(
         rng, (cfg.model.num_classes, cfg.model.dim), jnp.float32
     )
-    return w, adamw_init({"w": w})
+    return w, adamw_init({"w": w}, moment_dtype=cfg.moment_dtype)
 
 
 def make_embed_fn(

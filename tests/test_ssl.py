@@ -125,3 +125,37 @@ def test_ssl_fused_device_aug_step():
     state, m = step(state, land, raw, dummy, dummy, dummy, **args)
     assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 1
+
+
+def test_ssl_step_fused_mlp_interpret():
+    """Full SSL step with the pallas fused MLP active (interpret mode on the
+    CPU mesh; dims %128 so the fused branch actually runs). Loss finite, a
+    second step moves it, moments stored bf16."""
+    cfg = SSLConfig(
+        model=PartFViTConfig(
+            dim=128, depth=1, heads=2, dim_head=16, mlp_dim=256,
+            num_patches=16, patch_size=8, with_land=False, loss_type="None",
+            num_classes=0, image_size=48, stn_mode="small",
+            mlp_impl="fused",
+        ),
+        out_dim=32, head_hidden_dim=32, head_bottleneck_dim=16,
+        local_crops_number=2, local_keep_landmarks=8,
+        compute_dtype=jnp.float32,
+        moment_dtype=jnp.bfloat16,
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_leaves(state.opt_state.mu)[0].dtype == jnp.bfloat16
+    land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
+    step = make_ssl_train_step(cfg, mesh)
+    rng = np.random.default_rng(0)
+    shape = (2, 48, 48, 3)
+    crops = [rng.uniform(-1, 1, shape).astype(np.float32) for _ in range(8)]
+    gc, ga, lc, la = (jnp.asarray(x) for x in assemble_crop_batches(crops))
+    args = dict(lr=jnp.float32(1e-3), wd=jnp.float32(0.04),
+                momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                freeze_last=jnp.float32(0.0))
+    state, m1 = step(state, land, gc, ga, lc, la, **args)
+    state, m2 = step(state, land, gc, ga, lc, la, **args)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m1["loss"]) != float(m2["loss"])  # params actually moved
