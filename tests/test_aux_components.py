@@ -209,3 +209,34 @@ def test_attention_rollout_variants():
     lands = rng.uniform(0, 31, (16, 2)).astype(np.float32)
     png = attention_heatmap_landmark(img, attn[0, 0, 1:], lands, patch_size=8)
     assert isinstance(png, bytes) and png[:4] == b"\x89PNG"
+
+
+def test_shipped_config_presets_validate():
+    """Every configs/*.toml preset must parse against its CLI parser —
+    apply_toml_defaults raises on any key that is not a real flag, so this
+    catches preset/CLI drift."""
+    import pathlib
+    import sys
+    from unittest import mock
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    presets = sorted((repo / "configs").glob("*.toml"))
+    assert presets, "no shipped presets found"
+    from lafs_cvpr2024_tpu.cli import train_ssl, train_supervised
+
+    for preset in presets:
+        import tomllib
+
+        with open(preset, "rb") as f:
+            table = next(iter(tomllib.load(f)))
+        mod, required = {
+            "ssl": (train_ssl, ["--data-path", "d", "--output-dir", "o"]),
+            "train": (
+                train_supervised,
+                ["--data-root", "d", "--work-path", "o"],
+            ),
+        }[table]
+        argv = ["prog", "--config", str(preset), *required]
+        with mock.patch.object(sys, "argv", argv):
+            args = mod.get_args()
+        assert args.config == str(preset)
