@@ -16,7 +16,9 @@ def main():
     cfg = PartFViTConfig(
         dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
         num_patches=196, with_land=True, loss_type="None", num_classes=0,
-        mlp_impl="fused",
+        # NOT mlp_impl="fused": measured SLOWER here (212 vs 193 ms/batch) —
+        # in the inference-only with_land graph the custom-call layout
+        # constraints cost more than the fused kernel saves (docs/PERF.md)
     )
     model = PartFViT(cfg)
     x = jnp.zeros((2 * B, 112, 112, 3), jnp.bfloat16)
