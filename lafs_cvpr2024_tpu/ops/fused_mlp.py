@@ -158,6 +158,25 @@ def _tile(dtype) -> int:
     return TILE if jnp.dtype(dtype).itemsize <= 2 else TILE_WIDE
 
 
+def _vma(*arrays):
+    """Union of the operands' varying-mesh-axes: under shard_map with
+    check_vma=True, pallas out_shapes must declare how outputs vary."""
+    out = frozenset()
+    for a in arrays:
+        out |= getattr(jax.typeof(a), "vma", frozenset())
+    return out
+
+
+def _align_vma(vma, *arrays):
+    """pvary every operand up to the union vma — in-kernel dot_general
+    requires matching varying-axes on its operands under shard_map."""
+    out = []
+    for a in arrays:
+        missing = tuple(vma - getattr(jax.typeof(a), "vma", frozenset()))
+        out.append(jax.lax.pvary(a, missing) if missing else a)
+    return out
+
+
 def _fwd_call(x, w1, b1, w2, b2, seed, rate: float, save_u: bool,
               interpret: bool):
     t, d = x.shape
@@ -166,10 +185,12 @@ def _fwd_call(x, w1, b1, w2, b2, seed, rate: float, save_u: bool,
     tp = pl.cdiv(t, tile) * tile
     xp = _pad_tokens(x, tp)
     grid = (tp // tile,)
-    out_shape = [jax.ShapeDtypeStruct((tp, d), x.dtype)]
+    vma = _vma(x, w1, b1, w2, b2, seed)
+    xp, w1, b1, w2, b2, seed = _align_vma(vma, xp, w1, b1, w2, b2, seed)
+    out_shape = [jax.ShapeDtypeStruct((tp, d), x.dtype, vma=vma)]
     out_specs = [pl.BlockSpec((tile, d), lambda i, s: (i, 0))]
     if save_u:
-        out_shape.append(jax.ShapeDtypeStruct((tp, h), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((tp, h), x.dtype, vma=vma))
         out_specs.append(pl.BlockSpec((tile, h), lambda i, s: (i, 0)))
         kernel = functools.partial(_fwd_kernel, rate=rate, interpret=interpret)
     else:
@@ -205,6 +226,8 @@ def _bwd_call(u_pad, dy, w2, seed, rate: float, interpret: bool):
     h = w2.shape[0]
     tile = _tile(dy.dtype)  # same dtype as the fwd ⇒ same tiling ⇒ the
                             # per-tile seeds regenerate the same masks
+    vma = _vma(u_pad, dy, w2, seed)
+    u_pad, dy, w2, seed = _align_vma(vma, u_pad, dy, w2, seed)
     tp = u_pad.shape[0]
     dyp = _pad_tokens(dy, tp)
     grid = (tp // tile,)
@@ -225,9 +248,9 @@ def _bwd_call(u_pad, dy, w2, seed, rate: float, interpret: bool):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((tp, d), dy.dtype),
-            jax.ShapeDtypeStruct((tp, h), dy.dtype),
-            jax.ShapeDtypeStruct((tp, h), dy.dtype),
+            jax.ShapeDtypeStruct((tp, d), dy.dtype, vma=vma),
+            jax.ShapeDtypeStruct((tp, h), dy.dtype, vma=vma),
+            jax.ShapeDtypeStruct((tp, h), dy.dtype, vma=vma),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

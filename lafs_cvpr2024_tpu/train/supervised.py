@@ -392,8 +392,15 @@ def make_embed_fn(
 
     ``input_scale`` ('half' = x/255−0.5, 'unit' = x/255·2−1): accept RAW
     uint8 batches and normalize ON DEVICE — 4× less host→device transfer
-    (pair with ``perform_val(..., device_scale=True)``)."""
-    model_cfg = PartFViTConfig(**{**cfg.model.__dict__, "loss_type": "None"})
+    (pair with ``perform_val(..., device_scale=True)``).
+
+    Always uses the DENSE MLP path: the fused pallas kernel is a training
+    win but measured slower in inference-only graphs (custom-call layout
+    constraints, docs/PERF.md); the param trees are identical so the same
+    weights apply."""
+    model_cfg = PartFViTConfig(
+        **{**cfg.model.__dict__, "loss_type": "None", "mlp_impl": "dense"}
+    )
     model = PartFViT(model_cfg)
 
     @jax.jit

@@ -143,3 +143,48 @@ def test_feedforward_fused_train_mode_runs():
     )
     assert y.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_fused_mlp_under_shard_map():
+    """The custom-VJP fused op must compose with shard_map over a data axis
+    (the SSL/supervised train steps run it per-shard)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.array(devs).reshape(2), ("data",))
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, D), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (D, H), jnp.float32) * 0.05
+    b1 = jnp.zeros((H,), jnp.float32)
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (H, D), jnp.float32) * 0.05
+    b2 = jnp.zeros((D,), jnp.float32)
+
+    def shard_fn(x, w1, b1, w2, b2):
+        def loss(w1):
+            y = fused_mlp(x, w1, b1, w2, b2, deterministic=True)
+            return jnp.sum(y ** 2)
+
+        l, g = jax.value_and_grad(loss)(w1)
+        return jax.lax.pmean(l, "data"), jax.lax.pmean(g, "data")
+
+    # check_vma=False ONLY for interpret mode: the pallas hlo_interpreter's
+    # internal block dynamic_slice trips the vma check (jax limitation); the
+    # COMPILED TPU lowering passes with check_vma=True (verified on-chip) —
+    # ops/fused_mlp.py declares out vma and pvary-aligns its operands.
+    l, g = jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data"), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )(x, w1, b1, w2, b2)
+
+    def ref_loss(w1):
+        h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+        return jnp.mean(
+            jnp.sum((h @ w2 + b2) ** 2, axis=-1).reshape(2, -1).sum(-1)
+        )
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(w1)
+    np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
