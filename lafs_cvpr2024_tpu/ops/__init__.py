@@ -1,3 +1,4 @@
+from .fused_mlp import fused_mlp
 from .patch_gather import patch_gather, patch_gather_mosaic, patch_gather_jit
 from .patchify import patchify, unfold_overlap, standard_grid_landmarks
 from .schedules import (
@@ -19,6 +20,7 @@ from .augment_device import (
 )
 
 __all__ = [
+    "fused_mlp",
     "patch_gather",
     "patch_gather_mosaic",
     "patch_gather_jit",
