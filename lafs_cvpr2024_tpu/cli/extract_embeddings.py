@@ -1,0 +1,167 @@
+"""Batch embedding extraction — folder or RecordIO → ``embeddings.npy``.
+
+A production utility the reference only ships embedded inside its IJB
+script (``IJB_evaluation.py:408-495``): load a checkpoint, sweep a
+directory of face crops (or a packed ``train.rec``) through the jitted
+embedding function — optionally flip-fused and L2-normalized, sharded over
+every local device — and write ``embeddings.npy`` + ``names.json``.
+
+Example:
+  python -m lafs_cvpr2024_tpu.cli.extract_embeddings \
+      --checkpoint ckpt.pth --input /data/crops --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("lafs-tpu embedding extraction")
+    p.add_argument("--checkpoint", required=True, help=".pth or orbax dir")
+    p.add_argument("--input", required=True,
+                   help="image folder (recursive) or dir with train.rec")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--embedding-size", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--dim-head", type=int, default=64)
+    p.add_argument("--mlp-dim", type=int, default=2048)
+    p.add_argument("--num-patches", type=int, default=196)
+    p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--stn-mode", default="large", choices=["large", "small"])
+    p.add_argument("--no-land", dest="with_land", action="store_false",
+                   default=True)
+    p.add_argument("--no-flip", dest="flip", action="store_false",
+                   default=True, help="disable flip-test fusion")
+    p.add_argument("--no-normalize", dest="normalize", action="store_false",
+                   default=True, help="skip final L2 normalization")
+    p.add_argument("--bgr", action="store_true",
+                   help="packed recs keep BGR order (ms1m-style)")
+    p.add_argument("--workers", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def _iter_batches(args):
+    """Yield (names, uint8 (B, S, S, 3)) batches from a folder or a .rec."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    size = args.image_size
+    rec = os.path.join(args.input, "train.rec")
+    if os.path.exists(rec):
+        from ..data import FaceRecordDataset
+
+        ds = FaceRecordDataset(args.input, bgr=args.bgr)
+        for start in range(0, len(ds), args.batch_size):
+            idxs = range(start, min(start + args.batch_size, len(ds)))
+            imgs = np.stack([np.asarray(ds[i][0], np.uint8) for i in idxs])
+            yield [str(i) for i in idxs], imgs
+        return
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(args.input)
+        for f in fs
+        if f.lower().endswith(exts)
+    )
+    if not files:
+        raise FileNotFoundError(f"no images or train.rec under {args.input}")
+
+    def load(path):
+        img = Image.open(path).convert("RGB")
+        if img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
+    with ThreadPoolExecutor(args.workers) as pool:
+        for start in range(0, len(files), args.batch_size):
+            chunk = files[start:start + args.batch_size]
+            imgs = np.stack(list(pool.map(load, chunk)))
+            rel = [os.path.relpath(f, args.input) for f in chunk]
+            yield rel, imgs
+
+
+def main(argv=None):
+    args = get_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.partfvit import PartFViT, PartFViTConfig
+    from ..parallel.mesh import create_mesh, sharded_batch_apply
+    from ..train.checkpoint import (
+        import_torch_state_dict,
+        load_torch_file,
+        merge_params,
+        restore_checkpoint,
+    )
+
+    cfg = PartFViTConfig(
+        dim=args.embedding_size, depth=args.depth, heads=args.heads,
+        dim_head=args.dim_head, mlp_dim=args.mlp_dim, num_patches=args.num_patches,
+        image_size=args.image_size, stn_mode=args.stn_mode,
+        with_land=args.with_land, loss_type="None", num_classes=0,
+    )
+    model = PartFViT(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.image_size, args.image_size, 3)),
+    )
+    if args.checkpoint.endswith(".pth"):
+        sd = load_torch_file(args.checkpoint)
+        imp = import_torch_state_dict(sd)
+        print(f"[import] {imp.summary()}")
+        params, stats = imp
+        variables = {
+            "params": merge_params(variables["params"], params),
+            "batch_stats": merge_params(
+                variables.get("batch_stats", {}), stats
+            ),
+        }
+    else:
+        restored, step = restore_checkpoint(args.checkpoint, variables)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {args.checkpoint}")
+        variables = restored
+        print(f"[restore] step {step} from {args.checkpoint}")
+
+    @jax.jit
+    def _embed(v, batch):
+        x = batch.astype(jnp.float32) / 255.0 - 0.5  # eval convention
+        return model.apply(v, x, train=False)
+
+    mesh = create_mesh(model=1)
+    embed = sharded_batch_apply(_embed, mesh) if mesh.size > 1 else _embed
+
+    os.makedirs(args.output, exist_ok=True)
+    all_names, chunks = [], []
+    for names, imgs in _iter_batches(args):
+        batch = jnp.asarray(imgs)
+        if args.flip:
+            batch = jnp.concatenate([batch, batch[:, :, ::-1]], axis=0)
+        emb = np.asarray(embed(variables, batch), np.float32)
+        if args.flip:
+            emb = emb[: len(names)] + emb[len(names):]  # flip fusion (add)
+        if args.normalize:
+            emb = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+        all_names.extend(names)
+        chunks.append(emb)
+
+    out = np.concatenate(chunks)
+    np.save(os.path.join(args.output, "embeddings.npy"), out)
+    with open(os.path.join(args.output, "names.json"), "w") as f:
+        json.dump(all_names, f)
+    print(f"wrote {out.shape} embeddings to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

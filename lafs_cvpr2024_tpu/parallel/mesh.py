@@ -85,8 +85,17 @@ def sharded_batch_apply(fn, mesh: Mesh):
     if mesh.size == 1 or jax.process_count() > 1:
         return fn
     sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    seen = {}  # id(variables) → mesh-replicated copy
 
     def wrapped(variables, batch):
+        # variables committed to a single device (e.g. an orbax restore)
+        # conflict with the mesh-sharded batch — replicate them once
+        key = id(variables)
+        if key not in seen:
+            seen.clear()  # hold at most one tree alive
+            seen[key] = jax.device_put(variables, replicated)
+        variables = seen[key]
         batch = np.asarray(batch)
         n = batch.shape[0]
         pad = (-n) % n_data

@@ -282,12 +282,29 @@ def make_train_step(
         wgrads = _pmean_data(wgrads)
         loss = _pmean_data(loss_sum * inv)
 
+        # non-finite guard: the reference band-aids a NaN loss by clipping
+        # the (already poisoned) grads and stepping anyway
+        # (train_largescale.py:877-878). TPU-native: zero grads AND lr for
+        # that step — params stay untouched (moments decay one b1/b2 tick,
+        # immaterial), training continues, the skip surfaces as a metric.
+        finite = jnp.isfinite(loss)
+        scale = jnp.where(finite, 1.0, 0.0)
+        # jnp.where, not g*scale: NaN*0 is NaN — the poisoned grads must be
+        # REPLACED, and the lr zeroed so weight decay doesn't step either
+        zero = lambda g: jnp.where(finite, g, jnp.zeros_like(g))
+        grads = jax.tree_util.tree_map(zero, grads)
+        wgrads = zero(wgrads)
+        new_stats = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_stats, state.batch_stats
+        )
+
         new_params, new_opt = adamw_update(
-            grads, state.opt_state, state.params, lr,
+            grads, state.opt_state, state.params, lr * scale,
             wd_scale_tree=wd_tree, lr_scale_tree=lr_scale_tree, wd=1.0,
         )
         new_w, new_cls_opt = adamw_update(
-            {"w": wgrads}, cls_opt, {"w": cls_weight}, lr, wd=cfg.weight_decay
+            {"w": wgrads}, cls_opt, {"w": cls_weight}, lr * scale,
+            wd=cfg.weight_decay,
         )
         new_state = TrainState(
             params=new_params,
@@ -296,7 +313,10 @@ def make_train_step(
             step=state.step + 1,
             rng=rng,
         )
-        return new_state, new_w["w"], new_cls_opt, {"loss": loss}
+        return new_state, new_w["w"], new_cls_opt, {
+            "loss": loss,
+            "skipped_nonfinite": 1.0 - scale,
+        }
 
     # shard_map in/out spec trees must match the state pytree structure, so
     # the jitted wrapper is built (and cached) on first call from the
@@ -347,7 +367,7 @@ def make_train_step(
                         replicate(state),
                         P("model", None),
                         cls_opt_spec,
-                        {"loss": P()},
+                        {"loss": P(), "skipped_nonfinite": P()},
                     ),
                     # state/loss ARE replicated over 'model' (every model
                     # shard sees identical inputs and a psum'd loss) but the

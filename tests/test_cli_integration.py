@@ -131,7 +131,7 @@ def test_supervised_cli_resume(tmp_path, monkeypatch):
         "train", "--data-root", rec_dir, "--work-path", work,
         "--batch-size", "1", "--acc-step", "2", "--epochs", "1",
         "--warmup-epochs", "0", "--embedding-size", "32", "--depth", "1",
-        "--heads", "2", "--mlp-dim", "64", "--num-patches", "36",
+        "--heads", "2", "--dim-head", "16", "--mlp-dim", "64", "--num-patches", "36",
         "--image-size", "48", "--stn-mode", "small", "--model-axis", "1",
         "--workers", "2", "--disp-freq", "1",
     ]
@@ -188,7 +188,7 @@ def test_supervised_cli_with_eval(tmp_path, monkeypatch):
             "--eval-path", eval_dir, "--targets", "lfw",
             "--batch-size", "1", "--acc-step", "1", "--epochs", "2",
             "--warmup-epochs", "0", "--embedding-size", "32", "--depth", "1",
-            "--heads", "2", "--mlp-dim", "64", "--num-patches", "36",
+            "--heads", "2", "--dim-head", "16", "--mlp-dim", "64", "--num-patches", "36",
             "--image-size", "48", "--stn-mode", "small", "--model-axis", "1",
             "--workers", "2", "--disp-freq", "1",
         ],
@@ -233,3 +233,53 @@ def test_train_directly_from_imagefolder(tmp_path, monkeypatch):
     train_supervised.main()
     assert os.path.exists(os.path.join(data_dir, "Webface_list.json"))
     assert os.path.isdir(os.path.join(work, "ckpt"))
+
+
+def test_extract_embeddings_cli(tmp_path):
+    """extract_embeddings: folder of images + orbax checkpoint → normalized
+    flip-fused embeddings.npy + names.json."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from lafs_cvpr2024_tpu.cli import extract_embeddings
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    img_dir = tmp_path / "imgs" / "id0"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        ).save(img_dir / f"f{i}.jpg")
+
+    cfg = PartFViTConfig(
+        dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64, num_patches=36,
+        image_size=48, stn_mode="small", with_land=True, loss_type="None",
+        num_classes=0,
+    )
+    model = PartFViT(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3))
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables, step=0)
+
+    out = tmp_path / "out"
+    extract_embeddings.main([
+        "--checkpoint", str(ckpt), "--input", str(tmp_path / "imgs"),
+        "--output", str(out), "--embedding-size", "32", "--depth", "1",
+        "--heads", "2", "--dim-head", "16", "--mlp-dim", "64", "--num-patches", "36",
+        "--image-size", "48", "--stn-mode", "small", "--batch-size", "3",
+    ])
+    emb = np.load(out / "embeddings.npy")
+    names = json.load(open(out / "names.json"))
+    assert emb.shape == (5, 32)
+    assert len(names) == 5 and names[0].startswith("id0")
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+    assert np.isfinite(emb).all()

@@ -131,3 +131,54 @@ def test_fused_device_aug_step():
         state, w, wopt, m = step(state, w, wopt, imgs, labels, 1e-3)
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses)), losses
+
+
+def test_nonfinite_loss_skips_update():
+    """A NaN loss must leave the parameters untouched (the reference clips
+    the poisoned grads and steps anyway — train_largescale.py:877-878; here
+    the whole update is zeroed and surfaced as skipped_nonfinite)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
+    from lafs_cvpr2024_tpu.ops.mixup import MixupConfig
+    from lafs_cvpr2024_tpu.train.supervised import (
+        SupervisedConfig,
+        create_classifier,
+        create_state,
+        make_train_step,
+    )
+
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=36, num_classes=8, with_land=True, stn_mode="small",
+        ),
+        acc_step=1,
+        mixup=MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0, prob=0.0,
+                          num_classes=8),
+        compute_dtype=jnp.float32,
+        shard_classifier=False,
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1), enabled=False)
+    step = make_train_step(cfg, mesh)
+
+    # NaN images poison the loss
+    images = jnp.full((2, 48, 48, 3), jnp.nan, jnp.float32)
+    labels = jnp.zeros((2,), jnp.int32)
+    before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    new_state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-2)
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    after = jax.tree_util.tree_leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    assert bool(jnp.all(jnp.isfinite(after)))
+
+    # a clean batch afterwards must step normally
+    images = jnp.zeros((2, 48, 48, 3), jnp.float32)
+    new_state2, w, w_opt, metrics2 = step(new_state, w, w_opt, images, labels, 1e-2)
+    assert float(metrics2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(metrics2["loss"]))
