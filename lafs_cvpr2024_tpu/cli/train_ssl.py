@@ -47,6 +47,7 @@ def get_args():
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--dim-head", type=int, default=64)
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
     p.add_argument("--image-size", type=int, default=112)
@@ -54,6 +55,10 @@ def get_args():
     p.add_argument("--random-subset", type=float, default=0.4,
                    help="'sifenzhiyi' random subset fraction (dataloader_web.py:291)")
     p.add_argument("--saveckp-freq", type=int, default=10)
+    p.add_argument("--saveckp-steps", type=int, default=0,
+                   help="also checkpoint every N global steps (0 = per-epoch "
+                        "only); resume is EXACT mid-epoch (sampler order is "
+                        "a pure function of seed+epoch)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mlp-impl", default="auto",
@@ -125,7 +130,8 @@ def main():
 
     cfg = SSLConfig(
         model=PartFViTConfig(
-            dim=args.dim, depth=args.depth, heads=args.heads, mlp_dim=args.mlp_dim,
+            dim=args.dim, depth=args.depth, heads=args.heads,
+            dim_head=args.dim_head, mlp_dim=args.mlp_dim,
             num_patches=args.num_patches, with_land=False, loss_type="None",
             num_classes=0, image_size=args.image_size, stn_mode=args.stn_mode,
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
@@ -174,9 +180,13 @@ def main():
         ),
     )
     start_epoch = 0
+    start_it = 0
     if restored is not None:
         state = restored
         start_epoch = restored_step // max(steps_per_epoch, 1)
+        start_it = restored_step % max(steps_per_epoch, 1)
+        if start_it:
+            print(f"[resume] mid-epoch: epoch {start_epoch} step {start_it}")
 
     from ..parallel.mesh import global_batch
 
@@ -187,11 +197,13 @@ def main():
 
     for epoch in range(start_epoch, args.epochs):
         t_epoch = time.time()
+        skip = start_it if epoch == start_epoch else 0
         for it, (crops, _) in enumerate(
-            logger.log_every(pipe.epoch(epoch), 100, f"Epoch [{epoch}/{args.epochs}]",
-                             total=steps_per_epoch)
+            logger.log_every(pipe.epoch(epoch, start_step=skip), 100,
+                             f"Epoch [{epoch}/{args.epochs}]",
+                             total=steps_per_epoch - skip)
         ):
-            gstep = epoch * steps_per_epoch + it
+            gstep = epoch * steps_per_epoch + skip + it
             if args.device_aug:
                 # fused path: the step does the 20-crop augmentation itself
                 # (measured FREE — XLA overlaps it with the step's compute)
@@ -215,6 +227,14 @@ def main():
             if not np.isfinite(loss):
                 raise SystemExit(f"Loss is {loss}, stopping training")
             logger.update(loss=loss, lr=lr_sched[gstep], wd=wd_sched[gstep])
+            if (
+                args.saveckp_steps
+                and (gstep + 1) % args.saveckp_steps == 0
+                and is_main_process()
+            ):
+                save_checkpoint(
+                    os.path.join(args.output_dir, "ckpt"), state, step=gstep + 1
+                )
         logger.synchronize_between_processes()
         if is_main_process():
             save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,

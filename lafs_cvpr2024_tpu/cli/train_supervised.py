@@ -44,6 +44,7 @@ def get_args():
     p.add_argument("--embedding-size", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--dim-head", type=int, default=64)
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
     p.add_argument("--patch-size", type=int, default=8)
@@ -176,7 +177,8 @@ def main():
     cfg = SupervisedConfig(
         model=PartFViTConfig(
             dim=args.embedding_size, depth=args.depth, heads=args.heads,
-            mlp_dim=args.mlp_dim, num_patches=args.num_patches,
+            dim_head=args.dim_head, mlp_dim=args.mlp_dim,
+            num_patches=args.num_patches,
             patch_size=args.patch_size, num_classes=num_classes,
             with_land=args.with_land, loss_type=args.head_name,
             image_size=args.image_size, stn_mode=args.stn_mode,
@@ -277,9 +279,14 @@ def main():
     ver_freq = max(len(dataset) // (n_dev * args.batch_size * 2), 1)
 
     gstep = start_step
-    for epoch in range(start_step // max(steps_per_epoch, 1), args.epochs):
+    resume_epoch = start_step // max(steps_per_epoch, 1)
+    resume_skip = start_step % max(steps_per_epoch, 1)
+    if resume_skip:
+        print(f"[resume] mid-epoch: epoch {resume_epoch} step {resume_skip}")
+    for epoch in range(resume_epoch, args.epochs):
         t_epoch = time.time()
-        for images, labels in pipe.epoch(epoch):
+        skip = resume_skip if epoch == resume_epoch else 0
+        for images, labels in pipe.epoch(epoch, start_step=skip):
             lr = float(lr_sched[min(gstep, total_steps - 1)])
             if args.landmark_distill:
                 from ..train.supervised import land_loss_schedule

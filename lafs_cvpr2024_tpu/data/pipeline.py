@@ -124,10 +124,15 @@ class DataPipeline:
                 "a raw device_put sharding would address non-local devices"
             )
 
-    def epoch(self, epoch: int) -> Iterator:
+    def epoch(self, epoch: int, start_step: int = 0) -> Iterator:
+        """``start_step`` skips the first N batches BEFORE decode — exact
+        mid-epoch resume (the sampler's order is a pure function of
+        (seed, epoch), so step k of a resumed run sees the same indices)."""
         indices = self.sampler.epoch_indices(epoch)
         bs = self.sampler.batch_size
         batches = [indices[i : i + bs] for i in range(0, len(indices), bs)]
+        if start_step:
+            batches = batches[start_step:]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

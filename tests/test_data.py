@@ -224,3 +224,25 @@ def test_auto_augment_and_augmix():
     arr = np.array([[(10, 200, 127)]], np.uint8).repeat(8, 0).repeat(8, 1)
     out = np.asarray(solarize_add(Image.fromarray(arr), 50))
     assert out[0, 0, 0] == 60 and out[0, 0, 1] == 200 and out[0, 0, 2] == 177
+
+
+def test_pipeline_mid_epoch_resume_alignment():
+    """epoch(e, start_step=k) must yield exactly the batches epoch(e) yields
+    from step k on — the invariant behind exact mid-epoch resume."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.data.pipeline import DataPipeline, EpochSampler
+
+    class Idx:
+        def __len__(self):
+            return 40
+
+        def __getitem__(self, i):
+            return np.full((2, 2), i, np.float32), i
+
+    sampler = EpochSampler(40, batch_size=4, seed=7)
+    pipe = DataPipeline(Idx(), sampler, num_workers=2)
+    full = [labels.tolist() for _, labels in pipe.epoch(3)]
+    resumed = [labels.tolist() for _, labels in pipe.epoch(3, start_step=6)]
+    assert resumed == full[6:]
+    assert len(full) == sampler.steps_per_epoch()
