@@ -13,13 +13,13 @@ import io
 import os
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser("lafs-tpu dataset packer")
     p.add_argument("--data-dir", required=True, help="ImageFolder root")
     p.add_argument("--out", required=True)
     p.add_argument("--quality", type=int, default=95)
     p.add_argument("--size", type=int, default=112)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from PIL import Image
 

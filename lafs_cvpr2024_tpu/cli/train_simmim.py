@@ -1,0 +1,193 @@
+"""SimMIM masked-image-modeling pretraining CLI.
+
+The reference ships SimMIM MODEL variants (``ViT_face.py:797-1202``) and
+importers for their checkpoints but trains them with the external SimMIM
+repo; this CLI completes the workflow natively: RecordIO (or folder) faces
+→ frozen-landmark (or grid) patches → masked-token forward → L1 on masked
+patches, as one jitted SPMD step (``train/simmim.py``).
+
+Example:
+  python -m lafs_cvpr2024_tpu.cli.train_simmim \
+      --data-path /data/rec --output-dir out/simmim --epochs 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("lafs-tpu SimMIM pretraining")
+    p.add_argument("--data-path", required=True, help="dir with train.rec (or an image folder)")
+    p.add_argument("--landmark-path", default=None,
+                   help="pretrained landmark CNN (.pth); omit for grid patches")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--batch-size-per-chip", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--warmup-epochs", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--min-lr", type=float, default=1e-6)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--mask-ratio", type=float, default=0.6)
+    p.add_argument("--grid-patches", action="store_true",
+                   help="fixed-grid patchify instead of landmark gather")
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--dim-head", type=int, default=64)
+    p.add_argument("--mlp-dim", type=int, default=2048)
+    p.add_argument("--num-patches", type=int, default=196)
+    p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--stn-mode", default="large", choices=["large", "small"])
+    p.add_argument("--mlp-impl", default="auto",
+                   choices=["auto", "dense", "fused"])
+    p.add_argument("--bgr", action="store_true")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    from ..utils.config import apply_toml_defaults
+
+    return apply_toml_defaults(p, argv, table="simmim")
+
+
+def main(argv=None):
+    args = get_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from ..data import DataPipeline, EpochSampler, FaceRecordDataset
+    from ..data.dataset import FaceFolderDataset
+    from ..models.partfvit import PartFViTConfig
+    from ..ops.schedules import cosine_scheduler
+    from ..parallel.mesh import create_mesh, is_main_process
+    from ..train.checkpoint import (
+        import_torch_state_dict,
+        load_torch_file,
+        merge_params,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from ..train.simmim import (
+        SimMIMConfig,
+        create_simmim_state,
+        make_simmim_train_step,
+    )
+    from ..train.ssl import create_landmark_provider
+    from ..utils.config import resolve_mlp_impl
+    from ..utils.logging import JSONLLogger, MetricLogger
+
+    mesh = create_mesh(model=1)
+    n_dev = mesh.shape["data"]
+
+    rec = os.path.join(args.data_path, "train.rec")
+    if os.path.exists(rec):
+        dataset = FaceRecordDataset(rec, bgr=args.bgr)
+    else:
+        dataset = FaceFolderDataset(args.data_path)
+    batch = args.batch_size_per_chip * n_dev
+    n_proc = jax.process_count()
+    sampler = EpochSampler(
+        len(dataset), batch // n_proc, seed=args.seed
+    )
+    pipe = DataPipeline(
+        dataset, sampler, num_workers=args.workers, mesh=mesh, spec=P("data"),
+        postprocess=lambda imgs, labels: (
+            np.asarray(imgs, np.float32) / 255.0 * 2 - 1, labels
+        ),
+    )
+
+    cfg = SimMIMConfig(
+        model=PartFViTConfig(
+            dim=args.dim, depth=args.depth, heads=args.heads,
+            dim_head=args.dim_head, mlp_dim=args.mlp_dim,
+            num_patches=args.num_patches, image_size=args.image_size,
+            stn_mode=args.stn_mode, with_land=False, loss_type="None",
+            num_classes=0, simmim=True,
+            mlp_impl=resolve_mlp_impl(args.mlp_impl),
+        ),
+        mask_ratio=args.mask_ratio,
+        use_landmarks=not args.grid_patches,
+        moment_dtype=jnp.bfloat16,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = jax.jit(lambda r: create_simmim_state(cfg, r))(rng)
+    land_vars = create_landmark_provider(
+        _ssl_cfg_for_provider(cfg), jax.random.fold_in(rng, 1)
+    )
+    if args.landmark_path and args.landmark_path.endswith(".pth"):
+        sd = load_torch_file(args.landmark_path)
+        imp = import_torch_state_dict(sd)
+        print(f"[import landmark ckpt] {imp.summary()}")
+        params, stats = imp
+        land_vars = {
+            "params": merge_params(land_vars["params"], params, ["stn", "output"]),
+            "batch_stats": merge_params(
+                land_vars.get("batch_stats", {}), stats, ["stn"]
+            ),
+        }
+
+    steps_per_epoch = sampler.steps_per_epoch()
+    lr_sched = cosine_scheduler(
+        args.lr, args.min_lr, args.epochs, steps_per_epoch, args.warmup_epochs
+    )
+
+    restored, restored_step = restore_checkpoint(
+        os.path.join(args.output_dir, "ckpt"),
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        ),
+    )
+    start_epoch = 0
+    if restored is not None:
+        state = restored
+        start_epoch = restored_step // max(steps_per_epoch, 1)
+
+    step_fn = make_simmim_train_step(cfg, mesh, donate=True)
+    logger = MetricLogger()
+    jsonl = JSONLLogger(
+        os.path.join(args.output_dir, "log.txt"), enabled=is_main_process()
+    )
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        for it, (images, _) in enumerate(
+            logger.log_every(
+                pipe.epoch(epoch), 100,
+                f"Epoch [{epoch}/{args.epochs}]", total=steps_per_epoch,
+            )
+        ):
+            gstep = epoch * steps_per_epoch + it
+            state, metrics = step_fn(
+                state, land_vars, images,
+                jnp.float32(lr_sched[gstep]), jnp.float32(args.weight_decay),
+            )
+            loss = float(metrics["loss"])
+            if not (loss == loss):  # NaN guard (lafs_train.py:585 parity)
+                raise SystemExit(f"Loss is {loss}, stopping training")
+            logger.update(loss=loss, lr=lr_sched[gstep])
+        logger.synchronize_between_processes()
+        if is_main_process():
+            save_checkpoint(
+                os.path.join(args.output_dir, "ckpt"), state,
+                step=(epoch + 1) * steps_per_epoch,
+            )
+            jsonl.write({
+                "epoch": epoch,
+                "train_loss": logger.meters["loss"].global_avg,
+                "epoch_time_s": time.time() - t0,
+            })
+
+
+def _ssl_cfg_for_provider(cfg):
+    """create_landmark_provider takes an SSLConfig-shaped object; adapt."""
+    from ..train.ssl import SSLConfig
+
+    return SSLConfig(model=cfg.model)
+
+
+if __name__ == "__main__":
+    main()

@@ -229,11 +229,16 @@ def test_shipped_config_presets_validate():
 
         with open(preset, "rb") as f:
             table = next(iter(tomllib.load(f)))
+        from lafs_cvpr2024_tpu.cli import train_simmim
+
         mod, required = {
             "ssl": (train_ssl, ["--data-path", "d", "--output-dir", "o"]),
             "train": (
                 train_supervised,
                 ["--data-root", "d", "--work-path", "o"],
+            ),
+            "simmim": (
+                train_simmim, ["--data-path", "d", "--output-dir", "o"]
             ),
         }[table]
         argv = ["prog", "--config", str(preset), *required]

@@ -283,3 +283,40 @@ def test_extract_embeddings_cli(tmp_path):
     assert len(names) == 5 and names[0].startswith("id0")
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
     assert np.isfinite(emb).all()
+
+
+def test_simmim_cli_one_epoch(tmp_path):
+    """SimMIM CLI end-to-end on packed synthetic faces: one epoch trains,
+    checkpoint lands, loss finite."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_simmim
+
+    img_dir = tmp_path / "faces"
+    rng = np.random.default_rng(0)
+    for ident in range(3):
+        d = img_dir / f"id{ident}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+            ).save(d / f"{i}.jpg")
+    rec_dir = tmp_path / "rec"
+    pack_dataset.main([
+        "--data-dir", str(img_dir), "--out", str(rec_dir), "--size", "48",
+    ])
+
+    out = tmp_path / "out"
+    train_simmim.main([
+        "--data-path", str(rec_dir), "--output-dir", str(out),
+        "--epochs", "1", "--batch-size-per-chip", "4",
+        "--dim", "32", "--depth", "1", "--heads", "2", "--dim-head", "16",
+        "--mlp-dim", "64", "--num-patches", "36", "--image-size", "48",
+        "--stn-mode", "small", "--workers", "2", "--mlp-impl", "dense",
+    ])
+    assert (out / "ckpt").is_dir()
+    log = [json.loads(l) for l in open(out / "log.txt")]
+    assert np.isfinite(log[-1]["train_loss"])
