@@ -1,0 +1,119 @@
+"""Standalone bin-pair verification CLI — LFW / CFP-FP / AgeDB-30 style.
+
+The reference only runs ``perform_val`` from inside the training loop (its
+``util/test.py`` smoke script ships broken — missing imports, wrong module
+path). This CLI evaluates any checkpoint against the ``.bin`` pair
+protocols directly: 10-fold KFold threshold sweep, flip-fused embeddings,
+sharded over local devices.
+
+Example:
+  python -m lafs_cvpr2024_tpu.cli.evaluate_bin \
+      --checkpoint ckpt.pth --eval-path /data/val --targets lfw cfp_fp agedb_30
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("lafs-tpu bin-pair verification")
+    p.add_argument("--checkpoint", required=True, help=".pth or orbax dir")
+    p.add_argument("--eval-path", required=True,
+                   help="dir with <target>.bin files")
+    p.add_argument("--targets", nargs="+",
+                   default=["lfw", "cfp_fp", "agedb_30"])
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--nrof-folds", type=int, default=10)
+    p.add_argument("--embedding-size", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--heads", type=int, default=11)
+    p.add_argument("--dim-head", type=int, default=64)
+    p.add_argument("--mlp-dim", type=int, default=2048)
+    p.add_argument("--num-patches", type=int, default=196)
+    p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--stn-mode", default="large", choices=["large", "small"])
+    p.add_argument("--no-land", dest="with_land", action="store_false",
+                   default=True)
+    p.add_argument("--json", dest="json_out", default=None,
+                   help="also write results to this JSON file")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..eval.verification import get_val_data, perform_val
+    from ..models.partfvit import PartFViT, PartFViTConfig
+    from ..parallel.mesh import create_mesh, sharded_batch_apply
+    from ..train.checkpoint import (
+        import_torch_state_dict,
+        load_torch_file,
+        merge_params,
+        restore_eval_variables,
+    )
+
+    cfg = PartFViTConfig(
+        dim=args.embedding_size, depth=args.depth, heads=args.heads,
+        dim_head=args.dim_head, mlp_dim=args.mlp_dim,
+        num_patches=args.num_patches, image_size=args.image_size,
+        stn_mode=args.stn_mode, with_land=args.with_land,
+        loss_type="None", num_classes=0,
+    )
+    model = PartFViT(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.image_size, args.image_size, 3)),
+    )
+    if args.checkpoint.endswith(".pth"):
+        sd = load_torch_file(args.checkpoint)
+        imp = import_torch_state_dict(sd)
+        print(f"[import] {imp.summary()}")
+        params, stats = imp
+        variables = {
+            "params": merge_params(variables["params"], params),
+            "batch_stats": merge_params(
+                variables.get("batch_stats", {}), stats
+            ),
+        }
+    else:
+        variables, step = restore_eval_variables(args.checkpoint)
+        print(f"[restore] step {step} from {args.checkpoint}")
+
+    @jax.jit
+    def _embed(v, batch):
+        # device-side scaling: uint8 ships, x/255 - 0.5 on chip
+        return model.apply(
+            v, batch.astype(jnp.float32) / 255.0 - 0.5, train=False
+        )
+
+    mesh = create_mesh(model=1)
+    embed = sharded_batch_apply(_embed, mesh) if mesh.size > 1 else _embed
+
+    results = {}
+    for name, data, issame in get_val_data(args.eval_path, args.targets):
+        res = perform_val(
+            lambda b: embed(variables, jnp.asarray(b)),
+            data, issame,
+            batch_size=args.batch_size, nrof_folds=args.nrof_folds,
+            device_scale=True,
+        )
+        results[name] = {
+            "accuracy": float(res.accuracy),
+            "accuracy_std": float(res.accuracy_std),
+            "xnorm": float(res.xnorm),
+            "best_threshold": float(res.best_threshold),
+        }
+        print(f"[{name}] acc {res.accuracy:.5f}±{res.accuracy_std:.5f} "
+              f"xnorm {res.xnorm:.3f} thr {res.best_threshold:.3f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+    return results
+
+
+if __name__ == "__main__":
+    main()

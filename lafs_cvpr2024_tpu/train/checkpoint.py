@@ -59,6 +59,56 @@ def restore_checkpoint(path: str, abstract_state: Any, step: Optional[int] = Non
         return restored, step
 
 
+def restore_eval_variables(path: str, step: Optional[int] = None):
+    """Template-free restore of model variables from ANY of this framework's
+    orbax layouts, for eval CLIs that shouldn't need to reconstruct the
+    training state's exact pytree:
+
+    - raw flax variables ``{"params": ..., ["batch_stats": ...]}``
+    - a train-CLI payload ``{"state": TrainState, ["cls_w"/"cls_opt"]}``
+    - a bare supervised ``TrainState`` (restores as a 5-list:
+      [params, batch_stats, opt_state, step, rng])
+    - a bare ``SSLTrainState`` (6-list: [student, teacher, opt_state,
+      center, step, rng]) — returns the TEACHER backbone (the SSL eval
+      convention, ``lafs_train.py:451``: the teacher is the export model).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    with ocp.CheckpointManager(path) as mgr:
+        st = step if step is not None else mgr.latest_step()
+        if st is None:
+            raise FileNotFoundError(f"no checkpoint steps under {path}")
+        raw = mgr.restore(st)
+
+    def extract(tree):
+        if isinstance(tree, dict):
+            if "params" in tree:
+                out = {"params": tree["params"]}
+                if tree.get("batch_stats"):
+                    out["batch_stats"] = tree["batch_stats"]
+                return out
+            if "state" in tree:
+                return extract(tree["state"])
+            if "student" in tree and "teacher" in tree:
+                return {"params": tree["teacher"]["backbone"]}
+        if isinstance(tree, (list, tuple)):
+            if len(tree) == 5:  # TrainState fields in order
+                out = {"params": tree[0]}
+                if tree[1]:
+                    out["batch_stats"] = tree[1]
+                return out
+            if len(tree) == 6:  # SSLTrainState — teacher backbone
+                return {"params": tree[1]["backbone"]}
+        raise ValueError(
+            f"unrecognized checkpoint layout under {path}: {type(tree)}"
+        )
+
+    return extract(raw), st
+
+
 # ---------------------------------------------------------------------------
 # torch state_dict import
 # ---------------------------------------------------------------------------

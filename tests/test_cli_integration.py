@@ -320,3 +320,67 @@ def test_simmim_cli_one_epoch(tmp_path):
     assert (out / "ckpt").is_dir()
     log = [json.loads(l) for l in open(out / "log.txt")]
     assert np.isfinite(log[-1]["train_loss"])
+
+
+def test_evaluate_bin_cli(tmp_path):
+    """evaluate_bin: orbax train-CLI payload + synthetic .bin pairs →
+    accuracy table + JSON (and the layout-agnostic restore helper)."""
+    import io
+    import json
+    import pickle
+
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from lafs_cvpr2024_tpu.cli import evaluate_bin
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
+    from lafs_cvpr2024_tpu.ops.mixup import MixupConfig
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+    from lafs_cvpr2024_tpu.train.supervised import (
+        SupervisedConfig,
+        create_state,
+    )
+
+    # synthetic .bin: 12 pairs of jpeg bytes + issame flags
+    rng = np.random.default_rng(0)
+    bins, issame = [], []
+    for i in range(12):
+        for _ in range(2):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+            ).save(buf, format="JPEG")
+            bins.append(buf.getvalue())
+        issame.append(bool(i % 2))
+    eval_dir = tmp_path / "val"
+    eval_dir.mkdir()
+    with open(eval_dir / "lfw.bin", "wb") as f:
+        pickle.dump((bins, issame), f)
+
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=36, num_classes=8, with_land=True, stn_mode="small",
+        ),
+        mixup=MixupConfig(num_classes=8),
+        shard_classifier=False,
+    )
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    # train-CLI payload layout: {"state": TrainState}
+    save_checkpoint(str(ckpt), {"state": state}, step=7)
+
+    out_json = tmp_path / "res.json"
+    results = evaluate_bin.main([
+        "--checkpoint", str(ckpt), "--eval-path", str(eval_dir),
+        "--targets", "lfw", "--embedding-size", "32", "--depth", "1",
+        "--heads", "2", "--dim-head", "16", "--mlp-dim", "64",
+        "--num-patches", "36", "--image-size", "48", "--stn-mode", "small",
+        "--batch-size", "8", "--nrof-folds", "3", "--json", str(out_json),
+    ])
+    assert 0.0 <= results["lfw"]["accuracy"] <= 1.0
+    saved = json.load(open(out_json))
+    assert saved["lfw"]["accuracy"] == results["lfw"]["accuracy"]
