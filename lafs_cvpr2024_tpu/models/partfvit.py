@@ -325,7 +325,12 @@ class OverlapViT(nn.Module):
             name="transformer",
         )(h, deterministic=not train)
         pooled = h.mean(axis=1) if cfg.pool == "mean" else h[:, 0]
-        emb = nn.LayerNorm(epsilon=1e-5, name="mlp_head")(pooled)  # torch LN eps
+        # the overlap variant's head is BatchNorm1d, NOT LayerNorm
+        # (ViT_face.py:1530-1532) — running stats matter for interop
+        emb = nn.BatchNorm(
+            use_running_average=not train, epsilon=1e-5, momentum=0.9,
+            name="mlp_head",
+        )(pooled)
         if labels is not None and cfg.loss_type != "None":
             logits = CosFace(
                 cfg.dim, cfg.num_classes, cfg.cosface_s, cfg.cosface_m, name="loss"

@@ -289,8 +289,18 @@ def import_torch_state_dict(
         elif k.startswith("transformer.layers."):
             ok = _convert_transformer(k, arr, params)
         elif k.startswith("mlp_head.0."):
-            leaf = "scale" if k.endswith("weight") else "bias"
-            _set(params, ("mlp_head", leaf), arr)
+            # Part-fViT: LayerNorm (weight/bias); overlap variant:
+            # BatchNorm1d — same scale/bias naming in flax, running stats
+            # land in batch_stats (ViT_face.py:1530 vs :630)
+            if k.endswith("running_mean"):
+                _set(stats, ("mlp_head", "mean"), arr)
+            elif k.endswith("running_var"):
+                _set(stats, ("mlp_head", "var"), arr)
+            elif k.endswith("num_batches_tracked"):
+                pass
+            else:
+                leaf = "scale" if k.endswith("weight") else "bias"
+                _set(params, ("mlp_head", leaf), arr)
         elif k.startswith("loss.weight"):
             _set(params, ("loss", "weight"), arr)
         elif k.startswith("mlp.") or k.startswith("last_layer."):

@@ -241,3 +241,43 @@ def test_mobile_dino_parity(ref):
     )
     cos = _cosine_rows(out_t, out_j)
     assert cos.min() >= 1 - 1e-3, f"mobile_dino cosine {cos}"
+
+
+def test_overlap_vit_parity(ref):
+    """ViTs_face_overlap (``ViT_face.py:1506-1613``): Unfold soft-split +
+    BatchNorm1d head. Randomized BN running stats so the head's stats
+    mapping is actually exercised."""
+    from lafs_cvpr2024_tpu.models.partfvit import OverlapViT
+
+    torch.manual_seed(3)
+    tm = ref.ViTs_face_overlap(
+        loss_type="None", GPU_ID=None, num_class=0, image_size=112,
+        patch_size=8, ac_patch_size=12, pad=4, dim=DIM, depth=DEPTH,
+        heads=HEADS, mlp_dim=MLP, dropout=0.0, emb_dropout=0.0,
+    ).eval()
+    # randomize the BN head's running stats (fresh init is 0-mean/1-var,
+    # which would hide a stats-mapping bug)
+    with torch.no_grad():
+        bn = tm.mlp_head[0]
+        bn.running_mean.normal_(0, 0.5)
+        bn.running_var.uniform_(0.5, 2.0)
+
+    x = np.random.default_rng(4).uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_emb = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    cfg = PartFViTConfig(
+        dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP, num_patches=196,
+        with_land=False, loss_type="None", num_classes=0,
+        dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+    )
+    model = OverlapViT(cfg, ac_patch_size=12, pad=4)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((2, 112, 112, 3)))
+    params, stats = import_torch_state_dict(tm.state_dict())
+    merged = {
+        "params": merge_params(variables["params"], params),
+        "batch_stats": merge_params(variables["batch_stats"], stats),
+    }
+    emb = np.asarray(model.apply(merged, jnp.asarray(x)))
+    cos = _cosine_rows(emb, ref_emb)
+    assert cos.min() >= 1 - 1e-3, cos
