@@ -321,6 +321,72 @@ def import_torch_state_dict(
     return TorchImport(params, stats, consumed, skipped, buffers)
 
 
+def import_dino_vit_state_dict(
+    state_dict: Dict[str, Any], strict: bool = False
+) -> TorchImport:
+    """DINO VisionTransformer dialect → ``models/dino_vit.py`` tree.
+
+    Covers the reference's ``vision_transformer.py:27-262`` and the official
+    DINO checkpoints (``--arch vit_*``): cls_token/pos_embed,
+    ``patch_embed.proj`` conv, ``blocks.N.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2}``, the final ``norm`` and optional ``head`` Dense.
+    """
+    sd = strip_prefixes(state_dict)
+    params: dict = {}
+    consumed: set = set()
+    buffers: set = set()
+    for k, v in sd.items():
+        if k.endswith(_IGNORED_BUFFER_SUFFIXES):
+            buffers.add(k)
+            continue
+        arr = _t(v)
+        ok = True
+        m = re.match(r"blocks\.(\d+)\.(.*)", k)
+        if k == "cls_token":
+            _set(params, ("cls_token",), arr)
+        elif k == "pos_embed":
+            _set(params, ("pos_embed",), arr)
+        elif k == "patch_embed.proj.weight":
+            _set(params, ("patch_embed", "kernel"), arr.transpose(2, 3, 1, 0))
+        elif k == "patch_embed.proj.bias":
+            _set(params, ("patch_embed", "bias"), arr)
+        elif k.startswith("norm."):
+            _set(params, ("norm", "scale" if k.endswith("weight") else "bias"), arr)
+        elif k.startswith("head."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            _set(params, ("head", leaf), arr.T if leaf == "kernel" else arr)
+        elif m:
+            i, rest = int(m.group(1)), m.group(2)
+            base = (f"block_{i}",)
+            if rest.startswith(("norm1.", "norm2.")):
+                mod = rest.split(".")[0]
+                leaf = "scale" if rest.endswith("weight") else "bias"
+                _set(params, base + (mod, leaf), arr)
+            elif rest.startswith(("attn.qkv.", "attn.proj.")):
+                mod = rest.split(".")[1]
+                leaf = "kernel" if rest.endswith("weight") else "bias"
+                _set(params, base + ("attn", mod, leaf),
+                     arr.T if leaf == "kernel" else arr)
+            elif rest.startswith(("mlp.fc1.", "mlp.fc2.")):
+                mod = rest.split(".")[1]
+                leaf = "kernel" if rest.endswith("weight") else "bias"
+                _set(params, base + (mod, leaf),
+                     arr.T if leaf == "kernel" else arr)
+            else:
+                ok = False
+        else:
+            ok = False
+        if ok:
+            consumed.add(k)
+    skipped = set(sd) - consumed - buffers
+    if strict and skipped:
+        raise ValueError(
+            f"import_dino_vit_state_dict(strict): {len(skipped)} unmapped "
+            f"non-buffer keys: {sorted(skipped)}"
+        )
+    return TorchImport(params, {}, consumed, skipped, buffers)
+
+
 def _convert_transformer(key: str, arr: np.ndarray, params: dict) -> bool:
     # transformer.layers.{i}.{0|1}.fn.{norm|fn}.<rest>
     m = re.match(r"transformer\.layers\.(\d+)\.(\d)\.fn\.(.*)", key)

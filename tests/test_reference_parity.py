@@ -281,3 +281,77 @@ def test_overlap_vit_parity(ref):
     emb = np.asarray(model.apply(merged, jnp.asarray(x)))
     cos = _cosine_rows(emb, ref_emb)
     assert cos.min() >= 1 - 1e-3, cos
+
+
+def test_dino_vit_parity(ref):
+    """DINO VisionTransformer (``vision_transformer.py:135-262``) — the
+    SSL ``--arch vit_*`` backbone and the official DINO checkpoint dialect
+    (``import_dino_vit_state_dict``)."""
+    import vision_transformer as ref_vits
+
+    from lafs_cvpr2024_tpu.models.dino_vit import VisionTransformer
+    from lafs_cvpr2024_tpu.train.checkpoint import import_dino_vit_state_dict
+
+    torch.manual_seed(5)
+    tm = ref_vits.VisionTransformer(
+        img_size=[96], patch_size=16, embed_dim=192, depth=2, num_heads=3,
+        qkv_bias=True, drop_rate=0.0, attn_drop_rate=0.0,
+    ).eval()
+
+    jm = VisionTransformer(
+        img_size=96, patch_size=16, embed_dim=192, depth=2, num_heads=3,
+    )
+    base = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.zeros((2, 96, 96, 3)))
+    imp = import_dino_vit_state_dict(tm.state_dict(), strict=True)
+    params, _ = imp
+    merged = {"params": merge_params(base["params"], params)}
+
+    x = np.random.default_rng(6).uniform(-1, 1, (2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x)).numpy()  # CLS embedding after norm
+    out = np.asarray(jm.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    cos = _cosine_rows(out, ref_out)
+    assert cos.min() >= 1 - 1e-3, cos
+
+    # intermediate hook parity: last self-attention map
+    with torch.no_grad():
+        attn_t = tm.get_last_selfattention(torch.from_numpy(x)).numpy()
+    attn_j = np.asarray(
+        jm.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                 method=jm.get_last_selfattention)
+    )
+    np.testing.assert_allclose(attn_j, attn_t, atol=2e-4)
+
+
+def test_global_token_variant_parity(ref):
+    """ViT_face_landmark_patch8_global (``ViT_face.py:336-558``): CLS token
+    replaced by a projection of the stn features (global_token Sequential →
+    our Dense under the same scope)."""
+    torch.manual_seed(7)
+    tm = ref.ViT_face_landmark_patch8_global(
+        loss_type="None", GPU_ID=None, num_class=0, image_size=112,
+        patch_size=8, dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP,
+    ).eval()
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+
+    cfg = PartFViTConfig(
+        dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP, num_classes=0,
+        with_land=True, use_global_token=True, loss_type="None",
+    )
+    model, variables, _ = _flax_variables(cfg, tm.state_dict())
+
+    x = np.random.default_rng(8).uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x))
+        emb_t = (out_t[0] if isinstance(out_t, tuple) else out_t).numpy()
+    out_j = jax.jit(lambda v, a: model.apply(v, a, train=False))(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    emb_j = np.asarray(out_j[0] if isinstance(out_j, tuple) else out_j)
+    cos = _cosine_rows(emb_t, emb_j)
+    assert cos.min() >= 1 - 1e-3, cos
