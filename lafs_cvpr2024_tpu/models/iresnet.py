@@ -68,11 +68,19 @@ class IBasicBlock(nn.Module):
 
 
 class IResNet(nn.Module):
+    """``avg_pool=False``: the canonical insightface head (flatten →
+    Linear(512·49, D) → frozen-scale BN — ``iresnet.py:169-173``), the
+    layout of published insightface checkpoints. ``avg_pool=True``: the
+    reference's shipped factory variant (``IResNet_withloss_avg``,
+    ``iresnet.py:425-447``): bn2 → global average pool → dropout →
+    features BN, no fc (embedding width = 512)."""
+
     layers: Sequence[int]
     num_features: int = 512
     dropout: float = 0.0
     with_loss: bool = False
     num_classes: int = 0
+    avg_pool: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -87,16 +95,21 @@ class IResNet(nn.Module):
                     name=f"layer{stage + 1}_{b}",
                 )(x, train)
         x = _BN(self.axis_name, name="bn2")(x, train)
-        x = x.reshape(x.shape[0], -1)
-        x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        x = nn.Dense(self.num_features, name="fc")(x)
+        if self.avg_pool:
+            x = x.mean(axis=(1, 2))  # global average pool (iresnet.py:437)
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        else:
+            x = x.reshape(x.shape[0], -1)
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+            x = nn.Dense(self.num_features, name="fc")(x)
         # BN1d with frozen scale=1 (iresnet.py:171-173): use_scale=False
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             use_scale=False, name="features",
         )(x)
         if self.with_loss and labels is not None:
-            logits = CosFace(self.num_features, self.num_classes, name="loss")(x, labels)
+            emb_dim = x.shape[-1]
+            logits = CosFace(emb_dim, self.num_classes, name="loss")(x, labels)
             return logits, x
         return x
 

@@ -387,6 +387,106 @@ def import_dino_vit_state_dict(
     return TorchImport(params, {}, consumed, skipped, buffers)
 
 
+def import_iresnet_state_dict(
+    state_dict: Dict[str, Any], strict: bool = False
+) -> TorchImport:
+    """insightface iResNet dialect (``face_pre_pro/iresnet.py``) →
+    ``models/iresnet.py`` tree.
+
+    Quirks handled: NCHW→NHWC flatten before ``fc`` (the (D, 512·7·7)
+    weight is permuted channel-major → HWC-major), the frozen
+    ``features`` BN scale (asserted ≡ 1 and dropped — ours uses
+    ``use_scale=False``), ``downsample`` Sequential → conv/bn pair.
+    """
+    sd = strip_prefixes(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    consumed: set = set()
+    buffers: set = set()
+
+    def bn(scope, rest, arr):
+        if rest == "weight":
+            _set(params, scope + ("scale",), arr)
+        elif rest == "bias":
+            _set(params, scope + ("bias",), arr)
+        elif rest == "running_mean":
+            _set(stats, scope + ("mean",), arr)
+        elif rest == "running_var":
+            _set(stats, scope + ("var",), arr)
+        else:
+            return False
+        return True
+
+    for k, v in sd.items():
+        if k.endswith(_IGNORED_BUFFER_SUFFIXES):
+            buffers.add(k)
+            continue
+        arr = _t(v)
+        ok = True
+        m = re.match(r"layer(\d+)\.(\d+)\.(.*)", k)
+        if k == "conv1.weight":
+            _set(params, ("conv1", "kernel"), arr.transpose(2, 3, 1, 0))
+        elif k.startswith("bn1.") or k.startswith("bn2."):
+            ok = bn((k.split(".")[0], "bn"), k.split(".", 1)[1], arr)
+        elif k == "prelu.weight":
+            _set(params, ("prelu", "alpha"), arr)
+        elif k == "fc.weight":
+            d, flat = arr.shape
+            hw = flat // 512
+            side = int(round(hw ** 0.5))
+            # torch flattens NCHW (c, h, w); ours flattens NHWC (h, w, c)
+            w = arr.reshape(d, 512, side, side).transpose(0, 2, 3, 1)
+            _set(params, ("fc", "kernel"), w.reshape(d, flat).T)
+        elif k == "fc.bias":
+            _set(params, ("fc", "bias"), arr)
+        elif k.startswith("features."):
+            rest = k.split(".", 1)[1]
+            if rest == "weight":
+                if not np.allclose(arr, 1.0):
+                    raise ValueError(
+                        "features BN scale is not the frozen 1.0 — this "
+                        "checkpoint needs use_scale=True"
+                    )
+            elif rest == "bias":
+                _set(params, ("features", "bias"), arr)
+            elif rest == "running_mean":
+                _set(stats, ("features", "mean"), arr)
+            elif rest == "running_var":
+                _set(stats, ("features", "var"), arr)
+            else:
+                ok = False
+        elif m:
+            stage, blk, rest = m.group(1), m.group(2), m.group(3)
+            base = (f"layer{stage}_{blk}",)
+            if rest.startswith(("bn1.", "bn2.", "bn3.")):
+                mod, leaf = rest.split(".", 1)
+                ok = bn(base + (mod, "bn"), leaf, arr)
+            elif rest in ("conv1.weight", "conv2.weight"):
+                _set(params, base + (rest.split(".")[0], "kernel"),
+                     arr.transpose(2, 3, 1, 0))
+            elif rest == "prelu.weight":
+                _set(params, base + ("prelu", "alpha"), arr)
+            elif rest == "downsample.0.weight":
+                _set(params, base + ("downsample_conv", "kernel"),
+                     arr.transpose(2, 3, 1, 0))
+            elif rest.startswith("downsample.1."):
+                ok = bn(base + ("downsample_bn", "bn"),
+                        rest[len("downsample.1."):], arr)
+            else:
+                ok = False
+        else:
+            ok = False
+        if ok:
+            consumed.add(k)
+    skipped = set(sd) - consumed - buffers
+    if strict and skipped:
+        raise ValueError(
+            f"import_iresnet_state_dict(strict): {len(skipped)} unmapped "
+            f"non-buffer keys: {sorted(skipped)}"
+        )
+    return TorchImport(params, stats, consumed, skipped, buffers)
+
+
 def _convert_transformer(key: str, arr: np.ndarray, params: dict) -> bool:
     # transformer.layers.{i}.{0|1}.fn.{norm|fn}.<rest>
     m = re.match(r"transformer\.layers\.(\d+)\.(\d)\.fn\.(.*)", key)

@@ -355,3 +355,97 @@ def test_global_token_variant_parity(ref):
     emb_j = np.asarray(out_j[0] if isinstance(out_j, tuple) else out_j)
     cos = _cosine_rows(emb_t, emb_j)
     assert cos.min() >= 1 - 1e-3, cos
+
+
+def test_iresnet_parity(ref):
+    """iResNet-18, canonical insightface head (``iresnet.py:136-229``,
+    class IResNet): BN-first blocks, PReLU, NCHW-flatten fc, frozen-scale
+    features BN — the layout of published insightface checkpoints. The
+    reference forward ships a LIVE pdb.set_trace (iresnet.py:215) —
+    neutralized for the test."""
+    import pdb as pdb_mod
+
+    import face_pre_pro.iresnet as ref_ires
+
+    from lafs_cvpr2024_tpu.models.iresnet import iresnet18
+    from lafs_cvpr2024_tpu.train.checkpoint import import_iresnet_state_dict
+
+    torch.manual_seed(9)
+    tm = ref_ires.IResNet(
+        ref_ires.IBasicBlock, [2, 2, 2, 2], num_features=64
+    ).eval()
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+
+    jm = iresnet18(num_features=64)
+    base = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.zeros((2, 112, 112, 3)))
+    imp = import_iresnet_state_dict(tm.state_dict(), strict=True)
+    params, stats = imp
+    merged = {
+        "params": merge_params(base["params"], params),
+        "batch_stats": merge_params(base["batch_stats"], stats),
+    }
+
+    x = np.random.default_rng(10).uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    orig_trace = pdb_mod.set_trace
+    pdb_mod.set_trace = lambda *a, **kw: None
+    try:
+        with torch.no_grad():
+            emb_t = tm(torch.from_numpy(x)).numpy()
+    finally:
+        pdb_mod.set_trace = orig_trace
+    emb_j = np.asarray(
+        jax.jit(lambda v, a: jm.apply(v, a, train=False))(
+            merged, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    )
+    cos = _cosine_rows(emb_t, emb_j)
+    assert cos.min() >= 1 - 1e-3, cos
+
+
+def test_iresnet_avgpool_variant_parity(ref):
+    """The reference's SHIPPED factory (``iresnet.py:446-450``) builds
+    IResNet_withloss_avg: bn2 → global avg pool → features BN, no fc.
+    Ours: ``IResNet(avg_pool=True)``."""
+    import pdb as pdb_mod
+
+    import face_pre_pro.iresnet as ref_ires
+
+    from lafs_cvpr2024_tpu.models.iresnet import iresnet18
+    from lafs_cvpr2024_tpu.train.checkpoint import import_iresnet_state_dict
+
+    torch.manual_seed(11)
+    tm = ref_ires.iresnet18().eval()  # avg variant, 512-wide embedding
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+
+    jm = iresnet18(avg_pool=True)
+    base = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.zeros((2, 112, 112, 3)))
+    params, stats = import_iresnet_state_dict(tm.state_dict(), strict=True)
+    merged = {
+        "params": merge_params(base["params"], params),
+        "batch_stats": merge_params(base["batch_stats"], stats),
+    }
+    x = np.random.default_rng(12).uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    orig = pdb_mod.set_trace
+    pdb_mod.set_trace = lambda *a, **k: None
+    try:
+        with torch.no_grad():
+            emb_t = tm(torch.from_numpy(x)).numpy()
+    finally:
+        pdb_mod.set_trace = orig
+    emb_j = np.asarray(
+        jax.jit(lambda v, a: jm.apply(v, a, train=False))(
+            merged, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    )
+    cos = _cosine_rows(emb_t, emb_j)
+    assert cos.min() >= 1 - 1e-3, cos
