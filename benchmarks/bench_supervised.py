@@ -31,6 +31,7 @@ def main():
             loss_type="CosFace", mlp_impl="fused",
         ),
         acc_step=3,
+        moment_dtype=jnp.bfloat16,
         mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=NUM_CLASSES),
         shard_classifier=False,
     )
