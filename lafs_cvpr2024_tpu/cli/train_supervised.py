@@ -45,6 +45,11 @@ def get_args():
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
     p.add_argument("--dim-head", type=int, default=64)
+    p.add_argument("--moment-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="AdamW moment STORAGE dtype (update math is always "
+                        "fp32); bf16 halves optimizer HBM traffic — "
+                        "loss-trajectory A/B identical (docs/PERF.md)")
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
     p.add_argument("--patch-size", type=int, default=8)
@@ -192,6 +197,7 @@ def main():
         fused_device_aug=args.device_aug,
         rand_aug=args.rand_aug,
         landmark_distill=args.landmark_distill,
+        moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
     )
 
     rng = jax.random.PRNGKey(args.seed)
