@@ -58,7 +58,7 @@ def _iter_batches(args):
     if os.path.exists(rec):
         from ..data import FaceRecordDataset
 
-        ds = FaceRecordDataset(args.input, bgr=args.bgr)
+        ds = FaceRecordDataset(rec, bgr=args.bgr)
         for start in range(0, len(ds), args.batch_size):
             idxs = range(start, min(start + args.batch_size, len(ds)))
             imgs = np.stack([np.asarray(ds[i][0], np.uint8) for i in idxs])

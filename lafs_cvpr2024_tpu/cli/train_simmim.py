@@ -157,6 +157,21 @@ def main(argv=None):
         os.path.join(args.output_dir, "log.txt"), enabled=is_main_process()
     )
 
+    # Deferred loss fetch (see cli/train_ssl.py): per-step float() is a host
+    # sync; buffer device scalars, fetch in one device_get at boundaries.
+    pending = []
+
+    def flush_losses():
+        if not pending:
+            return
+        vals = jax.device_get([d for _, d in pending])
+        for (gs, _), v in zip(pending, vals):
+            v = float(v)
+            if not np.isfinite(v):
+                raise SystemExit(f"Loss is {v} at step {gs}, stopping training")
+            logger.update(loss=v)
+        pending.clear()
+
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         for it, (images, _) in enumerate(
@@ -170,10 +185,11 @@ def main(argv=None):
                 state, land_vars, images,
                 jnp.float32(lr_sched[gstep]), jnp.float32(args.weight_decay),
             )
-            loss = float(metrics["loss"])
-            if not (loss == loss):  # NaN guard (lafs_train.py:585 parity)
-                raise SystemExit(f"Loss is {loss}, stopping training")
-            logger.update(loss=loss, lr=lr_sched[gstep])
+            pending.append((gstep, metrics["loss"]))
+            logger.update(lr=lr_sched[gstep])
+            if (it + 1) % 100 == 0:
+                flush_losses()
+        flush_losses()
         logger.synchronize_between_processes()
         if is_main_process():
             save_checkpoint(

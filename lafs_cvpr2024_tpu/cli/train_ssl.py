@@ -43,7 +43,22 @@ def get_args():
     p.add_argument("--global-crops-scale", type=float, nargs=2, default=(0.4, 1.0))
     p.add_argument("--local-crops-scale", type=float, nargs=2, default=(0.05, 0.4))
     p.add_argument("--clip-grad", type=float, default=3.0)
-    p.add_argument("--freeze-last-layer", type=int, default=1)
+    p.add_argument("--freeze-last-layer", type=int, default=1,
+                   help="epochs to freeze the DINO head's last layer "
+                        "(cancel_gradients_last_layer, utils.py:144-149)")
+    p.add_argument("--landmark-jitter-std", type=float, default=5.0,
+                   help="N(0, std^2) px jitter on predicted landmarks "
+                        "(ViT_face.py:1359-1362)")
+    p.add_argument("--local-keep-landmarks", type=int, default=36,
+                   help="landmarks kept per local crop (ran_sample, "
+                        "ViT_face.py:1365-1367)")
+    p.add_argument("--head-hidden-dim", type=int, default=2048,
+                   help="DINO head MLP hidden width (vision_transformer.py:265)")
+    p.add_argument("--head-bottleneck-dim", type=int, default=256)
+    p.add_argument("--no-norm-last-layer", dest="norm_last_layer",
+                   action="store_false", default=True,
+                   help="train the weight-norm g of the head's last layer "
+                        "(norm_last_layer=False, vision_transformer.py:284-287)")
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
@@ -142,11 +157,27 @@ def main():
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
         ),
         out_dim=args.out_dim,
+        head_hidden_dim=args.head_hidden_dim,
+        head_bottleneck_dim=args.head_bottleneck_dim,
+        norm_last_layer=args.norm_last_layer,
         local_crops_number=args.local_crops_number,
+        local_keep_landmarks=args.local_keep_landmarks,
+        landmark_jitter_std=args.landmark_jitter_std,
+        global_crops_scale=tuple(args.global_crops_scale),
         clip_grad=args.clip_grad,
+        freeze_last_layer_epochs=args.freeze_last_layer,
         fused_device_aug=args.device_aug,
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
     )
+    if tuple(args.local_crops_scale) != (0.05, 0.4):
+        # no silently-ignored argument: LAFS draws LOCAL crops from the
+        # GLOBAL scale on every path (lafs_train.py:852-858) — the flag
+        # exists for config parity with the reference parser only
+        raise SystemExit(
+            "--local-crops-scale has no effect in the LAFS recipe (local "
+            "crops draw the GLOBAL scale, lafs_train.py:852-858); set "
+            "--global-crops-scale instead"
+        )
 
     rng = jax.random.PRNGKey(args.seed)
     state = jax.jit(lambda r: create_ssl_state(cfg, r))(rng)
@@ -201,6 +232,24 @@ def main():
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
 
+    # Deferred loss fetch: a per-step float(metrics["loss"]) is a host sync
+    # that serializes device step → host read → next dispatch (the only real
+    # sync on this backend). Buffer the device scalars and fetch them in ONE
+    # device_get at print/checkpoint boundaries; the NaN guard runs on the
+    # fetched values (parity with lafs_train.py:585 at log granularity).
+    pending = []  # [(gstep, device loss scalar)]
+
+    def flush_losses():
+        if not pending:
+            return
+        vals = jax.device_get([d for _, d in pending])
+        for (gs, _), v in zip(pending, vals):
+            v = float(v)
+            if not np.isfinite(v):
+                raise SystemExit(f"Loss is {v} at step {gs}, stopping training")
+            logger.update(loss=v)
+        pending.clear()
+
     for epoch in range(start_epoch, args.epochs):
         t_epoch = time.time()
         skip = start_it if epoch == start_epoch else 0
@@ -227,20 +276,24 @@ def main():
                 wd=jnp.float32(wd_sched[gstep]),
                 momentum=jnp.float32(mom_sched[gstep]),
                 teacher_temp=jnp.float32(temp_sched[epoch]),
-                freeze_last=jnp.float32(0.0 if epoch < args.freeze_last_layer else 1.0),
+                freeze_last=jnp.float32(
+                    0.0 if epoch < cfg.freeze_last_layer_epochs else 1.0
+                ),
             )
-            loss = float(metrics["loss"])
-            if not np.isfinite(loss):
-                raise SystemExit(f"Loss is {loss}, stopping training")
-            logger.update(loss=loss, lr=lr_sched[gstep], wd=wd_sched[gstep])
+            pending.append((gstep, metrics["loss"]))
+            logger.update(lr=lr_sched[gstep], wd=wd_sched[gstep])
+            if (it + 1) % 100 == 0:
+                flush_losses()
             if (
                 args.saveckp_steps
                 and (gstep + 1) % args.saveckp_steps == 0
                 and is_main_process()
             ):
+                flush_losses()
                 save_checkpoint(
                     os.path.join(args.output_dir, "ckpt"), state, step=gstep + 1
                 )
+        flush_losses()
         logger.synchronize_between_processes()
         if is_main_process():
             save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,

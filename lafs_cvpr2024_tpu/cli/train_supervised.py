@@ -61,6 +61,10 @@ def get_args():
                    choices=["CosFace", "ArcFace", "SFace", "Softmax"])
     p.add_argument("--bgr", action="store_true", help="keep packed BGR order (ms1m-style recs)")
     p.add_argument("--rand-aug", default="rand-m1-mstd0.5-inc1")
+    p.add_argument("--syn-aug", action="store_true",
+                   help="FaceDataset_syn_aug preset (image_iter.py:584-604): "
+                        "random JPEG-compress/blur/down-up/grayscale "
+                        "degradations composed into the host augmentation")
     p.add_argument("--mixup", type=float, default=0.2)
     p.add_argument("--mixup-prob", type=float, default=0.1)
     p.add_argument("--partition", type=float, default=None, help="few-shot fraction")
@@ -135,8 +139,12 @@ def main():
     rec_file = os.path.join(args.data_root, "train.rec")
     # --device-aug: the host ships raw uint8 images; the whole augmentation
     # pipeline runs inside the compiled step
-    aug = None if args.device_aug else SupervisedAugment(
-        config_str=args.rand_aug, size=args.image_size
+    if args.syn_aug and args.device_aug:
+        raise SystemExit("--syn-aug is a host pipeline; drop --device-aug")
+    aug = None if args.device_aug else (
+        SupervisedAugment.syn(size=args.image_size)
+        if args.syn_aug
+        else SupervisedAugment(config_str=args.rand_aug, size=args.image_size)
     )
     if os.path.isfile(rec_file):
         num_classes, h, w = read_property(args.data_root)
@@ -276,6 +284,10 @@ def main():
 
     step_fn = make_train_step(cfg, mesh, donate=True)
     embed_fn = make_embed_fn(cfg, mesh, input_scale="half")
+    # eval-time landmark/patch visualization (with_land models only)
+    from ..train.supervised import make_landmark_viz_fn
+
+    viz_fn = make_landmark_viz_fn(cfg) if cfg.model.with_land else None
     vers = get_val_data(args.eval_path, args.targets) if args.eval_path else []
     highest_acc = [0.0 for _ in args.targets]
 
@@ -283,6 +295,17 @@ def main():
     tb = TensorBoardWriter(args.work_path, enabled=is_main_process())
     jsonl = JSONLLogger(os.path.join(args.work_path, "log.txt"), enabled=is_main_process())
     ver_freq = max(len(dataset) // (n_dev * args.batch_size * 2), 1)
+
+    # Deferred loss fetch (see cli/train_ssl.py): per-step float() on the
+    # device loss is a host sync; buffer and fetch at disp_freq boundaries.
+    pending = []
+
+    def flush_losses():
+        if not pending:
+            return
+        for v in jax.device_get(pending):
+            logger.update(loss=float(v))
+        pending.clear()
 
     gstep = start_step
     resume_epoch = start_step // max(steps_per_epoch, 1)
@@ -306,10 +329,14 @@ def main():
                 state, cls_w, cls_opt, metrics = step_fn(
                     state, cls_w, cls_opt, images, labels.astype(jnp.int32), lr
                 )
-            logger.update(loss=metrics["loss"], lr=lr)
+            pending.append(metrics["loss"])
+            logger.update(lr=lr)
             if gstep % args.disp_freq == 0 and is_main_process():
+                flush_losses()
                 print(f"epoch {epoch} step {gstep}: {logger}")
-                tb.add_scalar("Training/Training_Loss", float(metrics["loss"]), gstep)
+                tb.add_scalar(
+                    "Training/Training_Loss", logger.meters["loss"].median, gstep
+                )
                 tb.add_scalar("LR", lr, gstep)
             if vers and gstep and gstep % ver_freq == 0 and is_main_process():
                 variables = {"params": state.params}
@@ -325,6 +352,41 @@ def main():
                     print(f"[{name}][{gstep}] acc {res.accuracy:.5f}±{res.accuracy_std:.5f} "
                           f"xnorm {res.xnorm:.3f} thr {res.best_threshold:.3f}")
                     tb.add_scalar(f"{name}_Accuracy", res.accuracy, gstep)
+                    # eval-time observability (reference buffer_val +
+                    # save_patch/plot_landmark, util/utils.py:1038-1043,
+                    # 1141-1251): ROC image per target; landmark overlay +
+                    # patch grid for the first eval face
+                    from ..utils.visualize import gen_roc_plot
+
+                    tb.add_image(
+                        f"{name}_roc_curve",
+                        gen_roc_plot(res.fpr, res.tpr), gstep,
+                    )
+                    if viz_fn is not None:
+                        from ..utils.visualize import (
+                            plot_landmarks,
+                            save_patch_grid,
+                        )
+
+                        face = np.asarray(data[0, :1])  # first orig face
+                        theta, patches = viz_fn(variables, jnp.asarray(face))
+                        viz_dir = os.path.join(args.work_path, "viz")
+                        os.makedirs(viz_dir, exist_ok=True)
+                        png = plot_landmarks(
+                            face[0], np.asarray(theta[0]), denorm=False
+                        )
+                        tb.add_image(f"{name}_landmarks", png, gstep)
+                        with open(
+                            os.path.join(
+                                viz_dir, f"{name}_landmarks_{gstep}.png"
+                            ), "wb",
+                        ) as f:
+                            f.write(png)
+                        save_patch_grid(
+                            (np.asarray(patches[0]) + 0.5).clip(0, 1),
+                            os.path.join(viz_dir, f"{name}_patches_{gstep}.png"),
+                            denorm=False,
+                        )
                 if need_save(accs, highest_acc):
                     save_checkpoint(
                         os.path.join(args.work_path, "ckpt"),
@@ -332,6 +394,7 @@ def main():
                         step=gstep,
                     )
             gstep += 1
+        flush_losses()
         jsonl.write({"epoch": epoch, "loss": logger.meters["loss"].global_avg,
                      "epoch_time_s": time.time() - t_epoch})
     save_checkpoint(

@@ -231,11 +231,34 @@ class SupervisedAugment:
 
     crop_and_erase: bool = True  # adaaug's trans is jitter-only
 
+    # syn-aug degradation stage (``FaceDataset_syn_aug``'s live trans,
+    # ``image_iter.py:584-604``): random JPEG re-compression, gaussian
+    # blur, down→up-sampling, grayscale — each with its own probability,
+    # applied between the crop and the color jitter.
+    degrade: bool = False
+    jpeg_p: float = 0.05
+    blur_p: float = 0.05
+    downup_p: float = 0.01
+    gray_p: float = 0.01
+
     @classmethod
     def adaaug(cls, size: int = 112, **kw) -> "SupervisedAugment":
         """``FaceDataset_adaaug``'s live pipeline (``image_iter.py:389-399``)."""
         return cls(
             size=size, jitter=(0.5, 0.5, 0.5, 0.0), crop_and_erase=False, **kw
+        )
+
+    @classmethod
+    def syn(cls, size: int = 112, **kw) -> "SupervisedAugment":
+        """``FaceDataset_syn_aug``'s live pipeline (``image_iter.py:584-604``):
+        RandomResizedCrop(0.9-1.0) + flip + JPEG-compress(p=.05) +
+        GaussianBlur(p=.05) + down-up-sample(p=.01) +
+        ColorJitter(.15,.3,.1,.1) + grayscale(p=.01); no RandAugment or
+        erasing by default (``image_iter.py:554`` defaults)."""
+        kw.setdefault("rand_au", False)
+        kw.setdefault("erasing", False)
+        return cls(
+            size=size, jitter=(0.15, 0.3, 0.1, 0.1), degrade=True, **kw
         )
 
     def __post_init__(self):
@@ -258,8 +281,23 @@ class SupervisedAugment:
             # adaaug's jitter-only)
             if self.crop_and_erase:
                 img = random_resized_crop(img, self.size, scale=(0.9, 1.0))
+            if self.degrade:
+                # syn-aug degradations, reference order + probabilities
+                # (image_iter.py:593-601)
+                from .degrade import random_down_upsample, random_jpeg_compression
+
+                arr2 = np.asarray(img)
+                if random.random() < self.jpeg_p:
+                    arr2 = random_jpeg_compression(arr2)
+                img = Image.fromarray(arr2)
+                img = GaussianBlur(p=self.blur_p)(img)
+                img = Image.fromarray(
+                    random_down_upsample(np.asarray(img), p=self.downup_p)
+                )
             if any(self.jitter):
                 img = color_jitter(img, *self.jitter)
+            if self.degrade:
+                img = random_grayscale(img, p=self.gray_p)
             out = np.asarray(img)
             if self.crop_and_erase and self.erasing:
                 out = random_erasing(out, p=0.5, scale=(0.02, 0.1))

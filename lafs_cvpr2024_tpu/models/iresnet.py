@@ -81,6 +81,12 @@ class IResNet(nn.Module):
     with_loss: bool = False
     num_classes: int = 0
     avg_pool: bool = False
+    # features BN scale: the canonical fc head freezes it at 1
+    # (``iresnet.py:171-173`` sets requires_grad=False), but in
+    # ``IResNet_withloss_avg`` the freeze line is commented out
+    # (``iresnet.py:385-386``) so the scale trains.  None = follow the
+    # reference per-variant (trainable iff avg_pool).
+    features_scale: Optional[bool] = None
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -102,10 +108,12 @@ class IResNet(nn.Module):
             x = x.reshape(x.shape[0], -1)
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
             x = nn.Dense(self.num_features, name="fc")(x)
-        # BN1d with frozen scale=1 (iresnet.py:171-173): use_scale=False
+        use_scale = (
+            self.avg_pool if self.features_scale is None else self.features_scale
+        )
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            use_scale=False, name="features",
+            use_scale=use_scale, name="features",
         )(x)
         if self.with_loss and labels is not None:
             emb_dim = x.shape[-1]

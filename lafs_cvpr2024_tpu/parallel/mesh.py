@@ -86,16 +86,17 @@ def sharded_batch_apply(fn, mesh: Mesh):
         return fn
     sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
-    seen = {}  # id(variables) → mesh-replicated copy
+    # (original tree, mesh-replicated copy) — keyed by identity with a
+    # strong reference held, so a recycled id() can never alias a new tree
+    cache = [None, None]
 
     def wrapped(variables, batch):
         # variables committed to a single device (e.g. an orbax restore)
         # conflict with the mesh-sharded batch — replicate them once
-        key = id(variables)
-        if key not in seen:
-            seen.clear()  # hold at most one tree alive
-            seen[key] = jax.device_put(variables, replicated)
-        variables = seen[key]
+        if cache[0] is not variables:
+            cache[0] = variables
+            cache[1] = jax.device_put(variables, replicated)
+        variables = cache[1]
         batch = np.asarray(batch)
         n = batch.shape[0]
         pad = (-n) % n_data

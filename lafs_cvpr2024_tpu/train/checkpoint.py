@@ -94,13 +94,28 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
                 return extract(tree["state"])
             if "student" in tree and "teacher" in tree:
                 return {"params": tree["teacher"]["backbone"]}
+        def _scalar(x):
+            return np.ndim(x) == 0 or (hasattr(x, "shape") and x.shape == ())
+
         if isinstance(tree, (list, tuple)):
-            if len(tree) == 5:  # TrainState fields in order
+            # arity alone is ambiguous — confirm the field layout before
+            # trusting the guess, and reject look-alikes loudly
+            if (
+                len(tree) == 5  # TrainState: params/batch_stats/opt/step/rng
+                and isinstance(tree[0], dict)
+                and isinstance(tree[1], (dict, type(None)))
+                and _scalar(tree[3])
+            ):
                 out = {"params": tree[0]}
                 if tree[1]:
                     out["batch_stats"] = tree[1]
                 return out
-            if len(tree) == 6:  # SSLTrainState — teacher backbone
+            if (
+                len(tree) == 6  # SSLTrainState — teacher backbone
+                and isinstance(tree[1], dict)
+                and "backbone" in tree[1]
+                and _scalar(tree[4])
+            ):
                 return {"params": tree[1]["backbone"]}
         raise ValueError(
             f"unrecognized checkpoint layout under {path}: {type(tree)}"
@@ -394,9 +409,12 @@ def import_iresnet_state_dict(
     ``models/iresnet.py`` tree.
 
     Quirks handled: NCHW→NHWC flatten before ``fc`` (the (D, 512·7·7)
-    weight is permuted channel-major → HWC-major), the frozen
-    ``features`` BN scale (asserted ≡ 1 and dropped — ours uses
-    ``use_scale=False``), ``downsample`` Sequential → conv/bn pair.
+    weight is permuted channel-major → HWC-major), the ``features`` BN
+    scale (dropped when it is the fc-variant's frozen all-ones —
+    ``use_scale=False`` on our side — but mapped into params when it
+    drifted, as ``IResNet_withloss_avg`` trains it; build the model with
+    ``avg_pool=True`` / ``features_scale=True`` to consume it),
+    ``downsample`` Sequential → conv/bn pair.
     """
     sd = strip_prefixes(state_dict)
     params: dict = {}
@@ -443,10 +461,9 @@ def import_iresnet_state_dict(
             rest = k.split(".", 1)[1]
             if rest == "weight":
                 if not np.allclose(arr, 1.0):
-                    raise ValueError(
-                        "features BN scale is not the frozen 1.0 — this "
-                        "checkpoint needs use_scale=True"
-                    )
+                    # trained scale (avg variant): map it; the model must
+                    # be built with a scale'd features BN to consume it
+                    _set(params, ("features", "scale"), arr)
             elif rest == "bias":
                 _set(params, ("features", "bias"), arr)
             elif rest == "running_mean":

@@ -61,6 +61,10 @@ class SSLConfig:
     local_crops_number: int = 8
     local_keep_landmarks: int = 36
     landmark_jitter_std: float = 5.0
+    # crop scale for the fused device-aug path. NOTE the reference draws
+    # LOCAL crops from this same global scale (``lafs_train.py:852-858``) —
+    # there is deliberately no local_crops_scale here.
+    global_crops_scale: tuple = (0.4, 1.0)
     student_temp: float = 0.1
     center_momentum: float = 0.9
     clip_grad: float = 3.0
@@ -239,6 +243,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 glob_clean,
                 local_crops_number=cfg.local_crops_number,
                 out_size=cfg.model.image_size,
+                global_crops_scale=tuple(cfg.global_crops_scale),
             )
         g_tokens, l_tokens = make_tokens(
             landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, k_land

@@ -399,6 +399,40 @@ def create_classifier(
     return w, adamw_init({"w": w}, moment_dtype=cfg.moment_dtype)
 
 
+def make_landmark_viz_fn(cfg: SupervisedConfig, input_scale: str = "half"):
+    """Jitted eval-time landmark/patch extractor for visualization.
+
+    (variables, uint8 images) → (theta (B, N, 2) pixel coords,
+    patches (B, N, P, P, 3) in the input scale) — feeds
+    ``utils.visualize.plot_landmarks`` / ``save_patch_grid``, replacing the
+    reference's per-eval overlay dumps (``util/utils.py:1141-1251``)."""
+    from ..models.partfvit import LandmarkRegressor
+    from ..ops.patch_gather import patch_gather
+
+    reg = LandmarkRegressor(
+        cfg.model.num_patches, None, cfg.model.stn_mode,
+        float(cfg.model.image_size - 1),
+    )
+    p = cfg.model.patch_size
+
+    @jax.jit
+    def viz(variables, images):
+        x = images.astype(jnp.float32)
+        x = x / 255.0 - 0.5 if input_scale == "half" else x / 255.0 * 2 - 1
+        lvars = {"params": variables["params"]["landmark"]}
+        bs = variables.get("batch_stats", {})
+        if "landmark" in bs:
+            lvars["batch_stats"] = bs["landmark"]
+        theta, _ = reg.apply(lvars, x, False)
+        tokens = patch_gather(x, theta, p, impl=cfg.model.gather_impl)
+        b, n = tokens.shape[:2]
+        # tokens flatten (x_off, y_off, c); display wants (y, x, c)
+        patches = tokens.reshape(b, n, p, p, -1).transpose(0, 1, 3, 2, 4)
+        return theta, patches
+
+    return viz
+
+
 def make_embed_fn(
     cfg: SupervisedConfig,
     mesh: Optional[Mesh] = None,

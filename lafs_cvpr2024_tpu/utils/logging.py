@@ -192,9 +192,11 @@ class TensorBoardWriter:
                 return out
 
     def _event(self, wall_time: float, step: int = 0, file_version: str = None,
-               tag: str = None, value: float = None) -> bytes:
+               tag: str = None, value: float = None,
+               value_bytes: bytes = None) -> bytes:
         # hand-rolled protobuf: Event{1: double wall_time, 2: int64 step,
-        #   3: string file_version, 5: Summary{1: Value{1: tag, 2: float}}}
+        #   3: string file_version, 5: Summary{1: Value{1: tag, 2: float,
+        #   4: Image}}}; value_bytes = a pre-encoded Summary.Value payload
         out = b"\x09" + struct.pack("<d", wall_time)
         if step:
             out += b"\x10" + self._varint(step)
@@ -203,8 +205,12 @@ class TensorBoardWriter:
             out += b"\x1a" + self._varint(len(fv)) + fv
         if tag is not None:
             t = tag.encode()
-            val = b"\x0a" + self._varint(len(t)) + t + b"\x15" + struct.pack("<f", value)
-            summary = b"\x0a" + self._varint(len(val)) + val
+            value_bytes = (
+                b"\x0a" + self._varint(len(t)) + t
+                + b"\x15" + struct.pack("<f", value)
+            )
+        if value_bytes is not None:
+            summary = b"\x0a" + self._varint(len(value_bytes)) + value_bytes
             out += b"\x2a" + self._varint(len(summary)) + summary
         return out
 
@@ -213,6 +219,51 @@ class TensorBoardWriter:
             return
         self._write_event(
             self._event(wall_time=time.time(), step=step, tag=tag, value=float(value))
+        )
+
+    def add_image(self, tag: str, image, step: int):
+        """Image summary (tensorboardX ``add_image`` replacement — the
+        reference logs ROC plots this way, ``buffer_val``,
+        ``util/utils.py:1038-1043`` + ``train_largescale.py:938-943``).
+
+        ``image``: HWC uint8/float-[0,1] array, or already-encoded PNG
+        bytes. Writes a ``Summary.Value{tag, Image{h, w, colorspace,
+        encoded_image_string}}`` event readable by standard TensorBoard."""
+        if not self.enabled:
+            return
+        import io
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        if isinstance(image, (bytes, bytearray)):
+            png = bytes(image)
+            with PILImage.open(io.BytesIO(png)) as im:
+                w, h = im.size
+        else:
+            arr = np.asarray(image)
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            h, w = arr.shape[:2]
+            buf = io.BytesIO()
+            PILImage.fromarray(arr).save(buf, "PNG")
+            png = buf.getvalue()
+        # Summary.Image{1: height, 2: width, 3: colorspace(3=RGB), 4: png}
+        img = (
+            b"\x08" + self._varint(h)
+            + b"\x10" + self._varint(w)
+            + b"\x18" + self._varint(3)
+            + b"\x22" + self._varint(len(png)) + png
+        )
+        t = tag.encode()
+        val = (
+            b"\x0a" + self._varint(len(t)) + t
+            + b"\x22" + self._varint(len(img)) + img
+        )
+        self._write_event(
+            self._event(wall_time=time.time(), step=step, value_bytes=val)
         )
 
     def close(self):

@@ -160,6 +160,33 @@ def test_supervised_augment():
     assert out.shape == (112, 112, 3) and out.dtype == np.uint8
 
 
+def test_syn_aug_preset():
+    """FaceDataset_syn_aug preset (image_iter.py:584-604): degradations
+    compose, shapes/dtype stable, and the degrade stage actually fires."""
+    import random as _random
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+    aug = SupervisedAugment.syn()
+    assert aug.degrade and not aug.rand_au and not aug.erasing
+    assert aug.jitter == (0.15, 0.3, 0.1, 0.1)
+    _random.seed(0)
+    for _ in range(8):
+        out = aug(arr)
+        assert out.shape == (112, 112, 3) and out.dtype == np.uint8
+    # with probabilities forced to 1 every degradation fires and changes
+    # the image (JPEG recompress + blur + down-up + grayscale)
+    hard = SupervisedAugment.syn(jpeg_p=1.0, blur_p=1.0, downup_p=1.0,
+                                 gray_p=1.0, crop_and_erase=False,
+                                 rand_mirror=False)
+    hard.jitter = (0, 0, 0, 0)
+    out = hard(arr)
+    assert out.shape == (112, 112, 3)
+    # grayscale forced: all channels equal
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert not np.array_equal(out, arr)
+
+
 def test_pipeline_epoch(tmp_path):
     rec = _build_identity_rec(tmp_path)
     ds = FaceRecordDataset(rec)

@@ -198,3 +198,25 @@ def test_device_scale_eval_matches_host_scale():
     )
     assert res_h.accuracy == res_d.accuracy
     np.testing.assert_allclose(res_h.xnorm, res_d.xnorm, rtol=1e-5)
+
+
+def test_sharded_batch_apply_identity_cache():
+    """The replicated-variables cache must key on object IDENTITY with a
+    strong reference held — a recycled id() for a different tree must not
+    serve the stale replicated copy (ADVICE r2 #3)."""
+    from lafs_cvpr2024_tpu.parallel.mesh import create_mesh, sharded_batch_apply
+
+    mesh = create_mesh(model=1)
+
+    def fn(variables, batch):
+        return batch * variables["scale"]
+
+    wrapped = sharded_batch_apply(jax.jit(fn), mesh)
+    batch = np.ones((8, 4), np.float32)
+    v1 = {"scale": jnp.float32(2.0)}
+    np.testing.assert_allclose(np.asarray(wrapped(v1, batch)), 2.0)
+    del v1  # allow CPython to recycle the id
+    for scale in (3.0, 5.0):
+        v = {"scale": jnp.float32(scale)}
+        np.testing.assert_allclose(np.asarray(wrapped(v, batch)), scale)
+        del v

@@ -426,6 +426,10 @@ def test_iresnet_avgpool_variant_parity(ref):
                 buf.normal_(0, 0.5)
             elif name.endswith("running_var"):
                 buf.uniform_(0.5, 1.5)
+        # the avg variant TRAINS the features BN scale (the freeze line is
+        # commented out in the reference, iresnet.py:385-386) — simulate a
+        # drifted checkpoint; the importer must map it, not raise
+        tm.features.weight.uniform_(0.8, 1.2)
 
     jm = iresnet18(avg_pool=True)
     base = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.zeros((2, 112, 112, 3)))

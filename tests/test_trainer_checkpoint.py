@@ -69,3 +69,22 @@ def test_ssl_state_roundtrip(tmp_path):
         np.asarray(restored.teacher["head"]["last_layer_v"]),
         np.asarray(state.teacher["head"]["last_layer_v"]),
     )
+
+
+def test_restore_eval_variables_rejects_lookalike_arity(tmp_path):
+    """Template-free restore classifies 5/6-field sequences by layout, not
+    arity alone — a look-alike payload must raise, not be silently
+    misread as a TrainState (ADVICE r2 #4)."""
+    import numpy as np
+    import pytest
+
+    from lafs_cvpr2024_tpu.train.checkpoint import (
+        restore_eval_variables,
+        save_checkpoint,
+    )
+
+    # 5 fields but tree[0] is not a params dict and tree[3] is not a scalar
+    bogus = [np.zeros(3), {"x": np.zeros(2)}, None, np.zeros((2, 2)), np.zeros(4)]
+    save_checkpoint(str(tmp_path / "ck"), bogus, step=1)
+    with pytest.raises(ValueError, match="unrecognized checkpoint layout"):
+        restore_eval_variables(str(tmp_path / "ck"))
