@@ -14,6 +14,8 @@ Variants stack (each includes the previous unless noted):
   nodrop    — head16 + dropout/drop_path 0 (DIAGNOSTIC: quantifies mask cost)
   depth6    — head16 + depth 6 (DIAGNOSTIC: per-layer vs fixed cost split)
   flash     — head16 + pallas flash attention (padded 197→256, segment mask)
+  fusedattn — fusedmlp + whole-seq pallas attention (ops/fused_attention.py)
+  fa_depth6 — fusedattn + depth 6 (DIAGNOSTIC: per-layer split w/ both kernels)
 """
 
 import json
@@ -50,7 +52,7 @@ def main():
     mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("data", "model"))
 
     donate = variant != "base"
-    depth = 6 if variant in ("depth6", "fm_depth6") else 12
+    depth = 6 if variant in ("depth6", "fm_depth6", "fa_depth6") else 12
     dropout = 0.0 if variant in ("nodrop", "fm_nodrop") else 0.1
     land_dtype = jnp.float32 if variant in ("base", "donate") else jnp.bfloat16
     head_dtype = (
@@ -63,8 +65,16 @@ def main():
             num_patches=196, with_land=False, loss_type="None", num_classes=0,
             dropout=dropout, emb_dropout=dropout,
             drop_path_rate=0.0 if variant in ("nodrop", "fm_nodrop") else 0.1,
-            attn_impl="flash" if variant == "flash" else "einsum",
-            mlp_impl="fused" if variant.startswith(("fusedmlp", "fm_")) else "dense",
+            attn_impl=(
+                "flash" if variant == "flash"
+                else "fused" if variant.startswith(("fusedattn", "fa_"))
+                else "einsum"
+            ),
+            mlp_impl=(
+                "fused"
+                if variant.startswith(("fusedmlp", "fm_", "fusedattn", "fa_"))
+                else "dense"
+            ),
             gather_impl={"gxla": "gather", "gpallas": "pallas"}.get(variant, "mxu"),
             remat_policy={"rematdots": "dots", "rematall": "all"}.get(variant, "none"),
         ),
@@ -73,7 +83,10 @@ def main():
         compute_dtype=jnp.bfloat16,
         landmark_dtype=land_dtype,
         head_dtype=head_dtype,
-        moment_dtype=jnp.bfloat16 if variant in ("mom16", "fusedmlp") or variant.startswith("fm_") else jnp.float32,
+        moment_dtype=jnp.bfloat16
+        if variant in ("mom16", "fusedmlp")
+        or variant.startswith(("fm_", "fusedattn", "fa_"))
+        else jnp.float32,
     )
 
     rng = jax.random.PRNGKey(0)

@@ -79,7 +79,11 @@ def ssl_epoch(data_dir: str, n_workers: int = 4):
     dataset = FaceRecordDataset(os.path.join(data_dir, "train.rec"))
     batch = 32 * n_dev
     sampler = EpochSampler(len(dataset), batch, seed=0)
-    pipe = DataPipeline(dataset, sampler, num_workers=n_workers)
+    from jax.sharding import PartitionSpec as P
+
+    # producer-thread device_put (mesh=) overlaps the uint8 transfer
+    pipe = DataPipeline(dataset, sampler, num_workers=n_workers,
+                        mesh=mesh, spec=P("data"))
 
     state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
     land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
@@ -141,6 +145,7 @@ def finetune_and_val(data_dir: str, n_workers: int = 4, device_aug: bool = False
         acc_step=3,
         mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=num_classes),
         fused_device_aug=device_aug,
+        input_scale=None if device_aug else "unit",
     )
     dataset = FaceRecordDataset(
         os.path.join(data_dir, "train.rec"),
@@ -150,11 +155,13 @@ def finetune_and_val(data_dir: str, n_workers: int = 4, device_aug: bool = False
     )
     batch = 64  # per microbatch; 3 microbatches/step
     sampler = EpochSampler(len(dataset), batch * cfg.acc_step, seed=0)
+    # mirror the real CLI: uint8 ships (scaling happens on device) and the
+    # producer thread device_puts via the mesh, overlapping the host→device
+    # transfer with the previous step's compute
+    from jax.sharding import PartitionSpec as P
+
     pipe = DataPipeline(
-        dataset, sampler, num_workers=n_workers,
-        postprocess=None if device_aug else (
-            lambda x, y: (x.astype(np.float32) / 255.0 * 2 - 1, y)
-        ),
+        dataset, sampler, num_workers=n_workers, mesh=mesh, spec=P("data"),
     )
     state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
     w, wopt = create_classifier(cfg, jax.random.PRNGKey(1))

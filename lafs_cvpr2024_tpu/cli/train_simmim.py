@@ -99,9 +99,6 @@ def main(argv=None):
     )
     pipe = DataPipeline(
         dataset, sampler, num_workers=args.workers, mesh=mesh, spec=P("data"),
-        postprocess=lambda imgs, labels: (
-            np.asarray(imgs, np.float32) / 255.0 * 2 - 1, labels
-        ),
     )
 
     cfg = SimMIMConfig(
@@ -115,6 +112,7 @@ def main(argv=None):
         ),
         mask_ratio=args.mask_ratio,
         use_landmarks=not args.grid_patches,
+        input_scale="unit",  # uint8 ships; scaling happens on device
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
     )
 

@@ -146,7 +146,13 @@ def main():
         f"global batch {batch} must divide process count {n_proc}"
     )
     sampler = EpochSampler(len(dataset), batch // n_proc, seed=args.seed)
-    pipe = DataPipeline(dataset, sampler, num_workers=args.workers)
+    # --device-aug ships ONE uint8 array per batch: let the producer thread
+    # device_put it over the mesh so the transfer overlaps the device step
+    # (host-aug emits a 20-crop python list that is assembled per step below)
+    pipe = DataPipeline(
+        dataset, sampler, num_workers=args.workers,
+        **({"mesh": mesh, "spec": P("data")} if args.device_aug else {}),
+    )
 
     cfg = SSLConfig(
         model=PartFViTConfig(
@@ -261,9 +267,10 @@ def main():
             gstep = epoch * steps_per_epoch + skip + it
             if args.device_aug:
                 # fused path: the step does the 20-crop augmentation itself
-                # (measured FREE — XLA overlaps it with the step's compute)
-                # raw (B, H, W, 3) uint8, batch sharded over 'data'
-                gc = global_batch(mesh, np.asarray(crops), P("data"))
+                # (measured FREE — XLA overlaps it with the step's compute);
+                # the pipeline already device_put the raw uint8 batch over
+                # the mesh in its producer thread
+                gc = crops
                 ga = lc = la = jnp.zeros((1,), jnp.float32)
             else:
                 gc, ga, lc, la = assemble_crop_batches(crops)

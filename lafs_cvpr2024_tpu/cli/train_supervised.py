@@ -176,15 +176,12 @@ def main():
         f"global rows/step {rows_per_step} must divide process count {n_proc}"
     )
     sampler = EpochSampler(len(dataset), rows_per_step // n_proc, seed=args.seed)
+    # images ship RAW uint8 (4× less host→device transfer) on every path:
+    # the step scales on device (input_scale='unit', the train convention)
+    # or augments on device (--device-aug)
     pipe = DataPipeline(
         dataset, sampler, num_workers=args.workers,
         mesh=mesh, spec=P("data"),
-        postprocess=None if args.device_aug else (
-            lambda imgs, labels: (
-                imgs.astype(np.float32) / 255.0 * 2 - 1,  # train convention
-                labels,
-            )
-        ),
     )
 
     cfg = SupervisedConfig(
@@ -203,6 +200,7 @@ def main():
         ),
         shard_classifier=args.model_axis > 1,
         fused_device_aug=args.device_aug,
+        input_scale=None if args.device_aug else "unit",
         rand_aug=args.rand_aug,
         landmark_distill=args.landmark_distill,
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,

@@ -48,6 +48,7 @@ class FaceRecordDataset:
         seed: int = 0,
         use_native: bool = True,
         image_size: int = 112,
+        native_threads: Optional[int] = None,
     ):
         idx_path = rec_path[:-4] + ".idx"
         self.reader = IndexedRecordIOReader(idx_path, rec_path)
@@ -70,7 +71,10 @@ class FaceRecordDataset:
                     # size the native decoder from the first actual image
                     _, first_bytes = unpack(self.reader.read_idx(index_keys[0]))
                     h = decode_jpeg(first_bytes).shape[0]
-                    self._native = NativeRecordReader(rec_path, h, threads=1)
+                    # batch decode (fetch_batch) fans out across host cores;
+                    # per-record reads use the same handle single-threaded
+                    nt = native_threads or min(os.cpu_count() or 1, 16)
+                    self._native = NativeRecordReader(rec_path, h, threads=nt)
             except Exception:
                 self._native = None
 
@@ -111,6 +115,35 @@ class FaceRecordDataset:
         else:
             out = arr
         return out, label
+
+    @property
+    def supports_batch_fetch(self) -> bool:
+        """True when the C++ multithreaded batch-decode path is live."""
+        return self._native is not None
+
+    def fetch_batch(self, indices: Sequence[int], pool=None):
+        """Batch fast path: ONE native call decodes the whole batch with
+        multithreaded libjpeg (``native/lafs_dataplane.cc::lafs_decode_batch``
+        — the mxnet ``imdecode`` analogue at batch granularity), then the
+        host transform (if any) runs per-sample, on ``pool`` when given.
+
+        Returns ``(items, labels)`` equivalent to ``[self[i] for i in
+        indices]`` — items is a stacked (B, H, W, 3) uint8 array when there
+        is no transform, else a list of per-sample transform outputs."""
+        keys = np.asarray([self.seq[i] for i in indices], np.int64)
+        arrs, labels = self._native.decode_batch(keys)
+        labels = labels.astype(np.float32)
+        if self.bgr:
+            arrs = arrs[:, :, :, ::-1]
+        if self.transform is None:
+            return arrs, labels
+
+        if _wants_pil(self.transform):
+            tf = lambda arr: self.transform(Image.fromarray(arr))
+        else:
+            tf = self.transform
+        mapper = pool.map if pool is not None else map
+        return list(mapper(tf, list(arrs))), labels
 
     def kshot_keys(self, k: int, seed: int = 0) -> List[int]:
         """k images per identity (FaceDataset_gen_*imgperid,

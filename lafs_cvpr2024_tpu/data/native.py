@@ -122,7 +122,7 @@ class NativeRecordReader:
             n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            s, s, self.threads,
+            s, s, min(self.threads, n),  # don't spawn idle threads
         )
         if failures:
             raise RuntimeError(f"{failures} records failed to decode")

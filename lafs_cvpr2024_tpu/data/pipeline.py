@@ -136,35 +136,61 @@ class DataPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # native batch-decode fast path: ONE ctypes call fans the whole
+        # batch's JPEG decode across C++ threads (releases the GIL) instead
+        # of per-sample PIL decodes on the Python pool
+        batch_fetch = (
+            self.dataset.fetch_batch
+            if getattr(self.dataset, "supports_batch_fetch", False)
+            else None
+        )
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        items, labels = _collate(samples)
+                        if batch_fetch is not None:
+                            items, labels = batch_fetch(batch_idx, pool=pool)
+                            if isinstance(items, list):
+                                items, labels = _collate(
+                                    list(zip(items, labels))
+                                )
+                        else:
+                            samples = list(
+                                pool.map(self.dataset.__getitem__, batch_idx)
+                            )
+                            items, labels = _collate(samples)
                         if self.postprocess is not None:
                             items, labels = self.postprocess(items, labels)
-                        if self.mesh is not None:
-                            from jax.sharding import PartitionSpec
-                            from ..parallel.mesh import global_batch
-
-                            sp = (
-                                self.spec if self.spec is not None
-                                else PartitionSpec("data")
-                            )
-                            items = jax.tree_util.tree_map(
-                                lambda a: global_batch(self.mesh, a, sp), items
-                            )
-                            labels = global_batch(self.mesh, labels, sp)
-                        elif self.sharding is not None:
-                            items = jax.device_put(items, self.sharding)
-                            labels = jax.device_put(labels, self.sharding)
                         q.put((items, labels))
                 q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
+
+        def place(items, labels):
+            # device placement happens HERE, on the consumer thread:
+            # device_put is async (returns in ms; the transfer streams in
+            # the background and overlaps the previous step's compute), and
+            # background-thread device_put is pathologically slow on some
+            # PJRT backends (measured seconds/batch on the tunneled chip)
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec
+                from ..parallel.mesh import global_batch
+
+                sp = (
+                    self.spec if self.spec is not None
+                    else PartitionSpec("data")
+                )
+                items = jax.tree_util.tree_map(
+                    lambda a: global_batch(self.mesh, a, sp), items
+                )
+                labels = global_batch(self.mesh, labels, sp)
+            elif self.sharding is not None:
+                items = jax.device_put(items, self.sharding)
+                labels = jax.device_put(labels, self.sharding)
+            return items, labels
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -175,7 +201,7 @@ class DataPipeline:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                yield place(*item)
         finally:
             stop.set()
             # drain so the producer can exit if blocked on a full queue

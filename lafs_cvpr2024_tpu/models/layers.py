@@ -109,7 +109,7 @@ class Attention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
-    attn_impl: str = "einsum"  # 'einsum' | 'flash' (pallas fused kernel)
+    attn_impl: str = "einsum"  # 'einsum' | 'fused' (short-seq pallas) | 'flash'
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -123,7 +123,13 @@ class Attention(nn.Module):
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
         scale = self.dim ** -0.5  # reference quirk: model-dim scaling
-        if self.attn_impl == "flash":
+        if self.attn_impl == "fused" and n <= 512:
+            # whole-sequence pallas kernel: scores stay in VMEM, softmax in
+            # fp32 (ops/fused_attention.py); short sequences only
+            from ..ops.fused_attention import fused_attention
+
+            out = fused_attention(q, k, v, scale)
+        elif self.attn_impl == "flash":
             out = _flash_attention(q, k, v, scale)
         else:
             # NOTE: jax.nn.dot_product_attention wins isolated microbenchmarks

@@ -65,7 +65,8 @@ class PartFViTConfig:
     cosface_m: float = 0.4
     cosface_s: float = 64.0
     gather_impl: str = "mxu"
-    attn_impl: str = "einsum"       # 'einsum' | 'flash' (pallas fused kernel;
+    attn_impl: str = "einsum"       # 'einsum' | 'fused' (whole-seq pallas,
+                                    # fp32 softmax) | 'flash' (long-seq;
                                     # TPU-only, numerics match to ~1e-3;
                                     # measured SLOWER at 197/37-token seqs)
     mlp_impl: str = "dense"         # 'dense' | 'fused' (pallas fc1+gelu+
@@ -245,7 +246,8 @@ class LandmarkProvider(nn.Module):
     num_landmarks: int = 196
     patch_size: int = 8
     gather_impl: str = "mxu"
-    attn_impl: str = "einsum"       # 'einsum' | 'flash' (pallas fused kernel;
+    attn_impl: str = "einsum"       # 'einsum' | 'fused' (whole-seq pallas,
+                                    # fp32 softmax) | 'flash' (long-seq;
                                     # TPU-only, numerics match to ~1e-3;
                                     # measured SLOWER at 197/37-token seqs)
     mlp_impl: str = "dense"         # 'dense' | 'fused' (see PartFViTConfig)

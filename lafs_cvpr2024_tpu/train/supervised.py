@@ -53,6 +53,11 @@ class SupervisedConfig:
                                     # run INSIDE the step (host-immune input
                                     # pipeline, like the SSL fused-aug path)
     rand_aug: str = "rand-m1-mstd0.5-inc1"  # device RandAugment policy
+    input_scale: Any = None  # 'unit' (x/255·2−1) or 'half' (x/255−0.5):
+                             # images arrive RAW uint8 and are scaled ON
+                             # DEVICE — 4× less host→device transfer than
+                             # shipping float32 (host-aug path only;
+                             # fused_device_aug already consumes uint8)
     moment_dtype: Any = jnp.float32  # AdamW moment STORAGE dtype (math is
                                      # always fp32); bf16 halves optimizer
                                      # HBM traffic (~1.2 GB on the 205k head)
@@ -240,6 +245,12 @@ def make_train_step(
             if cfg.fused_device_aug:
                 imgs = supervised_augment_device(
                     arng, imgs, out_size=cfg.model.image_size, ra=ra_cfg
+                )
+            elif cfg.input_scale is not None:
+                imgs = imgs.astype(jnp.float32)
+                imgs = (
+                    imgs / 255.0 - 0.5 if cfg.input_scale == "half"
+                    else imgs / 255.0 * 2 - 1
                 )
             imgs, targets = mixup_cutmix(krng, imgs, labs, cfg.mixup)
             if shard_cls:

@@ -75,3 +75,45 @@ def test_native_resize_path(tmp_path):
     out, _ = r.decode_batch(np.array([0]))
     assert out.shape == (1, 112, 112, 3)
     assert abs(int(out.mean()) - 200) < 5
+
+
+def test_fetch_batch_matches_getitem(rec, tmp_path):
+    """FaceRecordDataset.fetch_batch (one multithreaded C++ decode per
+    batch) must return exactly what the per-sample path returns, with and
+    without a host transform, and the DataPipeline must route through it."""
+    from lafs_cvpr2024_tpu.data import DataPipeline, EpochSampler
+    from lafs_cvpr2024_tpu.data.dataset import FaceRecordDataset
+
+    rec_path, _ = rec
+    ds = FaceRecordDataset(rec_path, native_threads=2)
+    assert ds.supports_batch_fetch
+    items, labels = ds.fetch_batch([0, 3, 5])
+    assert items.shape == (3, 112, 112, 3) and items.dtype == np.uint8
+    for j, i in enumerate([0, 3, 5]):
+        ref_item, ref_label = ds[i]
+        np.testing.assert_array_equal(items[j], ref_item)
+        assert labels[j] == ref_label
+
+    # bgr flag respected on the batch path
+    ds_bgr = FaceRecordDataset(rec_path, bgr=True, native_threads=2)
+    it_bgr, _ = ds_bgr.fetch_batch([1])
+    np.testing.assert_array_equal(it_bgr[0], ds_bgr[1][0])
+
+    # with a transform: per-sample outputs, same shapes as __getitem__
+    tf = lambda arr: arr[::2, ::2]
+    ds_tf = FaceRecordDataset(rec_path, transform=tf, native_threads=2)
+    items_tf, labels_tf = ds_tf.fetch_batch([2, 4])
+    assert isinstance(items_tf, list) and items_tf[0].shape == (56, 56, 3)
+    np.testing.assert_array_equal(items_tf[0], ds_tf[2][0])
+
+    # pipeline end-to-end: batches come out identical to the slow path
+    sampler = EpochSampler(len(ds), batch_size=4, shuffle=False,
+                           process_index=0, process_count=1)
+    fast = list(DataPipeline(ds, sampler, num_workers=2).epoch(0))
+    ds_slow = FaceRecordDataset(rec_path, use_native=False)
+    assert not ds_slow.supports_batch_fetch
+    slow = list(DataPipeline(ds_slow, sampler, num_workers=2).epoch(0))
+    assert len(fast) == len(slow) == 2
+    for (fi, fl), (si, sl) in zip(fast, slow):
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(si))
+        np.testing.assert_array_equal(np.asarray(fl), np.asarray(sl))
