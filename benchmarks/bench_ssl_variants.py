@@ -16,6 +16,7 @@ Variants stack (each includes the previous unless noted):
   flash     — head16 + pallas flash attention (padded 197→256, segment mask)
   fusedattn — fusedmlp + whole-seq pallas attention (ops/fused_attention.py)
   fa_depth6 — fusedattn + depth 6 (DIAGNOSTIC: per-layer split w/ both kernels)
+  fusedtail — fusedmlp + single-traversal clip+AdamW+EMA tail
 """
 
 import json
@@ -72,7 +73,9 @@ def main():
             ),
             mlp_impl=(
                 "fused"
-                if variant.startswith(("fusedmlp", "fm_", "fusedattn", "fa_"))
+                if variant.startswith(
+                    ("fusedmlp", "fm_", "fusedattn", "fa_", "fusedtail")
+                )
                 else "dense"
             ),
             gather_impl={"gxla": "gather", "gpallas": "pallas"}.get(variant, "mxu"),
@@ -84,9 +87,10 @@ def main():
         landmark_dtype=land_dtype,
         head_dtype=head_dtype,
         moment_dtype=jnp.bfloat16
-        if variant in ("mom16", "fusedmlp")
+        if variant in ("mom16", "fusedmlp", "fusedtail")
         or variant.startswith(("fm_", "fusedattn", "fa_"))
         else jnp.float32,
+        fused_tail=variant == "fusedtail",
     )
 
     rng = jax.random.PRNGKey(0)

@@ -47,9 +47,23 @@ from lafs_cvpr2024_tpu.train.ssl import (
     make_ssl_train_step,
 )
 
-N_IDS, PER, STEPS, B = 16, 32, 1200, 32
+def _flag(name, default, cast=float):
+    if name in sys.argv:
+        return cast(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+N_IDS = _flag("--n-ids", 16, int)
+PER, B = 512 // N_IDS, 32
+STEPS = _flag("--steps", 1200, int)
+LR = _flag("--lr", 3e-4)
+WD = _flag("--wd", 0.04)
+MOM = _flag("--momentum", 0.99)
+TTEMP = _flag("--teacher-temp", 0.04)
+OUT_DIM = _flag("--out-dim", 1024, int)
+CENTER_MOM = _flag("--center-mom", 0.99)
 SIZE = 48
-ASSERT_KNN = 0.50   # chance = 1/16 = 0.0625
+ASSERT_KNN = 0.50   # chance = 1/N_IDS
 ASSERT_VER = 0.70   # chance = 0.5
 
 
@@ -89,7 +103,8 @@ def main():
             num_patches=36, with_land=False, loss_type="None", num_classes=0,
             stn_mode="small",
         ),
-        out_dim=1024, head_hidden_dim=128, head_bottleneck_dim=32,
+        out_dim=OUT_DIM, head_hidden_dim=128, head_bottleneck_dim=32,
+        center_momentum=CENTER_MOM,
         local_crops_number=4, local_keep_landmarks=16,
         global_crops_scale=(0.5, 1.0),
         compute_dtype=jnp.float32, fused_device_aug=True,
@@ -165,24 +180,29 @@ def main():
         return res.accuracy
 
     knn0, ver0 = knn_acc(), ver_acc()
+    print(f"start: kNN {knn0:.3f} ver {ver0:.3f} "
+          f"(lr {LR} wd {WD} mom {MOM} ttemp {TTEMP} out {OUT_DIM})", flush=True)
     t0 = time.perf_counter()
     warmup = 100
     for s in range(STEPS):
         idx = np.random.default_rng(s).choice(len(train_u8), B, replace=False)
         raw = jnp.asarray(train_u8[idx])
-        lr_base = 1.5e-3
-        lr = lr_base * min(1.0, (s + 1) / warmup) * (
+        lr = LR * min(1.0, (s + 1) / warmup) * (
             0.5 * (1 + np.cos(np.pi * max(0, s - warmup) / max(1, STEPS - warmup)))
         )
         dummy = jnp.zeros((1,), jnp.float32)
         state, m = step(
             state, land, raw, dummy, dummy, dummy,
-            lr=jnp.float32(lr), wd=jnp.float32(0.04),
-            momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+            lr=jnp.float32(lr), wd=jnp.float32(WD),
+            momentum=jnp.float32(MOM), teacher_temp=jnp.float32(TTEMP),
             freeze_last=jnp.float32(0.0 if s < 30 else 1.0),
         )
         if s % 200 == 0:
-            print(f"step {s}: loss {float(m['loss']):.4f}", flush=True)
+            # early collapse telemetry: uniform collapse shows as
+            # loss == ln(out_dim) and chance-level kNN
+            print(f"step {s}: loss {float(m['loss']):.4f} "
+                  f"(ln(out)={np.log(OUT_DIM):.4f}) kNN {knn_acc():.3f}",
+                  flush=True)
     print(f"{STEPS} steps in {time.perf_counter() - t0:.1f}s")
     knn1, ver1 = knn_acc(), ver_acc()
     print(f"teacher kNN identity acc (held-out, no labels): {knn0:.3f} -> {knn1:.3f} "

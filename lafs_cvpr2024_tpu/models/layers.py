@@ -123,7 +123,9 @@ class Attention(nn.Module):
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
         scale = self.dim ** -0.5  # reference quirk: model-dim scaling
-        if self.attn_impl == "fused" and n <= 512:
+        if self.attn_impl == "fused" and 128 <= n <= 512:
+            # short locals (37 tokens) stay on the einsum path: their score
+            # tensors are small and the kernel's 128-pad would waste 3.5x
             # whole-sequence pallas kernel: scores stay in VMEM, softmax in
             # fp32 (ops/fused_attention.py); short sequences only
             from ..ops.fused_attention import fused_attention

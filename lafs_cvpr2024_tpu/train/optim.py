@@ -205,6 +205,71 @@ def param_groups_lrd(params, depth: int, weight_decay=0.1, layer_decay=0.58,
     return lr_tree, wd_tree
 
 
+def fused_adamw_ema_update(
+    grads,
+    state: AdamWState,
+    params,
+    teacher,
+    lr,
+    wd,
+    momentum,
+    wd_scale_tree=None,
+    gate_tree=None,
+    gate_scalar=None,
+    clip: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+):
+    """ONE traversal for the whole SSL update tail: per-leaf grad clip +
+    freeze gating + AdamW + EMA teacher, chained per leaf so XLA emits a
+    single fused elementwise pass over (g, μ, ν, p, t) per parameter
+    instead of ~8 separate tree_map sweeps (clip, gate, μ, ν, update,
+    2 casts, EMA). Bandwidth-bound tail — fewer passes = fewer HBM trips.
+
+    ``gate_tree`` leaves (0/1) select gradients that are scaled by the
+    runtime scalar ``gate_scalar`` (last-layer freeze: gate=1 leaves get
+    ``g·gate_scalar``); leaves with gate 2 are hard-zeroed (weight-norm g
+    freeze). Semantics identical to clip_grads_per_param +
+    zero_grads_by_path + adamw_update + ema_update composed.
+    """
+    count = state.count + 1
+    f32 = jnp.float32
+    c1 = 1 - b1 ** count.astype(f32)
+    c2 = 1 - b2 ** count.astype(f32)
+    ones = jax.tree_util.tree_map(lambda p: 1.0, params)
+    wd_t = wd_scale_tree if wd_scale_tree is not None else ones
+    gate_t = gate_tree if gate_tree is not None else jax.tree_util.tree_map(
+        lambda p: 0.0, params
+    )
+
+    def upd(g, m, v, p, t, wscale, gate):
+        g = g.astype(f32)
+        if gate == 2.0:      # static: hard-frozen leaf (weight-norm g)
+            g = jnp.zeros_like(g)
+        elif gate == 1.0:    # runtime-gated leaf (last-layer freeze epochs)
+            g = g * gate_scalar
+        if clip:
+            n = jnp.linalg.norm(g)
+            g = g * jnp.minimum(clip / (n + 1e-6), 1.0)
+        m_new = b1 * m.astype(f32) + (1 - b1) * g
+        v_new = b2 * v.astype(f32) + (1 - b2) * jnp.square(g)
+        step = m_new / c1 / (jnp.sqrt(v_new / c2) + eps) + (wd * wscale) * p.astype(f32)
+        p_new = (p.astype(f32) - lr * step).astype(p.dtype)
+        t_new = (momentum * t.astype(f32)
+                 + (1.0 - momentum) * p_new.astype(f32)).astype(t.dtype)
+        return (p_new, m_new.astype(m.dtype), v_new.astype(v.dtype), t_new)
+
+    packed = jax.tree_util.tree_map(
+        upd, grads, state.mu, state.nu, params, teacher, wd_t, gate_t
+    )
+    is4 = lambda x: isinstance(x, tuple) and len(x) == 4
+    pick = lambda i: jax.tree_util.tree_map(
+        lambda tup: tup[i], packed, is_leaf=is4
+    )
+    return pick(0), AdamWState(count, pick(1), pick(2)), pick(3)
+
+
 def ema_update(teacher_params, student_params, momentum):
     """EMA teacher update (``lafs_train.py:610-613``) — pure tree_map, stays
     local/replicated (no comm)."""

@@ -43,6 +43,7 @@ from .optim import (
     clip_grads_per_param,
     dino_wd_mask,
     ema_update,
+    fused_adamw_ema_update,
     zero_grads_by_path,
 )
 
@@ -79,6 +80,9 @@ class SSLConfig:
                                      # always fp32); bf16 halves the ~2 GB
                                      # optimizer HBM traffic per step
 
+    fused_tail: bool = True  # clip+freeze+AdamW+EMA as ONE tree traversal
+                             # (optim.fused_adamw_ema_update) — fewer HBM
+                             # passes over the ~134M-param state
     fused_device_aug: bool = False  # run the 20-crop augmentation INSIDE the
                                     # train step (input = raw uint8 batch);
                                     # one compiled program, XLA overlaps the
@@ -271,23 +275,45 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
         )
         grads = _pmean(grads)
         loss = _pmean(loss)
-        if cfg.clip_grad:
-            grads = clip_grads_per_param(grads, cfg.clip_grad)
-        # freeze_last (0.0 or 1.0): zero last-layer grads during warmup epochs
-        grads = jax.tree_util.tree_map_with_path(
-            lambda path, g: g * freeze_last
-            if "last_layer" in "/".join(str(getattr(k, "key", k)) for k in path)
-            else g,
-            grads,
-        )
-        if cfg.norm_last_layer:
-            grads = zero_grads_by_path(grads, lambda n: n.endswith("last_layer_g"))
-
         wd_mask = dino_wd_mask(state.student)
-        new_student, new_opt = adamw_update(
-            grads, state.opt_state, state.student, lr, wd_scale_tree=wd_mask, wd=wd
-        )
-        new_teacher = ema_update(state.teacher, new_student, momentum)
+        if cfg.fused_tail:
+            # one traversal: clip + freeze gating + AdamW + EMA chained per
+            # leaf (gate 1 = last-layer leaves scaled by freeze_last,
+            # gate 2 = weight-norm g hard-frozen)
+            def _gate(path, p):
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                if cfg.norm_last_layer and name.endswith("last_layer_g"):
+                    return 2.0
+                if "last_layer" in name:
+                    return 1.0
+                return 0.0
+
+            gate_tree = jax.tree_util.tree_map_with_path(_gate, state.student)
+            new_student, new_opt, new_teacher = fused_adamw_ema_update(
+                grads, state.opt_state, state.student, state.teacher,
+                lr, wd, momentum, wd_scale_tree=wd_mask,
+                gate_tree=gate_tree, gate_scalar=freeze_last,
+                clip=cfg.clip_grad or 0.0,
+            )
+        else:
+            if cfg.clip_grad:
+                grads = clip_grads_per_param(grads, cfg.clip_grad)
+            # freeze_last (0.0/1.0): zero last-layer grads in warmup epochs
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: g * freeze_last
+                if "last_layer" in "/".join(str(getattr(k, "key", k)) for k in path)
+                else g,
+                grads,
+            )
+            if cfg.norm_last_layer:
+                grads = zero_grads_by_path(
+                    grads, lambda n: n.endswith("last_layer_g")
+                )
+            new_student, new_opt = adamw_update(
+                grads, state.opt_state, state.student, lr,
+                wd_scale_tree=wd_mask, wd=wd,
+            )
+            new_teacher = ema_update(state.teacher, new_student, momentum)
         new_state = SSLTrainState(
             student=new_student,
             teacher=new_teacher,

@@ -145,3 +145,74 @@ def test_adamw_bf16_moments_tracks_fp32():
     np.testing.assert_allclose(
         np.asarray(params16["w"]), np.asarray(params32["w"]), atol=2e-3
     )
+
+
+def test_fused_tail_matches_composed_pipeline():
+    """fused_adamw_ema_update == clip + freeze-gate + weight-norm-zero +
+    adamw_update + ema_update composed, bit-for-bit semantics (ADVICE-level
+    guarantee for the single-traversal SSL tail)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.train.optim import (
+        AdamWState,
+        adamw_init,
+        adamw_update,
+        clip_grads_per_param,
+        ema_update,
+        fused_adamw_ema_update,
+        zero_grads_by_path,
+    )
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    params = {
+        "backbone": {"w": mk(16, 16), "b": mk(16)},
+        "head": {"last_layer": {"kernel": mk(16, 8)},
+                 "last_layer_g": mk(8)},
+    }
+    teacher = jax.tree_util.tree_map(lambda p: p + 0.5, params)
+    grads = jax.tree_util.tree_map(lambda p: p * 0.3 + 0.1, params)
+    opt = adamw_init(params, moment_dtype=jnp.bfloat16)
+    # take one step first so moments are non-trivial
+    warm, opt = adamw_update(grads, opt, params, 1e-3)
+    lr, wd, mom, freeze = 3e-3, 0.04, 0.97, 0.0
+    wd_mask = jax.tree_util.tree_map(lambda p: 1.0 if p.ndim > 1 else 0.0, params)
+
+    # composed reference path
+    g = clip_grads_per_param(grads, 1.0)
+    g = jax.tree_util.tree_map_with_path(
+        lambda path, x: x * freeze
+        if "last_layer" in "/".join(str(getattr(k, "key", k)) for k in path)
+        else x,
+        g,
+    )
+    g = zero_grads_by_path(g, lambda n: n.endswith("last_layer_g"))
+    ref_p, ref_opt = adamw_update(g, opt, warm, lr, wd_scale_tree=wd_mask, wd=wd)
+    ref_t = ema_update(teacher, ref_p, mom)
+
+    def gate(path, p):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if name.endswith("last_layer_g"):
+            return 2.0
+        if "last_layer" in name:
+            return 1.0
+        return 0.0
+
+    gate_tree = jax.tree_util.tree_map_with_path(gate, params)
+    fus_p, fus_opt, fus_t = fused_adamw_ema_update(
+        grads, opt, warm, teacher, lr, wd, mom,
+        wd_scale_tree=wd_mask, gate_tree=gate_tree,
+        gate_scalar=jnp.float32(freeze), clip=1.0,
+    )
+    for ref, fus in [(ref_p, fus_p), (ref_t, fus_t),
+                     (ref_opt.mu, fus_opt.mu), (ref_opt.nu, fus_opt.nu)]:
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-6,
+            ),
+            ref, fus,
+        )
+    assert int(fus_opt.count) == int(ref_opt.count) == 2
