@@ -118,10 +118,29 @@ def main():
     train_imgs, train_labels = samples(rng, bases, PER)
     train_u8 = (train_imgs * 255).astype(np.uint8)
 
-    # held-out probe/gallery + verification pairs from the same identities
+    # held-out probe/gallery + verification pairs from the same identities.
+    # PROBES ARE HEAVILY CROPPED (random 40-70% area crops + flips): random
+    # -init features already separate the clean fields (kNN ~0.7 at init),
+    # so the assertion targets the thing DINO actually learns — crop/flip
+    # INVARIANCE. The gallery stays clean.
     vr = np.random.default_rng(1)
     v_imgs, v_labels = samples(vr, bases, 6)
-    v_u8 = (v_imgs * 255).astype(np.uint8)
+
+    def hard_crop(img):
+        s = vr.uniform(0.4, 0.7)
+        side = max(8, int(SIZE * np.sqrt(s)))
+        y = vr.integers(0, SIZE - side + 1)
+        x = vr.integers(0, SIZE - side + 1)
+        crop = img[y:y + side, x:x + side]
+        if vr.random() < 0.5:
+            crop = crop[:, ::-1]
+        # bilinear resize back to SIZE via PIL
+        from PIL import Image
+
+        pil = Image.fromarray((crop * 255).astype(np.uint8))
+        return np.asarray(pil.resize((SIZE, SIZE), Image.BILINEAR))
+
+    v_u8 = np.stack([hard_crop(im) for im in v_imgs])
     n_pairs = 48
     val = np.zeros((2, n_pairs * 2, SIZE, SIZE, 3), np.uint8)
     issame = np.zeros(n_pairs, bool)

@@ -88,6 +88,10 @@ def get_args():
     p.add_argument("--device-aug", action="store_true",
                    help="run the 20-crop LAFS augmentation ON DEVICE (host "
                         "ships one uint8 image/sample; frees host CPU)")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler device trace of N steps "
+                        "(starting at global step 2) into "
+                        "<output-dir>/profile — view in TensorBoard/Perfetto")
     from ..utils.config import apply_toml_defaults
 
     return apply_toml_defaults(p, table='ssl')
@@ -287,6 +291,13 @@ def main():
                     0.0 if epoch < cfg.freeze_last_layer_epochs else 1.0
                 ),
             )
+            if args.profile_steps and is_main_process():
+                if gstep == 2:
+                    jax.profiler.start_trace(
+                        os.path.join(args.output_dir, "profile")
+                    )
+                elif gstep == 2 + args.profile_steps:
+                    jax.profiler.stop_trace()
             pending.append((gstep, metrics["loss"]))
             logger.update(lr=lr_sched[gstep], wd=wd_sched[gstep])
             if (it + 1) % 100 == 0:

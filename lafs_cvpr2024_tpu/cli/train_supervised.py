@@ -83,6 +83,10 @@ def get_args():
                         "inside the train step (host ships raw uint8; "
                         "host-immune input pipeline)")
     p.add_argument("--model-axis", type=int, default=1, help="classifier TP shards")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler device trace of N steps "
+                        "(starting at global step 2) into "
+                        "<work-path>/profile — view in TensorBoard/Perfetto")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=1335)
     p.add_argument("--disp-freq", type=int, default=2000)
@@ -327,6 +331,13 @@ def main():
                 state, cls_w, cls_opt, metrics = step_fn(
                     state, cls_w, cls_opt, images, labels.astype(jnp.int32), lr
                 )
+            if args.profile_steps and is_main_process():
+                if gstep == start_step + 2:
+                    jax.profiler.start_trace(
+                        os.path.join(args.work_path, "profile")
+                    )
+                elif gstep == start_step + 2 + args.profile_steps:
+                    jax.profiler.stop_trace()
             pending.append(metrics["loss"])
             logger.update(lr=lr)
             if gstep % args.disp_freq == 0 and is_main_process():
