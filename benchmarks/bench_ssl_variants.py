@@ -17,6 +17,7 @@ Variants stack (each includes the previous unless noted):
   fusedattn — fusedmlp + whole-seq pallas attention (ops/fused_attention.py)
   fa_depth6 — fusedattn + depth 6 (DIAGNOSTIC: per-layer split w/ both kernels)
   fusedtail — fusedmlp + single-traversal clip+AdamW+EMA tail
+  teacher16 — fusedtail + EMA teacher stored bf16 (stochastic-rounded cast)
 """
 
 import json
@@ -74,7 +75,8 @@ def main():
             mlp_impl=(
                 "fused"
                 if variant.startswith(
-                    ("fusedmlp", "fm_", "fusedattn", "fa_", "fusedtail")
+                    ("fusedmlp", "fm_", "fusedattn", "fa_", "fusedtail",
+                     "teacher16")
                 )
                 else "dense"
             ),
@@ -87,10 +89,11 @@ def main():
         landmark_dtype=land_dtype,
         head_dtype=head_dtype,
         moment_dtype=jnp.bfloat16
-        if variant in ("mom16", "fusedmlp", "fusedtail")
+        if variant in ("mom16", "fusedmlp", "fusedtail", "teacher16")
         or variant.startswith(("fm_", "fusedattn", "fa_"))
         else jnp.float32,
-        fused_tail=variant == "fusedtail",
+        fused_tail=variant in ("fusedtail", "teacher16"),
+        teacher_dtype=jnp.bfloat16 if variant == "teacher16" else jnp.float32,
     )
 
     rng = jax.random.PRNGKey(0)

@@ -68,6 +68,12 @@ def get_args():
                    help="AdamW moment STORAGE dtype (update math is always "
                         "fp32); bf16 halves optimizer HBM traffic — "
                         "loss-trajectory A/B identical (docs/PERF.md)")
+    p.add_argument("--teacher-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="EMA teacher STORAGE dtype; bf16 halves the "
+                        "teacher's HBM traffic and switches the storage "
+                        "cast to stochastic rounding (RNE would freeze "
+                        "the EMA — optim.stochastic_round)")
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
     p.add_argument("--image-size", type=int, default=112)
@@ -178,6 +184,7 @@ def main():
         freeze_last_layer_epochs=args.freeze_last_layer,
         fused_device_aug=args.device_aug,
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
+        teacher_dtype=jnp.bfloat16 if args.teacher_dtype == "bfloat16" else jnp.float32,
     )
     if tuple(args.local_crops_scale) != (0.05, 0.4):
         # no silently-ignored argument: LAFS draws LOCAL crops from the

@@ -27,6 +27,39 @@ class AdamWState(NamedTuple):
     nu: Any
 
 
+def stochastic_round(x, key, dtype=jnp.bfloat16):
+    """Unbiased fp32 → bf16 cast via stochastic rounding.
+
+    Round-to-nearest-even silently swallows increments below the target
+    ulp — fatal for low-precision EMA/moment STORAGE, where the per-step
+    update ``(1-m)·Δ`` is routinely smaller than ``ulp(state)`` (an RNE
+    bf16 EMA with m=0.996 simply stops moving). SR rounds up with
+    probability proportional to the truncated fraction, so the *expected*
+    stored value equals the fp32 value and the state keeps integrating.
+
+    Implementation: bf16 is fp32's top 16 bits, so add uniform 16-bit
+    noise to the low mantissa bits and truncate (sign-magnitude ⇒ the
+    same trick is unbiased for both signs). Non-finite values pass
+    through untouched. Costs one hardware-PRNG draw per element — cheap
+    on TPU with the rbg generator.
+    """
+    if dtype != jnp.bfloat16:
+        raise ValueError("stochastic_round targets bfloat16 storage")
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    finite = (bits & jnp.uint32(0x7F800000)) != jnp.uint32(0x7F800000)
+    rounded = (bits + jnp.where(finite, noise, jnp.uint32(0))) >> 16
+    return jax.lax.bitcast_convert_type(rounded.astype(jnp.uint16), jnp.bfloat16)
+
+
+def _sr_cast(x, key, like):
+    """Cast fp32 ``x`` to ``like``'s dtype — stochastically when that is
+    bf16, exactly (no-op) when fp32."""
+    if like.dtype == jnp.bfloat16:
+        return stochastic_round(x, key)
+    return x.astype(like.dtype)
+
+
 def adamw_init(params, moment_dtype=None) -> AdamWState:
     """``moment_dtype`` stores the moments in a lower precision (bf16 halves
     the optimizer's HBM traffic — ~2 GB/step on the flagship SSL state); the
@@ -220,6 +253,7 @@ def fused_adamw_ema_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    sr_rng=None,
 ):
     """ONE traversal for the whole SSL update tail: per-leaf grad clip +
     freeze gating + AdamW + EMA teacher, chained per leaf so XLA emits a
@@ -232,6 +266,11 @@ def fused_adamw_ema_update(
     ``g·gate_scalar``); leaves with gate 2 are hard-zeroed (weight-norm g
     freeze). Semantics identical to clip_grads_per_param +
     zero_grads_by_path + adamw_update + ema_update composed.
+
+    ``sr_rng`` (a PRNG key, MUST differ every step): stochastically round
+    every low-precision storage cast (bf16 teacher / bf16 moments) instead
+    of RNE — required for a bf16-stored EMA teacher, whose ``(1-m)·Δ``
+    increments are below bf16 resolution (see :func:`stochastic_round`).
     """
     count = state.count + 1
     f32 = jnp.float32
@@ -242,8 +281,7 @@ def fused_adamw_ema_update(
     gate_t = gate_tree if gate_tree is not None else jax.tree_util.tree_map(
         lambda p: 0.0, params
     )
-
-    def upd(g, m, v, p, t, wscale, gate):
+    def upd(g, m, v, p, t, wscale, gate, ks):
         g = g.astype(f32)
         if gate == 2.0:      # static: hard-frozen leaf (weight-norm g)
             g = jnp.zeros_like(g)
@@ -256,25 +294,50 @@ def fused_adamw_ema_update(
         v_new = b2 * v.astype(f32) + (1 - b2) * jnp.square(g)
         step = m_new / c1 / (jnp.sqrt(v_new / c2) + eps) + (wd * wscale) * p.astype(f32)
         p_new = (p.astype(f32) - lr * step).astype(p.dtype)
-        t_new = (momentum * t.astype(f32)
-                 + (1.0 - momentum) * p_new.astype(f32)).astype(t.dtype)
-        return (p_new, m_new.astype(m.dtype), v_new.astype(v.dtype), t_new)
+        t_new = momentum * t.astype(f32) + (1.0 - momentum) * p_new.astype(f32)
+        if ks is None:
+            return (p_new, m_new.astype(m.dtype), v_new.astype(v.dtype),
+                    t_new.astype(t.dtype))
+        return (p_new, _sr_cast(m_new, ks[0], m), _sr_cast(v_new, ks[1], v),
+                _sr_cast(t_new, ks[2], t))
 
-    packed = jax.tree_util.tree_map(
-        upd, grads, state.mu, state.nu, params, teacher, wd_t, gate_t
-    )
-    is4 = lambda x: isinstance(x, tuple) and len(x) == 4
-    pick = lambda i: jax.tree_util.tree_map(
-        lambda tup: tup[i], packed, is_leaf=is4
-    )
-    return pick(0), AdamWState(count, pick(1), pick(2)), pick(3)
+    treedef = jax.tree_util.tree_structure(params)
+    flat = lambda tree: treedef.flatten_up_to(tree)
+    n_leaves = treedef.num_leaves
+    if sr_rng is not None:
+        ks = jax.random.split(sr_rng, 3 * n_leaves)
+        key_leaves = [tuple(ks[3 * i:3 * i + 3]) for i in range(n_leaves)]
+    else:
+        key_leaves = [None] * n_leaves
+    out = [
+        upd(*leaves)
+        for leaves in zip(
+            flat(grads), flat(state.mu), flat(state.nu), flat(params),
+            flat(teacher), flat(wd_t), flat(gate_t), key_leaves,
+        )
+    ]
+    unflat = lambda i: jax.tree_util.tree_unflatten(treedef, [o[i] for o in out])
+    return unflat(0), AdamWState(count, unflat(1), unflat(2)), unflat(3)
 
 
-def ema_update(teacher_params, student_params, momentum):
+def ema_update(teacher_params, student_params, momentum, sr_rng=None):
     """EMA teacher update (``lafs_train.py:610-613``) — pure tree_map, stays
-    local/replicated (no comm)."""
+    local/replicated (no comm). With ``sr_rng`` (required for bf16-stored
+    teachers) the storage cast is stochastically rounded; math is fp32."""
+    if sr_rng is None:
+        return jax.tree_util.tree_map(
+            lambda t, s: momentum * t + (1.0 - momentum) * s,
+            teacher_params,
+            student_params,
+        )
+    treedef = jax.tree_util.tree_structure(teacher_params)
+    keys = jax.tree_util.tree_unflatten(
+        treedef, list(jax.random.split(sr_rng, treedef.num_leaves))
+    )
     return jax.tree_util.tree_map(
-        lambda t, s: momentum * t + (1.0 - momentum) * s,
-        teacher_params,
-        student_params,
+        lambda t, s, k: _sr_cast(
+            momentum * t.astype(jnp.float32) + (1.0 - momentum) * s.astype(jnp.float32),
+            k, t,
+        ),
+        teacher_params, student_params, keys,
     )

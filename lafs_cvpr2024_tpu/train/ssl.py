@@ -79,6 +79,13 @@ class SSLConfig:
     moment_dtype: Any = jnp.float32  # AdamW moment STORAGE dtype (math is
                                      # always fp32); bf16 halves the ~2 GB
                                      # optimizer HBM traffic per step
+    teacher_dtype: Any = jnp.float32  # EMA teacher STORAGE dtype. bf16
+                                      # halves the teacher's EMA+forward HBM
+                                      # traffic; the storage cast switches
+                                      # to STOCHASTIC ROUNDING (plain RNE
+                                      # would swallow the (1-m)·Δ EMA
+                                      # increments, freezing the teacher —
+                                      # see optim.stochastic_round)
 
     fused_tail: bool = True  # clip+freeze+AdamW+EMA as ONE tree traversal
                              # (optim.fused_adamw_ema_update) — fewer HBM
@@ -135,7 +142,7 @@ def create_ssl_state(cfg: SSLConfig, rng: jax.Array) -> SSLTrainState:
     student = {"backbone": bb, "head": hd}
     return SSLTrainState(
         student=student,
-        teacher=jax.tree_util.tree_map(jnp.copy, student),
+        teacher=_cast(jax.tree_util.tree_map(jnp.copy, student), cfg.teacher_dtype),
         opt_state=adamw_init(student, moment_dtype=cfg.moment_dtype),
         center=jnp.zeros((1, cfg.out_dim)),
         step=jnp.zeros((), jnp.int32),
@@ -230,6 +237,14 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     def step_impl(state, landmark_vars, glob_clean, glob_aug, loc_clean,
                   loc_aug, lr, wd, momentum, teacher_temp, freeze_last):
         rng = jax.random.fold_in(state.rng, state.step)
+        # SR noise for low-precision state casts must be IDENTICAL across
+        # data shards (the post-pmean update is replicated; per-shard noise
+        # would silently de-replicate the teacher) — derive it BEFORE the
+        # per-shard fold-in. Fresh every step via the state.step fold above.
+        sr_rng = (
+            jax.random.fold_in(rng, 17)
+            if cfg.teacher_dtype == jnp.bfloat16 else None
+        )
         if multi:
             # independent per-data-shard randomness (aug/jitter/dropout);
             # the stored state.rng stays replicated — only local keys fold
@@ -293,7 +308,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 grads, state.opt_state, state.student, state.teacher,
                 lr, wd, momentum, wd_scale_tree=wd_mask,
                 gate_tree=gate_tree, gate_scalar=freeze_last,
-                clip=cfg.clip_grad or 0.0,
+                clip=cfg.clip_grad or 0.0, sr_rng=sr_rng,
             )
         else:
             if cfg.clip_grad:
@@ -313,7 +328,8 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 grads, state.opt_state, state.student, lr,
                 wd_scale_tree=wd_mask, wd=wd,
             )
-            new_teacher = ema_update(state.teacher, new_student, momentum)
+            new_teacher = ema_update(state.teacher, new_student, momentum,
+                                     sr_rng=sr_rng)
         new_state = SSLTrainState(
             student=new_student,
             teacher=new_teacher,

@@ -216,3 +216,89 @@ def test_fused_tail_matches_composed_pipeline():
             ref, fus,
         )
     assert int(fus_opt.count) == int(ref_opt.count) == 2
+
+
+def test_stochastic_round_unbiased_and_exact():
+    """SR mean equals the fp32 value; exactly-representable values pass
+    through deterministically; non-finites are preserved."""
+    from lafs_cvpr2024_tpu.train.optim import stochastic_round
+
+    # 1.0 + 1/4 ulp(bf16 at 1.0 = 2^-7): should round up ~25% of the time
+    x = jnp.full((20000,), 1.0 + (2.0 ** -7) * 0.25, jnp.float32)
+    out = stochastic_round(x, jax.random.PRNGKey(0))
+    vals = np.asarray(out, np.float32)
+    assert set(np.unique(vals)) == {1.0, np.float32(1.0 + 2.0 ** -7)}
+    frac_up = (vals > 1.0).mean()
+    assert 0.22 < frac_up < 0.28, frac_up
+    # unbiasedness: mean of SR output ≈ x to ~1% of an ulp
+    np.testing.assert_allclose(vals.mean(), float(x[0]), rtol=0, atol=2e-5)
+
+    exact = jnp.asarray([0.0, 1.0, -2.5, 3.140625], jnp.float32)  # bf16-exact
+    out = stochastic_round(jnp.tile(exact, 100), jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(jnp.tile(exact, 100), np.float32)
+    )
+
+    nf = jnp.asarray([np.inf, -np.inf, np.nan], jnp.float32)
+    out = np.asarray(stochastic_round(nf, jax.random.PRNGKey(2)), np.float32)
+    assert np.isposinf(out[0]) and np.isneginf(out[1]) and np.isnan(out[2])
+
+
+def test_bf16_ema_sr_tracks_while_rne_stalls():
+    """The motivating failure: a bf16 EMA with m=0.996 toward a target ~1 ulp
+    away NEVER moves under round-to-nearest (increment below resolution), but
+    integrates correctly in expectation under stochastic rounding."""
+    m = 0.996
+    target = jnp.full((4096,), 1.0 + 6 * 2.0 ** -7, jnp.float32)  # 6 ulp away
+    t_sr = {"w": jnp.ones((4096,), jnp.bfloat16)}
+    t_rne = jnp.ones((4096,), jnp.bfloat16)
+    for s in range(600):
+        t_sr = ema_update(
+            t_sr, {"w": target}, m, sr_rng=jax.random.PRNGKey(s)
+        )
+        t_rne = (m * t_rne.astype(jnp.float32)
+                 + (1 - m) * target).astype(jnp.bfloat16)
+    # fp32 reference after 600 steps: 1 + 6u(1 - m^600) ≈ 1 + 5.46u
+    ref = 1.0 + 6 * 2.0 ** -7 * (1 - m ** 600)
+    sr_mean = float(np.asarray(t_sr["w"], np.float32).mean())
+    assert abs(sr_mean - ref) < 0.5 * 2.0 ** -7, (sr_mean, ref)
+    assert float(np.asarray(t_rne, np.float32).mean()) == 1.0  # frozen
+
+
+def test_fused_tail_sr_bf16_teacher():
+    """fused_adamw_ema_update with sr_rng: bf16 teacher/moments stay in their
+    storage dtypes, results match the fp32 composed path to bf16 resolution,
+    and the same sr_rng reproduces bit-identical output (shard replication)."""
+    from lafs_cvpr2024_tpu.train.optim import fused_adamw_ema_update
+
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    params = {"w": mk(32, 32), "b": mk(32)}
+    teacher = jax.tree_util.tree_map(
+        lambda p: (p + 0.1).astype(jnp.bfloat16), params
+    )
+    grads = jax.tree_util.tree_map(lambda p: p * 0.2, params)
+    opt = adamw_init(params, moment_dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(7)
+    p1, o1, t1 = fused_adamw_ema_update(
+        grads, opt, params, teacher, 1e-3, 0.01, 0.99, sr_rng=key
+    )
+    p2, o2, t2 = fused_adamw_ema_update(
+        grads, opt, params, teacher, 1e-3, 0.01, 0.99, sr_rng=key
+    )
+    assert t1["w"].dtype == jnp.bfloat16 and o1.mu["w"].dtype == jnp.bfloat16
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (p1, o1.mu, o1.nu, t1), (p2, o2.mu, o2.nu, t2),
+    )
+    # against the fp32 composed path, within 1 bf16 ulp of the magnitudes
+    t32 = jax.tree_util.tree_map(lambda p: p + 0.1, params)
+    opt32 = adamw_init(params)
+    p_ref, o_ref = adamw_update(grads, opt32, params, 1e-3, wd=0.01)
+    t_ref = ema_update(t32, p_ref, 0.99)
+    np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p_ref["w"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(t1["w"], np.float32), np.asarray(t_ref["w"]), atol=0.04
+    )  # |teacher| reaches ~3 ⇒ bf16 ulp 0.023; SR adds ≤1 ulp on top

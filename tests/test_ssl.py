@@ -159,3 +159,33 @@ def test_ssl_step_fused_mlp_interpret():
     state, m2 = step(state, land, gc, ga, lc, la, **args)
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     assert float(m1["loss"]) != float(m2["loss"])  # params actually moved
+
+
+def test_ssl_step_bf16_teacher_sr():
+    """teacher_dtype=bf16: the step runs on a sharded mesh (SR noise must be
+    shard-replicated or shard_map's vma check rejects the trace), the teacher
+    stays stored in bf16, EMA still moves it, and both fused and composed
+    tails agree on dtype handling."""
+    for fused in (True, False):
+        cfg = SSLConfig(
+            model=TINY.model, out_dim=64, head_hidden_dim=32,
+            head_bottleneck_dim=16, local_crops_number=2,
+            compute_dtype=jnp.float32, teacher_dtype=jnp.bfloat16,
+            moment_dtype=jnp.bfloat16, fused_tail=fused,
+        )
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+        state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+        land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
+        step = make_ssl_train_step(cfg, mesh)
+        leaf = lambda s: s.teacher["backbone"]["patch_to_embedding"]["kernel"]
+        assert leaf(state).dtype == jnp.bfloat16
+        before = np.asarray(leaf(state), np.float32)
+        gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+        args = dict(lr=jnp.float32(1e-2), wd=jnp.float32(0.04),
+                    momentum=jnp.float32(0.9), teacher_temp=jnp.float32(0.04),
+                    freeze_last=jnp.float32(0.0))
+        for _ in range(2):
+            state, metrics = step(state, land, gc, ga, lc, la, **args)
+        assert np.isfinite(float(metrics["loss"]))
+        assert leaf(state).dtype == jnp.bfloat16
+        assert not np.allclose(before, np.asarray(leaf(state), np.float32))
