@@ -157,18 +157,10 @@ def main(argv=None):
 
     # Deferred loss fetch (see cli/train_ssl.py): per-step float() is a host
     # sync; buffer device scalars, fetch in one device_get at boundaries.
-    pending = []
+    # nan_exit=True ⇒ identical flush cadence on every process.
+    from ..utils.logging import DeferredLossFetcher
 
-    def flush_losses():
-        if not pending:
-            return
-        vals = jax.device_get([d for _, d in pending])
-        for (gs, _), v in zip(pending, vals):
-            v = float(v)
-            if not np.isfinite(v):
-                raise SystemExit(f"Loss is {v} at step {gs}, stopping training")
-            logger.update(loss=v)
-        pending.clear()
+    losses = DeferredLossFetcher(logger, nan_exit=True)
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
@@ -183,11 +175,10 @@ def main(argv=None):
                 state, land_vars, images,
                 jnp.float32(lr_sched[gstep]), jnp.float32(args.weight_decay),
             )
-            pending.append((gstep, metrics["loss"]))
+            losses.append(gstep, metrics["loss"])
             logger.update(lr=lr_sched[gstep])
-            if (it + 1) % 100 == 0:
-                flush_losses()
-        flush_losses()
+            losses.maybe_flush(it)
+        losses.flush()
         logger.synchronize_between_processes()
         if is_main_process():
             save_checkpoint(

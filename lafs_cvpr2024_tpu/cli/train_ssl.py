@@ -249,24 +249,16 @@ def main():
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
 
-    # Deferred loss fetch: a per-step float(metrics["loss"]) is a host sync
-    # that serializes device step → host read → next dispatch (the only real
-    # sync on this backend). Buffer the device scalars and fetch them in ONE
-    # device_get at print/checkpoint boundaries; the NaN guard runs on the
-    # fetched values (parity with lafs_train.py:585 at log granularity).
-    pending = []  # [(gstep, device loss scalar)]
+    # Deferred loss fetch (utils.logging.DeferredLossFetcher): per-step
+    # float(metrics["loss"]) is a host sync that serializes device step →
+    # host read → next dispatch. The NaN guard runs on the fetched values
+    # (parity with lafs_train.py:585 at log granularity); nan_exit=True, so
+    # EVERY flush boundary below runs on every process (same-step abort).
+    from ..utils.logging import DeferredLossFetcher
 
-    def flush_losses():
-        if not pending:
-            return
-        vals = jax.device_get([d for _, d in pending])
-        for (gs, _), v in zip(pending, vals):
-            v = float(v)
-            if not np.isfinite(v):
-                raise SystemExit(f"Loss is {v} at step {gs}, stopping training")
-            logger.update(loss=v)
-        pending.clear()
+    losses = DeferredLossFetcher(logger, nan_exit=True)
 
+    tracing = False
     for epoch in range(start_epoch, args.epochs):
         t_epoch = time.time()
         skip = start_it if epoch == start_epoch else 0
@@ -299,26 +291,30 @@ def main():
                 ),
             )
             if args.profile_steps and is_main_process():
-                if gstep == 2:
+                # anchor to the first step of THIS run (resume-safe; the
+                # supervised CLI does the same via start_step + 2)
+                start_gstep = start_epoch * steps_per_epoch + start_it
+                if gstep == start_gstep + 2:
                     jax.profiler.start_trace(
                         os.path.join(args.output_dir, "profile")
                     )
-                elif gstep == 2 + args.profile_steps:
+                    tracing = True
+                elif tracing and gstep >= start_gstep + 2 + args.profile_steps:
                     jax.profiler.stop_trace()
-            pending.append((gstep, metrics["loss"]))
+                    tracing = False
+            losses.append(gstep, metrics["loss"])
             logger.update(lr=lr_sched[gstep], wd=wd_sched[gstep])
-            if (it + 1) % 100 == 0:
-                flush_losses()
-            if (
-                args.saveckp_steps
-                and (gstep + 1) % args.saveckp_steps == 0
-                and is_main_process()
-            ):
-                flush_losses()
-                save_checkpoint(
-                    os.path.join(args.output_dir, "ckpt"), state, step=gstep + 1
-                )
-        flush_losses()
+            losses.maybe_flush(it)
+            if args.saveckp_steps and (gstep + 1) % args.saveckp_steps == 0:
+                # flush on EVERY process (nan_exit must abort all ranks at
+                # the same step), save on main only
+                losses.flush()
+                if is_main_process():
+                    save_checkpoint(
+                        os.path.join(args.output_dir, "ckpt"), state,
+                        step=gstep + 1,
+                    )
+        losses.flush()
         logger.synchronize_between_processes()
         if is_main_process():
             save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
@@ -328,6 +324,8 @@ def main():
                 "train_loss": logger.meters["loss"].global_avg,
                 "epoch_time_s": time.time() - t_epoch,
             })
+    if tracing:  # run shorter than 2 + profile_steps: still flush the trace
+        jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

@@ -300,14 +300,13 @@ def main():
 
     # Deferred loss fetch (see cli/train_ssl.py): per-step float() on the
     # device loss is a host sync; buffer and fetch at disp_freq boundaries.
-    pending = []
+    # nan_exit=False (non-finite steps are SKIPPED atomically in-step and
+    # surfaced as a metric), so the extra main-only disp_freq flush below
+    # is safe; the unconditional 100-step cadence bounds the buffer on
+    # every process.
+    from ..utils.logging import DeferredLossFetcher
 
-    def flush_losses():
-        if not pending:
-            return
-        for v in jax.device_get(pending):
-            logger.update(loss=float(v))
-        pending.clear()
+    losses = DeferredLossFetcher(logger, nan_exit=False)
 
     gstep = start_step
     resume_epoch = start_step // max(steps_per_epoch, 1)
@@ -338,10 +337,11 @@ def main():
                     )
                 elif gstep == start_step + 2 + args.profile_steps:
                     jax.profiler.stop_trace()
-            pending.append(metrics["loss"])
+            losses.append(gstep, metrics["loss"])
             logger.update(lr=lr)
+            losses.maybe_flush(gstep)
             if gstep % args.disp_freq == 0 and is_main_process():
-                flush_losses()
+                losses.flush()
                 print(f"epoch {epoch} step {gstep}: {logger}")
                 tb.add_scalar(
                     "Training/Training_Loss", logger.meters["loss"].median, gstep
@@ -403,7 +403,7 @@ def main():
                         step=gstep,
                     )
             gstep += 1
-        flush_losses()
+        losses.flush()
         jsonl.write({"epoch": epoch, "loss": logger.meters["loss"].global_avg,
                      "epoch_time_s": time.time() - t_epoch})
     save_checkpoint(

@@ -17,6 +17,8 @@ from typing import Callable, Sequence
 
 import numpy as np
 
+from ..ops.augment_device import scale_uint8
+
 
 def kfold_indices(n: int, n_folds: int):
     """sklearn KFold(shuffle=False) semantics: first n % n_folds folds get
@@ -241,11 +243,8 @@ def perform_val(
         for start in range(0, n, batch_size):
             batch = data[flip, start : start + batch_size]
             if not device_scale:
-                batch = batch.astype(np.float32)
-                batch = (
-                    batch / 255.0 - 0.5 if input_scale == "half"
-                    else batch / 255.0 * 2 - 1
-                )
+                # operator-only helper: numpy in → numpy out (host path)
+                batch = scale_uint8(batch, input_scale)
             emb = np.asarray(embed_fn(batch))
             chunks.append(emb)
         embeddings_list.append(np.concatenate(chunks, axis=0))

@@ -34,6 +34,25 @@ import jax.numpy as jnp
 # geometric: random resized crop via interpolation-matrix matmuls
 # ---------------------------------------------------------------------------
 
+def scale_uint8(x, mode: str = "unit"):
+    """Device-side uint8 image → float in the model's input convention.
+
+    THE one definition of the load-bearing train/eval scaling convention
+    (a mismatch silently degrades accuracy): ``"unit"`` → [-1, 1]
+    (x/255·2−1, the training convention, ``lafs_train.py`` ToTensor+
+    Normalize(0.5, 0.5)); ``"half"`` → [-0.5, 0.5] (x/255−0.5, the
+    reference eval convention, ``IJB_evaluation.py:444``). Accepts uint8
+    or float storage, numpy or jax (operator-only arithmetic keeps the
+    input's host/device placement); always computes in fp32.
+    """
+    x = x.astype(jnp.float32)  # np.float32 is the same dtype object
+    if mode == "unit":
+        return x / 255.0 * 2.0 - 1.0
+    if mode == "half":
+        return x / 255.0 - 0.5
+    raise ValueError(f"scale_uint8: unknown mode {mode!r} (unit|half)")
+
+
 def _cubic_weights(t: jnp.ndarray) -> jnp.ndarray:
     """Catmull-Rom/Keys cubic (a=-0.5, PIL/torch BICUBIC): weights for taps
     at offsets (-1, 0, 1, 2) given fractional position t (...,)."""

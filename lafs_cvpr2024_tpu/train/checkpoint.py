@@ -403,20 +403,30 @@ def import_dino_vit_state_dict(
 
 
 def import_iresnet_state_dict(
-    state_dict: Dict[str, Any], strict: bool = False
+    state_dict: Dict[str, Any], strict: bool = False,
+    features_scale: bool | None = None,
 ) -> TorchImport:
     """insightface iResNet dialect (``face_pre_pro/iresnet.py``) →
     ``models/iresnet.py`` tree.
 
     Quirks handled: NCHW→NHWC flatten before ``fc`` (the (D, 512·7·7)
     weight is permuted channel-major → HWC-major), the ``features`` BN
-    scale (dropped when it is the fc-variant's frozen all-ones —
-    ``use_scale=False`` on our side — but mapped into params when it
-    drifted, as ``IResNet_withloss_avg`` trains it; build the model with
-    ``avg_pool=True`` / ``features_scale=True`` to consume it),
-    ``downsample`` Sequential → conv/bn pair.
+    scale, ``downsample`` Sequential → conv/bn pair.
+
+    ``features_scale`` mirrors the model flag: whether the target model's
+    ``features`` BN has a scale param. Default ``None`` infers it from the
+    checkpoint DIALECT, never from values: the avg-pool variant
+    (``IResNet_withloss_avg``, no ``fc`` layer) trains its scale
+    (``requires_grad=False`` is commented out, reference
+    ``iresnet.py:385-386``) and matches our ``avg_pool=True`` default of
+    ``use_scale=True`` — mapped even when still all-ones; the fc variant
+    freezes it at 1.0 and matches ``use_scale=False`` — dropped, with a
+    loud error if it unexpectedly drifted.
     """
     sd = strip_prefixes(state_dict)
+    if features_scale is None:
+        # avg-variant checkpoints have no fc layer (pool → features BN)
+        features_scale = "fc.weight" not in sd
     params: dict = {}
     stats: dict = {}
     consumed: set = set()
@@ -460,10 +470,16 @@ def import_iresnet_state_dict(
         elif k.startswith("features."):
             rest = k.split(".", 1)[1]
             if rest == "weight":
-                if not np.allclose(arr, 1.0):
-                    # trained scale (avg variant): map it; the model must
-                    # be built with a scale'd features BN to consume it
+                if features_scale:
                     _set(params, ("features", "scale"), arr)
+                elif not np.allclose(arr, 1.0):
+                    raise ValueError(
+                        "import_iresnet_state_dict: checkpoint has a "
+                        "trained features-BN scale but the target layout "
+                        "has use_scale=False; build the model with "
+                        "features_scale=True (or pass features_scale=True "
+                        "here) to consume it"
+                    )
             elif rest == "bias":
                 _set(params, ("features", "bias"), arr)
             elif rest == "running_mean":

@@ -254,6 +254,7 @@ def fused_adamw_ema_update(
     b2: float = 0.999,
     eps: float = 1e-8,
     sr_rng=None,
+    sr_moments: bool = False,
 ):
     """ONE traversal for the whole SSL update tail: per-leaf grad clip +
     freeze gating + AdamW + EMA teacher, chained per leaf so XLA emits a
@@ -268,9 +269,13 @@ def fused_adamw_ema_update(
     zero_grads_by_path + adamw_update + ema_update composed.
 
     ``sr_rng`` (a PRNG key, MUST differ every step): stochastically round
-    every low-precision storage cast (bf16 teacher / bf16 moments) instead
-    of RNE — required for a bf16-stored EMA teacher, whose ``(1-m)·Δ``
-    increments are below bf16 resolution (see :func:`stochastic_round`).
+    the TEACHER storage cast — required for a bf16-stored EMA teacher,
+    whose ``(1-m)·Δ`` increments are below bf16 resolution (see
+    :func:`stochastic_round`). ``sr_moments=True`` extends SR to the
+    bf16 moment casts too; off by default — RNE-bf16 moments are
+    loss-trajectory-validated (docs/PERF.md) and each extra SR target
+    costs a full hardware-PRNG pass over the state (measured +2 ms/step
+    on the flagship when all three casts draw noise).
     """
     count = state.count + 1
     f32 = jnp.float32
@@ -298,7 +303,10 @@ def fused_adamw_ema_update(
         if ks is None:
             return (p_new, m_new.astype(m.dtype), v_new.astype(v.dtype),
                     t_new.astype(t.dtype))
-        return (p_new, _sr_cast(m_new, ks[0], m), _sr_cast(v_new, ks[1], v),
+        if sr_moments:
+            return (p_new, _sr_cast(m_new, ks[0], m),
+                    _sr_cast(v_new, ks[1], v), _sr_cast(t_new, ks[2], t))
+        return (p_new, m_new.astype(m.dtype), v_new.astype(v.dtype),
                 _sr_cast(t_new, ks[2], t))
 
     treedef = jax.tree_util.tree_structure(params)

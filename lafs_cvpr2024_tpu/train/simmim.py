@@ -114,11 +114,9 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh, donate: bool = False) 
             rng = fold_in_shard(rng, "data")
         k_land, k_mask, k_drop = jax.random.split(rng, 3)
         if cfg.input_scale is not None:
-            images = images.astype(jnp.float32)
-            images = (
-                images / 255.0 - 0.5 if cfg.input_scale == "half"
-                else images / 255.0 * 2 - 1
-            )
+            from ..ops.augment_device import scale_uint8
+
+            images = scale_uint8(images, cfg.input_scale)
         b = images.shape[0]
         n = cfg.model.num_patches
 

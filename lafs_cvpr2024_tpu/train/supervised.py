@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.partfvit import PartFViT, PartFViTConfig
+from ..ops.augment_device import scale_uint8
 from ..ops.mixup import MixupConfig, mixup_cutmix
 from ..parallel.sharded_cosface import (
     local_margin_logits,
@@ -247,11 +248,7 @@ def make_train_step(
                     arng, imgs, out_size=cfg.model.image_size, ra=ra_cfg
                 )
             elif cfg.input_scale is not None:
-                imgs = imgs.astype(jnp.float32)
-                imgs = (
-                    imgs / 255.0 - 0.5 if cfg.input_scale == "half"
-                    else imgs / 255.0 * 2 - 1
-                )
+                imgs = scale_uint8(imgs, cfg.input_scale)
             imgs, targets = mixup_cutmix(krng, imgs, labs, cfg.mixup)
             if shard_cls:
                 if cfg.mixup.enabled:
@@ -428,8 +425,7 @@ def make_landmark_viz_fn(cfg: SupervisedConfig, input_scale: str = "half"):
 
     @jax.jit
     def viz(variables, images):
-        x = images.astype(jnp.float32)
-        x = x / 255.0 - 0.5 if input_scale == "half" else x / 255.0 * 2 - 1
+        x = scale_uint8(images, input_scale)
         lvars = {"params": variables["params"]["landmark"]}
         bs = variables.get("batch_stats", {})
         if "landmark" in bs:
@@ -471,11 +467,7 @@ def make_embed_fn(
     @jax.jit
     def embed(variables, images):
         if input_scale is not None:
-            images = images.astype(jnp.float32)
-            images = (
-                images / 255.0 - 0.5 if input_scale == "half"
-                else images / 255.0 * 2 - 1
-            )
+            images = scale_uint8(images, input_scale)
         return model.apply(variables, images, train=False)
 
     if mesh is not None and mesh.size > 1:

@@ -342,3 +342,48 @@ def need_save(acc, highest_acc):
     if save_cnt >= len(acc) * 3 / 4 and acc[0] > 0.99:
         do_save = True
     return do_save
+
+
+class DeferredLossFetcher:
+    """Buffer per-step device loss scalars; fetch in ONE ``device_get`` at
+    flush boundaries.
+
+    On this class of backends a host fetch (``float(loss)``) is the only
+    reliable sync, so fetching per step serializes device step → host read →
+    next dispatch (the reference reads ``loss.item()`` every iteration,
+    ``lafs_train.py:585``). Buffering keeps the dispatch queue full; the
+    flush cadence is the observability/robustness knob.
+
+    MULTI-PROCESS RULE: with ``nan_exit=True`` every process must flush at
+    the SAME steps — a rank that aborts at a boundary other ranks don't
+    check leaves the survivors blocked in the next collective until
+    timeout. ``maybe_flush(it)`` (fixed every-N cadence) is safe; add extra
+    main-process-only flushes only when ``nan_exit=False``.
+    """
+
+    def __init__(self, logger: "MetricLogger", nan_exit: bool = False,
+                 key: str = "loss"):
+        self._logger = logger
+        self._nan_exit = nan_exit
+        self._key = key
+        self._pending: list = []
+
+    def append(self, gstep: int, dev_scalar) -> None:
+        self._pending.append((gstep, dev_scalar))
+
+    def maybe_flush(self, it: int, every: int = 100) -> None:
+        if (it + 1) % every == 0:
+            self.flush()
+
+    def flush(self) -> None:
+        import jax
+
+        if not self._pending:
+            return
+        vals = jax.device_get([d for _, d in self._pending])
+        pending, self._pending = self._pending, []
+        for (gs, _), v in zip(pending, vals):
+            v = float(v)
+            if self._nan_exit and not np.isfinite(v):
+                raise SystemExit(f"Loss is {v} at step {gs}, stopping training")
+            self._logger.update(**{self._key: v})

@@ -73,11 +73,15 @@ def test_fused_attention_bf16_close():
 
 def test_attention_module_fused_impl_matches_einsum():
     """The flax Attention layer with attn_impl='fused' must agree with the
-    einsum path on identical weights."""
+    einsum path on identical weights — at a sequence length INSIDE the
+    128..512 kernel gate (layers.py), so the kernel branch (heads_first
+    layout, model-dim scale, output transpose) actually executes. Short
+    sequences (37) deliberately fall back to einsum and would make this
+    test vacuous."""
     from lafs_cvpr2024_tpu.models.layers import Attention
 
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.standard_normal((2, 37, 64)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 197, 64)).astype(np.float32))
     a_ein = Attention(64, heads=2, dim_head=32, attn_impl="einsum")
     a_fus = Attention(64, heads=2, dim_head=32, attn_impl="fused")
     variables = a_ein.init(jax.random.PRNGKey(0), x)
@@ -86,3 +90,7 @@ def test_attention_module_fused_impl_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(y_fus), np.asarray(y_ein), atol=2e-5
     )
+    # sanity that the gate actually routed to the kernel: short sequences
+    # must hit the einsum fallback without error either way
+    xs = jnp.asarray(rng.standard_normal((2, 37, 64)).astype(np.float32))
+    jax.jit(lambda v, x: a_fus.apply(v, x))(variables, xs)

@@ -302,3 +302,19 @@ def test_fused_tail_sr_bf16_teacher():
     np.testing.assert_allclose(
         np.asarray(t1["w"], np.float32), np.asarray(t_ref["w"]), atol=0.04
     )  # |teacher| reaches ~3 ⇒ bf16 ulp 0.023; SR adds ≤1 ulp on top
+    # default: moments keep the deterministic RNE cast (SR only costs a
+    # PRNG pass where it is REQUIRED — the teacher); sr_moments=True flips
+    # them to SR (same key ⇒ still deterministic, values may differ by 1 ulp)
+    _, o_det, _ = fused_adamw_ema_update(
+        grads, opt, params, teacher, 1e-3, 0.01, 0.99
+    )
+    np.testing.assert_array_equal(np.asarray(o1.mu["w"]), np.asarray(o_det.mu["w"]))
+    _, o_sr, _ = fused_adamw_ema_update(
+        grads, opt, params, teacher, 1e-3, 0.01, 0.99, sr_rng=key,
+        sr_moments=True,
+    )
+    assert o_sr.nu["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(o_sr.mu["w"], np.float32), np.asarray(o1.mu["w"], np.float32),
+        atol=0.02,
+    )
