@@ -1,6 +1,7 @@
 from .mesh import (
     classifier_sharding,
     create_mesh,
+    create_multislice_mesh,
     data_sharding,
     is_main_process,
     maybe_initialize_distributed,
@@ -17,6 +18,7 @@ from .sharded_cosface import (
 __all__ = [
     "classifier_sharding",
     "create_mesh",
+    "create_multislice_mesh",
     "data_sharding",
     "is_main_process",
     "maybe_initialize_distributed",

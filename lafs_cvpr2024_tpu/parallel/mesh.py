@@ -39,6 +39,59 @@ def create_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def create_multislice_mesh(
+    model: int = 1,
+    slices: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Pod-scale mesh for MULTI-SLICE topologies (several ICI-connected
+    slices joined by DCN): same ``("data", "model")`` axes as
+    :func:`create_mesh`, so every train step / sharding helper works
+    unchanged — only the DEVICE ORDER differs.
+
+    The data axis is laid out slice-major (slice index is the
+    slowest-varying coordinate), which is what lets XLA lower the step's
+    ``psum('data')`` into a hierarchical reduce: intra-slice partial sums
+    ride ICI, and only one partial per slice crosses DCN — the TPU-native
+    analogue of NCCL's rack-aware allreduce trees (reference runtime:
+    ``utils.py:423-499``). The ``model`` axis (class-sharded CosFace,
+    per-example activation psums) is kept INSIDE a slice — its softmax
+    statistics exchange on every step and must never cross DCN.
+
+    On real multi-slice TPU the layout comes from
+    ``mesh_utils.create_hybrid_device_mesh`` (reads each device's
+    ``slice_index``); ``slices`` overrides/enables the grouping on
+    backends without slice metadata (CPU simulation: contiguous groups).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if slices is None:
+        idx = {getattr(d, "slice_index", None) for d in devices}
+        if None in idx or len(idx) <= 1:
+            return create_mesh(model=model, devices=devices)
+        slices = len(idx)
+    assert n % slices == 0, f"{n} devices not divisible by {slices} slices"
+    per_slice = n // slices
+    assert per_slice % model == 0, (
+        f"model={model} must divide the {per_slice} devices of one slice "
+        "(the class-sharded head's psums must stay on ICI)"
+    )
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (per_slice // model, model), (slices, 1), devices=devices
+        )
+    else:
+        # simulation fallback: contiguous groups are "slices"
+        arr = (
+            np.asarray(devices)
+            .reshape(slices, per_slice // model, model)
+            .reshape(slices * (per_slice // model), model)
+        )
+    return Mesh(arr, ("data", "model"))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding for input arrays."""
     return NamedSharding(mesh, P("data"))

@@ -220,3 +220,70 @@ def test_sharded_batch_apply_identity_cache():
         v = {"scale": jnp.float32(scale)}
         np.testing.assert_allclose(np.asarray(wrapped(v, batch)), scale)
         del v
+
+
+def test_create_multislice_mesh_layout_and_semantics():
+    """Multi-slice mesh: same axis names as create_mesh, slice-major data
+    axis (each slice's devices contiguous along 'data' so intra-slice
+    psum partials ride ICI), model axis inside a slice; a psum over 'data'
+    still sums ALL shards (DCN is a layout concern, not a semantics one)."""
+    from lafs_cvpr2024_tpu.parallel.mesh import create_multislice_mesh
+
+    mesh = create_multislice_mesh(model=2, slices=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape == {"data": 4, "model": 2}
+    devs = list(jax.devices())
+    arr = mesh.devices
+    # simulation fallback groups contiguously: rows 0-1 = slice 0 devices
+    assert {d.id for d in arr[:2].ravel()} == {d.id for d in devs[:4]}
+    assert {d.id for d in arr[2:].ravel()} == {d.id for d in devs[4:]}
+
+    # semantics identical to the flat mesh: grad-style psum over 'data'
+    # sums the per-shard partials from EVERY shard, both slices included
+    @jax.jit
+    def psum_step(x):
+        f = jax.shard_map(
+            lambda v: jax.lax.psum(v.sum(), "data"),
+            mesh=mesh, in_specs=P("data"), out_specs=P(),
+        )
+        return f(x)
+
+    x = jnp.arange(8, dtype=jnp.float32).reshape(8, 1)
+    np.testing.assert_allclose(np.asarray(psum_step(x)), float(x.sum()))
+
+    # no-slice-metadata path without explicit slices: plain create_mesh
+    flat = create_multislice_mesh(model=1)
+    assert flat.shape == {"data": len(devs), "model": 1}
+
+
+def test_multislice_mesh_runs_supervised_step():
+    """The supervised shard_map train step runs unchanged on a multislice
+    (2x2x2) mesh — the whole point of keeping the axis names stable."""
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
+    from lafs_cvpr2024_tpu.ops.mixup import MixupConfig
+    from lafs_cvpr2024_tpu.parallel.mesh import create_multislice_mesh
+    from lafs_cvpr2024_tpu.train.supervised import (
+        SupervisedConfig, create_classifier, create_state, make_train_step,
+    )
+
+    mesh = create_multislice_mesh(model=2, slices=2)
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=36, image_size=48, num_classes=16,
+            loss_type="CosFace", stn_mode="small",
+        ),
+        mixup=MixupConfig(num_classes=16),
+        compute_dtype=jnp.float32,
+        acc_step=1,
+    )
+    state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
+    cls_w, cls_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (8, 48, 48, 3)).astype(np.float32))
+    labels = jnp.arange(8, dtype=jnp.int32) % 16
+    state, cls_w, cls_opt, metrics = step(
+        state, cls_w, cls_opt, imgs, labels, 1e-3
+    )
+    assert np.isfinite(float(metrics["loss"]))
