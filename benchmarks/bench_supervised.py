@@ -1,6 +1,10 @@
 """Supervised train-step throughput (flagship: with_land, CosFace-205990).
 
 Not the driver's bench.py — an auxiliary number for docs/PARITY.md.
+Usage: python bench_supervised.py [attn_impl]  (einsum | fused | flash)
+— unlike the SSL step (8 of 10 crops are 37-token locals, below the
+fused kernel's 128-token gate), EVERY supervised sequence is 197 tokens,
+so the whole-seq pallas attention kernel applies to all of them.
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
@@ -22,13 +26,14 @@ NUM_CLASSES = 205990
 B = 64  # per microbatch; acc_step 3 → 192 rows/step (ref: 200/A100)
 
 def main():
+    attn = sys.argv[1] if len(sys.argv) > 1 else "einsum"
     n_dev = len(jax.devices())
     mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("data", "model"))
     cfg = SupervisedConfig(
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, num_classes=NUM_CLASSES, with_land=True,
-            loss_type="CosFace", mlp_impl="fused",
+            loss_type="CosFace", mlp_impl="fused", attn_impl=attn,
         ),
         acc_step=3,
         moment_dtype=jnp.bfloat16,
@@ -49,7 +54,7 @@ def main():
         state, w, w_opt, m = step(state, w, w_opt, images, labels, 1e-4)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / 10
-    print(f"supervised flagship: {dt*1000:.1f} ms/step ({rows} imgs) -> "
+    print(f"supervised flagship [{attn}]: {dt*1000:.1f} ms/step ({rows} imgs) -> "
           f"{rows/dt/n_dev:.1f} imgs/s/chip")
 
 if __name__ == "__main__":
