@@ -36,6 +36,9 @@ def get_args():
     p.add_argument("--no-detector-score", dest="use_detector_score", action="store_false")
     p.add_argument("--no-flip-test", dest="use_flip_test", action="store_false")
     p.add_argument("--workers", type=int, default=16)
+    p.add_argument("--no-native", action="store_true",
+                   help="skip the fused C++ decode+align batch path and "
+                        "use the PIL + numpy warp per face")
     return p.parse_args()
 
 
@@ -125,11 +128,35 @@ def main():
         aligned = norm_crop(img, landmarks[i]).astype(np.float32)
         return aligned
 
+    # fused native decode+align when the C++ plane is available: raw JPEG
+    # bytes + Umeyama matrices go down, the aligned uint8 batch comes back —
+    # full-resolution pixels never cross into Python (data/native.py)
+    from ..data.native import decode_warp_batch, native_available
+    from ..eval.ijb import ARCFACE_SRC, umeyama
+
+    use_native = native_available() and not args.no_native
+
+    def read_bytes(i):
+        with open(os.path.join(args.image_path, names[i]), "rb") as f:
+            return f.read()
+
+    def load_batch(pool, idx):
+        if not use_native:
+            return np.stack(list(pool.map(load_and_align, idx)))
+        jpegs = list(pool.map(read_bytes, idx))  # IO in threads
+        mats = np.stack(
+            [umeyama(landmarks[i].astype(np.float32), ARCFACE_SRC)[:2]
+             for i in idx]
+        )
+        return decode_warp_batch(
+            jpegs, mats, threads=args.workers
+        ).astype(np.float32)
+
     with ThreadPoolExecutor(args.workers) as pool:
         bs = args.batch_size
         for start in range(0, len(names), bs):
             idx = range(start, min(start + bs, len(names)))
-            batch = np.stack(list(pool.map(load_and_align, idx)))
+            batch = load_batch(pool, idx)
             both = np.concatenate([batch, batch[:, :, ::-1]], axis=0)
             emb = np.asarray(embed(jnp.asarray(both)))
             n = len(batch)

@@ -68,6 +68,13 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.lafs_decode_warp_batch.restype = ctypes.c_int
+    lib.lafs_decode_warp_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -138,3 +145,41 @@ class NativeRecordReader:
             self.close()
         except Exception:
             pass
+
+
+def decode_warp_batch(jpegs, mats, out_size: int = 112, threads: int = 4):
+    """Fused JPEG decode + per-face affine alignment in one native call
+    (``lafs_decode_warp_batch``): the full-resolution decodes stay inside
+    the C++ thread pool and never cross into Python — only the aligned
+    (n, S, S, 3) uint8 batch comes back. This is the IJB loose-crop host
+    path (decode → Umeyama warp for ~470k faces per protocol run,
+    reference ``IJB_evaluation.py:198-235``).
+
+    jpegs: sequence of JPEG byte strings; mats: (n, 2, 3) float32 FORWARD
+    src→dst affines (``eval.ijb.umeyama(...)[: 2]``). Raises RuntimeError
+    on decode failures; callers fall back to the PIL path when the native
+    plane is unavailable (``native_available()``).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native data plane unavailable")
+    n = len(jpegs)
+    mats = np.ascontiguousarray(mats, np.float32)
+    assert mats.shape == (n, 2, 3), mats.shape
+    lens = np.asarray([len(j) for j in jpegs], np.int64)
+    offs = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    blob = np.frombuffer(b"".join(jpegs), np.uint8)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    failures = lib.lafs_decode_warp_batch(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        mats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_size, out_size, min(threads, n),
+    )
+    if failures:
+        raise RuntimeError(f"{failures} JPEGs failed to decode")
+    return out

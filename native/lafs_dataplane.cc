@@ -11,6 +11,7 @@
 // layout documentation): [magic u32][lrecord u32][payload][pad to 4].
 // Payload = IRHeader '<IfQQ' + flag*f32 extra labels + JPEG bytes.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -102,6 +103,75 @@ int decode_jpeg(const uint8_t* buf, size_t len, uint8_t* out, int out_h,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return 0;
+}
+
+// Decode one JPEG at its NATIVE size into px (resized to hold h*w*3).
+int decode_jpeg_native(const uint8_t* buf, size_t len,
+                       std::vector<uint8_t>& px, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  px.resize(static_cast<size_t>(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row =
+        px.data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Bilinear inverse affine warp, border 0 — the cv2.warpAffine semantics of
+// eval/ijb.py::warp_affine (out-of-range corner taps contribute 0 through
+// their weight, final float truncated to uint8 like numpy .astype).
+// M is the FORWARD 2x3 map src->dst; inverted here.
+void warp_bilinear(const uint8_t* img, int h, int w, const float* M,
+                   uint8_t* dst, int oh, int ow) {
+  const float a = M[0], b = M[1], c = M[2], d = M[3], e = M[4], f = M[5];
+  const float det = a * e - b * d;
+  const float ia = e / det, ib = -b / det;
+  const float id_ = -d / det, ie = a / det;
+  const float ic = -(ia * c + ib * f);
+  const float if_ = -(id_ * c + ie * f);
+  for (int y = 0; y < oh; ++y) {
+    for (int x = 0; x < ow; ++x) {
+      const float sx = ia * x + ib * y + ic;
+      const float sy = id_ * x + ie * y + if_;
+      const float fx0 = std::floor(sx), fy0 = std::floor(sy);
+      const int x0 = static_cast<int>(fx0), y0 = static_cast<int>(fy0);
+      const float wx = sx - fx0, wy = sy - fy0;
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int dy = 0; dy < 2; ++dy) {
+        for (int dx = 0; dx < 2; ++dx) {
+          const int xi = x0 + dx, yi = y0 + dy;
+          if (xi < 0 || xi >= w || yi < 0 || yi >= h) continue;
+          const float wgt = (dx ? wx : 1.f - wx) * (dy ? wy : 1.f - wy);
+          const uint8_t* p = img + (static_cast<size_t>(yi) * w + xi) * 3;
+          acc[0] += wgt * p[0];
+          acc[1] += wgt * p[1];
+          acc[2] += wgt * p[2];
+        }
+      }
+      uint8_t* o = dst + (static_cast<size_t>(y) * ow + x) * 3;
+      o[0] = static_cast<uint8_t>(acc[0]);
+      o[1] = static_cast<uint8_t>(acc[1]);
+      o[2] = static_cast<uint8_t>(acc[2]);
+    }
+  }
 }
 
 // Locate a record's payload: returns pointer, length, label; nullptr on error.
@@ -220,6 +290,49 @@ int lafs_decode_batch(void* h, const int64_t* keys, int n, uint8_t* out,
         memset(dst, 0, img_bytes);
         failures.fetch_add(1);
       }
+    }
+  };
+
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
+
+// Fused JPEG decode + per-face affine alignment (the IJB loose-crop host
+// path: ~470k faces of decode→Umeyama-warp per protocol run). Inputs: one
+// concatenated JPEG blob + per-image (offset, length), and n forward 2x3
+// matrices (row-major, src→dst — the Umeyama transform from
+// eval/ijb.py::norm_crop). Output (n, out_h, out_w, 3) uint8 RGB. The
+// full-resolution decode stays thread-local and never crosses the ctypes
+// boundary. Returns the number of failed decodes (their slots zeroed).
+int lafs_decode_warp_batch(const uint8_t* blob, const int64_t* offs,
+                           const int64_t* lens, int n, const float* mats,
+                           uint8_t* out, int out_h, int out_w,
+                           int nthreads) {
+  std::atomic<int> failures{0};
+  std::atomic<int> next{0};
+  const size_t img_bytes = static_cast<size_t>(out_h) * out_w * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> px;  // reused full-res decode buffer
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      uint8_t* dst = out + static_cast<size_t>(i) * img_bytes;
+      int w = 0, h = 0;
+      if (decode_jpeg_native(blob + offs[i], static_cast<size_t>(lens[i]),
+                             px, &w, &h) != 0) {
+        memset(dst, 0, img_bytes);
+        failures.fetch_add(1);
+        continue;
+      }
+      warp_bilinear(px.data(), h, w, mats + static_cast<size_t>(i) * 6, dst,
+                    out_h, out_w);
     }
   };
 

@@ -117,3 +117,42 @@ def test_fetch_batch_matches_getitem(rec, tmp_path):
     for (fi, fl), (si, sl) in zip(fast, slow):
         np.testing.assert_array_equal(np.asarray(fi), np.asarray(si))
         np.testing.assert_array_equal(np.asarray(fl), np.asarray(sl))
+
+
+def test_native_decode_warp_matches_numpy_warp():
+    """Fused C++ decode+align == PIL decode + eval.ijb.warp_affine (the
+    pure-numpy cv2.warpAffine equivalent) to ±1 intensity step, including
+    out-of-bounds border-0 regions; landmarks → Umeyama matrices exactly as
+    the IJB CLI builds them."""
+    from lafs_cvpr2024_tpu.eval.ijb import ARCFACE_SRC, umeyama, warp_affine
+
+    rng = np.random.default_rng(1)
+    jpegs, mats, refs = [], [], []
+    for i in range(6):
+        h, w = int(rng.integers(90, 200)), int(rng.integers(90, 200))
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        jpegs.append(buf.getvalue())
+        # plausible 5-point landmarks scattered in the frame (some warps
+        # will sample outside the image -> exercises the border-0 path)
+        lmk = np.stack(
+            [rng.uniform(0, w, 5), rng.uniform(0, h, 5)], axis=1
+        ).astype(np.float32)
+        M = umeyama(lmk, ARCFACE_SRC)[:2]
+        mats.append(M)
+        decoded = np.asarray(Image.open(io.BytesIO(jpegs[-1])).convert("RGB"))
+        refs.append(warp_affine(decoded, M, (112, 112)))
+    out = native.decode_warp_batch(jpegs, np.stack(mats), threads=2)
+    assert out.shape == (6, 112, 112, 3) and out.dtype == np.uint8
+    for got, ref in zip(out, refs):
+        # float-order differences can flip a truncation by 1
+        assert np.abs(got.astype(np.int16) - ref.astype(np.int16)).max() <= 1
+
+
+def test_native_decode_warp_bad_jpeg_raises():
+    good = io.BytesIO()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(good, format="JPEG")
+    mats = np.tile(np.eye(2, 3, dtype=np.float32), (2, 1, 1))
+    with pytest.raises(RuntimeError, match="failed to decode"):
+        native.decode_warp_batch([good.getvalue(), b"not a jpeg"], mats)
