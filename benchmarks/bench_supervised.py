@@ -1,10 +1,16 @@
 """Supervised train-step throughput (flagship: with_land, CosFace-205990).
 
 Not the driver's bench.py — an auxiliary number for docs/PARITY.md.
-Usage: python bench_supervised.py [attn_impl]  (einsum | fused | flash)
-— unlike the SSL step (8 of 10 crops are 37-token locals, below the
-fused kernel's 128-token gate), EVERY supervised sequence is 197 tokens,
-so the whole-seq pallas attention kernel applies to all of them.
+Usage: python bench_supervised.py [variant]
+  base     — shipped config (einsum attention, acc 3x64, mixup, CosFace,
+             with_land)
+  fused / flash — attention impl swap (197-token sequences everywhere)
+  acc1     — no grad-accumulation scan: one 192-row microbatch
+  nomixup  — mixup/cutmix disabled (device-side mixup cost)
+  smallhead — 1,000 classes instead of 205,990 (margin-head + CE cost)
+  noland   — with_land=False (landmark CNN + patch-gather cost)
+DIAGNOSTIC variants quantify the supervised step's fixed costs the way
+bench_ssl_variants.py bisected the SSL step.
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
@@ -26,26 +32,34 @@ NUM_CLASSES = 205990
 B = 64  # per microbatch; acc_step 3 → 192 rows/step (ref: 200/A100)
 
 def main():
-    attn = sys.argv[1] if len(sys.argv) > 1 else "einsum"
+    variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+    attn = variant if variant in ("fused", "flash") else "einsum"
     n_dev = len(jax.devices())
     mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("data", "model"))
     cfg = SupervisedConfig(
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
-            num_patches=196, num_classes=NUM_CLASSES, with_land=True,
-            loss_type="CosFace", mlp_impl="fused", attn_impl=attn,
+            num_patches=196,
+            num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
+            with_land=variant != "noland",
+            loss_type="CosFace",
+            mlp_impl="fused", attn_impl=attn,
         ),
-        acc_step=3,
+        acc_step=1 if variant == "acc1" else 3,
         moment_dtype=jnp.bfloat16,
-        mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=NUM_CLASSES),
+        mixup=MixupConfig(
+            mixup_alpha=0.2, prob=0.0 if variant == "nomixup" else 0.1,
+            num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
+        ),
         shard_classifier=False,
     )
+    B_local = 192 if variant == "acc1" else B
     state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
     w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
     step = make_train_step(cfg, mesh)
-    rows = cfg.acc_step * B * n_dev
+    rows = cfg.acc_step * B_local * n_dev
     images = jax.random.uniform(jax.random.PRNGKey(2), (rows, 112, 112, 3)) * 2 - 1
-    labels = jnp.arange(rows) % NUM_CLASSES
+    labels = jnp.arange(rows) % cfg.model.num_classes
     t0 = time.perf_counter()
     state, w, w_opt, m = step(state, w, w_opt, images, labels, 1e-4)
     print("compile+1st:", round(time.perf_counter() - t0, 1), "s; loss", float(m["loss"]))
@@ -54,7 +68,7 @@ def main():
         state, w, w_opt, m = step(state, w, w_opt, images, labels, 1e-4)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / 10
-    print(f"supervised flagship [{attn}]: {dt*1000:.1f} ms/step ({rows} imgs) -> "
+    print(f"supervised flagship [{variant}]: {dt*1000:.1f} ms/step ({rows} imgs) -> "
           f"{rows/dt/n_dev:.1f} imgs/s/chip")
 
 if __name__ == "__main__":

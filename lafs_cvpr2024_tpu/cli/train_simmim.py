@@ -50,6 +50,9 @@ def get_args(argv=None):
                    choices=["auto", "dense", "fused"])
     p.add_argument("--bgr", action="store_true")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--slices", type=int, default=None,
+                   help="multi-slice topology: slice-major data axis "
+                        "(auto-detected from device metadata when omitted)")
     p.add_argument("--seed", type=int, default=0)
     from ..utils.config import apply_toml_defaults
 
@@ -67,7 +70,7 @@ def main(argv=None):
     from ..data.dataset import FaceFolderDataset
     from ..models.partfvit import PartFViTConfig
     from ..ops.schedules import cosine_scheduler
-    from ..parallel.mesh import create_mesh, is_main_process
+    from ..parallel.mesh import create_multislice_mesh, is_main_process
     from ..train.checkpoint import (
         import_torch_state_dict,
         load_torch_file,
@@ -84,7 +87,7 @@ def main(argv=None):
     from ..utils.config import resolve_mlp_impl
     from ..utils.logging import JSONLLogger, MetricLogger
 
-    mesh = create_mesh(model=1)
+    mesh = create_multislice_mesh(model=1, slices=args.slices)
     n_dev = mesh.shape["data"]
 
     rec = os.path.join(args.data_path, "train.rec")

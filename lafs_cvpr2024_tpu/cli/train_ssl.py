@@ -86,6 +86,9 @@ def get_args():
                         "only); resume is EXACT mid-epoch (sampler order is "
                         "a pure function of seed+epoch)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--slices", type=int, default=None,
+                   help="multi-slice topology: slice-major data axis "
+                        "(auto-detected from device metadata when omitted)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mlp-impl", default="auto",
                    choices=["auto", "dense", "fused"],
@@ -110,7 +113,7 @@ def main():
     from ..data import DataPipeline, EpochSampler, FaceRecordDataset, LAFSMultiCrop
     from ..models.partfvit import PartFViTConfig
     from ..ops.schedules import cosine_scheduler, dino_lr_scaling, teacher_temp_schedule
-    from ..parallel.mesh import create_mesh, is_main_process
+    from ..parallel.mesh import create_multislice_mesh, is_main_process
     from ..utils.config import resolve_mlp_impl
     from ..train.checkpoint import (
         import_torch_state_dict,
@@ -132,7 +135,7 @@ def main():
 
     os.makedirs(args.output_dir, exist_ok=True)
     dump_config(os.path.join(args.output_dir, "config.txt"), args)
-    mesh = create_mesh(model=1)
+    mesh = create_multislice_mesh(model=1, slices=args.slices)
     n_dev = len(jax.devices())
 
     transform = None if args.device_aug else LAFSMultiCrop(

@@ -83,6 +83,11 @@ def get_args():
                         "inside the train step (host ships raw uint8; "
                         "host-immune input pipeline)")
     p.add_argument("--model-axis", type=int, default=1, help="classifier TP shards")
+    p.add_argument("--slices", type=int, default=None,
+                   help="multi-slice topology: lay the data axis out "
+                        "slice-major so grad psums reduce ICI-first with one "
+                        "partial per slice over DCN (auto-detected from "
+                        "device slice metadata when omitted)")
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler device trace of N steps "
                         "(starting at global step 2) into "
@@ -112,7 +117,7 @@ def main():
     from ..models.partfvit import PartFViTConfig
     from ..ops.mixup import MixupConfig
     from ..ops.schedules import supervised_lr_scaling, warmup_cosine_lr
-    from ..parallel.mesh import create_mesh, is_main_process
+    from ..parallel.mesh import create_multislice_mesh, is_main_process
     from ..train.checkpoint import (
         import_torch_state_dict,
         load_torch_file,
@@ -134,7 +139,7 @@ def main():
 
     os.makedirs(args.work_path, exist_ok=True)
     dump_config(os.path.join(args.work_path, "config.txt"), args)
-    mesh = create_mesh(model=args.model_axis)
+    mesh = create_multislice_mesh(model=args.model_axis, slices=args.slices)
     n_dev = len(jax.devices())
 
     # --data-root is either a packed rec dir (train.rec + property) or a raw
