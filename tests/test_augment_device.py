@@ -113,3 +113,24 @@ def test_lafs_multicrop_device_layout():
     c = np.asarray(gc[0]).ravel()
     a = np.asarray(ga[0]).ravel()
     assert np.corrcoef(c, a)[0, 1] > 0.5
+
+
+def test_scale_uint8_conventions_and_polymorphism():
+    """THE uint8→float convention helper: exact endpoints for both modes,
+    numpy-in→numpy-out (host eval path keeps its placement), jax-in→jax-out,
+    loud on unknown mode."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.ops.augment_device import scale_uint8
+
+    u8 = np.asarray([0, 128, 255], np.uint8)
+    out = scale_uint8(u8, "unit")
+    assert isinstance(out, np.ndarray) and out.dtype == np.float32
+    np.testing.assert_allclose(out, [-1.0, 128 / 255 * 2 - 1, 1.0], atol=1e-6)
+    out = scale_uint8(u8, "half")
+    np.testing.assert_allclose(out, [-0.5, 128 / 255 - 0.5, 0.5], atol=1e-6)
+    j = scale_uint8(jnp.asarray(u8), "unit")
+    assert isinstance(j, jax.Array)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(out) * 2, atol=1e-6)
+    with pytest.raises(ValueError, match="unknown mode"):
+        scale_uint8(u8, "raw")
