@@ -46,6 +46,12 @@ def get_args(argv=None):
     p.add_argument("--num-patches", type=int, default=196)
     p.add_argument("--image-size", type=int, default=112)
     p.add_argument("--stn-mode", default="large", choices=["large", "small"])
+    p.add_argument("--attn-impl", default="einsum",
+                   choices=["einsum", "fused", "flash"],
+                   help="attention impl; einsum is fastest at this "
+                        "architecture's d_head=64 on every measured "
+                        "workload (docs/PERF.md) — the pallas kernels "
+                        "are for long-sequence configs")
     p.add_argument("--mlp-impl", default="auto",
                    choices=["auto", "dense", "fused"])
     p.add_argument("--bgr", action="store_true")
@@ -112,6 +118,7 @@ def main(argv=None):
             stn_mode=args.stn_mode, with_land=False, loss_type="None",
             num_classes=0, simmim=True,
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
+            attn_impl=args.attn_impl,
         ),
         mask_ratio=args.mask_ratio,
         use_landmarks=not args.grid_patches,

@@ -90,6 +90,12 @@ def get_args():
                    help="multi-slice topology: slice-major data axis "
                         "(auto-detected from device metadata when omitted)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--attn-impl", default="einsum",
+                   choices=["einsum", "fused", "flash"],
+                   help="attention impl; einsum is fastest at this "
+                        "architecture's d_head=64 on every measured "
+                        "workload (docs/PERF.md) — the pallas kernels "
+                        "are for long-sequence configs")
     p.add_argument("--mlp-impl", default="auto",
                    choices=["auto", "dense", "fused"],
                    help="transformer MLP impl; 'fused' = pallas fc1+gelu+"
@@ -174,6 +180,7 @@ def main():
             num_patches=args.num_patches, with_land=False, loss_type="None",
             num_classes=0, image_size=args.image_size, stn_mode=args.stn_mode,
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
+            attn_impl=args.attn_impl,
         ),
         out_dim=args.out_dim,
         head_hidden_dim=args.head_hidden_dim,

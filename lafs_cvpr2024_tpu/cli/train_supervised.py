@@ -74,6 +74,12 @@ def get_args():
                    help="add MSE against the frozen landmark teacher "
                         "(pre_land+keep_land, train_largescale.py:807-836; "
                         "requires --landmark-checkpoint)")
+    p.add_argument("--attn-impl", default="einsum",
+                   choices=["einsum", "fused", "flash"],
+                   help="attention impl; einsum is fastest at this "
+                        "architecture's d_head=64 on every measured "
+                        "workload (docs/PERF.md) — the pallas kernels "
+                        "are for long-sequence configs")
     p.add_argument("--mlp-impl", default="auto",
                    choices=["auto", "dense", "fused"],
                    help="transformer MLP impl; 'fused' = pallas fc1+gelu+"
@@ -202,6 +208,7 @@ def main():
             with_land=args.with_land, loss_type=args.head_name,
             image_size=args.image_size, stn_mode=args.stn_mode,
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
+            attn_impl=args.attn_impl,
         ),
         acc_step=args.acc_step,
         mixup=MixupConfig(
