@@ -9,6 +9,8 @@ Usage: python bench_supervised.py [variant]
   nomixup  — mixup/cutmix disabled (device-side mixup cost)
   smallhead — 1,000 classes instead of 205,990 (margin-head + CE cost)
   noland   — with_land=False (landmark CNN + patch-gather cost)
+  factored — factored external-head dW accumulation (one dW GEMM + one
+             weight-norm pass per step; docs/PERF.md §factored-head)
 DIAGNOSTIC variants quantify the supervised step's fixed costs the way
 bench_ssl_variants.py bisected the SSL step.
 """
@@ -52,10 +54,13 @@ def main():
             num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
         ),
         shard_classifier=False,
+        factored_head=variant == "factored",
     )
     B_local = 192 if variant == "acc1" else B
-    state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
-    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    state = jax.jit(lambda r: create_state(
+        cfg, r, sharded_classifier=cfg.factored_head))(jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(
+        cfg, jax.random.PRNGKey(1), enabled=cfg.factored_head)
     step = make_train_step(cfg, mesh)
     rows = cfg.acc_step * B_local * n_dev
     images = jax.random.uniform(jax.random.PRNGKey(2), (rows, 112, 112, 3)) * 2 - 1

@@ -89,6 +89,12 @@ def get_args():
                         "inside the train step (host ships raw uint8; "
                         "host-immune input pipeline)")
     p.add_argument("--model-axis", type=int, default=1, help="classifier TP shards")
+    p.add_argument("--factored-head", action="store_true",
+                   help="margin head outside the model with factored dW "
+                        "accumulation across the microbatch scan (one dW GEMM"
+                        " + one weight-norm pass per step; docs/PERF.md "
+                        "§factored-head); composes with the TP head "
+                        "(--model-axis>1): per-shard factors")
     p.add_argument("--slices", type=int, default=None,
                    help="multi-slice topology: lay the data axis out "
                         "slice-major so grad psums reduce ICI-first with one "
@@ -215,6 +221,7 @@ def main():
             mixup_alpha=args.mixup, prob=args.mixup_prob, num_classes=num_classes
         ),
         shard_classifier=args.model_axis > 1,
+        factored_head=args.factored_head,
         fused_device_aug=args.device_aug,
         input_scale=None if args.device_aug else "unit",
         rand_aug=args.rand_aug,
@@ -226,8 +233,9 @@ def main():
     # with the class-sharded head active, skip the in-model margin head (its
     # replicated (C, D) weight + moments would be dead state) and vice versa
     shard_cls = cfg.shard_classifier and mesh.shape["model"] > 1
-    state = jax.jit(lambda r: create_state(cfg, r, sharded_classifier=shard_cls))(rng)
-    cls_w, cls_opt = create_classifier(cfg, jax.random.fold_in(rng, 1), enabled=shard_cls)
+    ext_head = shard_cls or cfg.factored_head
+    state = jax.jit(lambda r: create_state(cfg, r, sharded_classifier=ext_head))(rng)
+    cls_w, cls_opt = create_classifier(cfg, jax.random.fold_in(rng, 1), enabled=ext_head)
     land_vars = None
     if args.landmark_distill:
         from ..train.ssl import SSLConfig, create_landmark_provider
@@ -276,7 +284,7 @@ def main():
     # (orbax rejects zero-size arrays, and there is nothing to persist)
     def ckpt_payload():
         payload = {"state": state}
-        if shard_cls:
+        if ext_head:
             payload["cls_w"], payload["cls_opt"] = cls_w, cls_opt
         return payload
 
@@ -291,7 +299,7 @@ def main():
         )
         if restored is not None:
             state = restored["state"]
-            if shard_cls:
+            if ext_head:
                 cls_w, cls_opt = restored["cls_w"], restored["cls_opt"]
         else:
             start_step = 0

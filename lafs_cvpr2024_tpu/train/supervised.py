@@ -62,6 +62,17 @@ class SupervisedConfig:
     moment_dtype: Any = jnp.float32  # AdamW moment STORAGE dtype (math is
                                      # always fp32); bf16 halves optimizer
                                      # HBM traffic (~1.2 GB on the 205k head)
+    factored_head: bool = False  # keep the margin head OUTSIDE the model and
+                                 # accumulate its (num_classes, dim) gradient
+                                 # in factored (embedding, dlogit) form across
+                                 # the microbatch scan — ONE dW GEMM + ONE
+                                 # weight-norm chain per step instead of
+                                 # per-microbatch 630 MB grad materialization
+                                 # + accumulation (the 205,990-class head
+                                 # block is HBM-bound, docs/PERF.md
+                                 # §factored-head). Composes with the
+                                 # class-sharded (TP) head: per-shard factors,
+                                 # local dW GEMM.
 
 
 class TrainState(NamedTuple):
@@ -143,9 +154,12 @@ def make_train_step(
     # 1-device mesh compiles to a pathologically slow program on some
     # platforms — measured ~2000x on the tunneled TPU backend)
     shard_cls = cfg.shard_classifier and n_model > 1
+    factored = cfg.factored_head  # composes with the TP head: per-shard
+                                  # factors, local dW GEMM after the scan
+    ext_head = shard_cls or factored  # margin weight lives outside the model
     bn_axis = "data" if (multi and n_data > 1) else None
     model_cfg = cfg.model
-    if shard_cls:
+    if ext_head:
         model_cfg = PartFViTConfig(
             **{**model_cfg.__dict__, "loss_type": "None", "bn_axis_name": bn_axis}
         )
@@ -178,21 +192,68 @@ def make_train_step(
         )
 
     def loss_fn(params, batch_stats, images, soft_targets, rng, cls_weight,
-                land_vars=None, land_weight=0.0):
+                land_vars=None, land_weight=0.0, wn=None):
         cparams = _cast(params, cfg.compute_dtype)
-        # sharded path: model emits embeddings, margin head applied manually;
-        # unsharded: the model's own margin head consumes the (soft) targets
+        # external-head paths (sharded TP / factored): model emits embeddings,
+        # margin head applied manually; unsharded in-model: the model's own
+        # margin head consumes the (soft) targets
         out, mutated = model.apply(
             {"params": cparams, "batch_stats": batch_stats},
             images.astype(cfg.compute_dtype),
-            None if shard_cls else soft_targets,
+            None if ext_head else soft_targets,
             train=True,
-            return_tokens=shard_cls and cfg.landmark_distill,
+            return_tokens=ext_head and cfg.landmark_distill,
             rngs={"dropout": rng, "augment": jax.random.fold_in(rng, 7)},
             mutable=["batch_stats"] if batch_stats else [],
         )
         theta = out[-1] if isinstance(out, tuple) else None
-        if shard_cls:
+        head_aux = None
+        if factored:
+            # head math written out from the embedding so autodiff only flows
+            # d loss/d emb; the weight cotangent is emitted in FACTORED form
+            # (stop-gradient aux) — dW = Σ_micro dcosᵀ·nemb is assembled ONCE
+            # after the scan. wn is the bf16 row-normalized weight (this
+            # shard's class rows under TP) computed once per step, not per
+            # microbatch. soft_targets arrive class-sharded when shard_cls.
+            emb = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
+            nemb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+            )
+            cos = jnp.matmul(
+                nemb.astype(cfg.compute_dtype), wn.T,
+                preferred_element_type=jnp.float32,
+            )
+            logits = cfg.model.cosface_s * (
+                cos - cfg.model.cosface_m * soft_targets
+            )
+            if shard_cls:
+                # stable CE over the sharded class dim (same reductions as
+                # sharded_softmax_ce) with the softmax kept for the factors
+                local_max = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+                row_max = jnp.max(
+                    jax.lax.all_gather(local_max, "model", axis=0), axis=0
+                )
+                shifted = logits - row_max[:, None]
+                denom = jax.lax.psum(
+                    jnp.sum(jnp.exp(shifted), axis=-1), "model"
+                )
+                log_z = jnp.log(denom) + row_max
+                tl = jax.lax.psum(
+                    jnp.sum(soft_targets * logits, axis=-1), "model"
+                )
+                loss = jnp.mean(log_z - tl)
+                p = jnp.exp(shifted) / denom[:, None]
+            else:
+                logsm = jax.nn.log_softmax(logits, axis=-1)
+                loss = jnp.mean(jnp.sum(-soft_targets * logsm, axis=-1))
+                p = jnp.exp(logsm)
+            # d loss/d cos for mean CE over this microbatch: s·(p − t)/b
+            dcos = (cfg.model.cosface_s / emb.shape[0]) * (p - soft_targets)
+            head_aux = (
+                jax.lax.stop_gradient(nemb).astype(cfg.compute_dtype),
+                jax.lax.stop_gradient(dcos).astype(cfg.compute_dtype),
+            )
+        elif shard_cls:
             emb = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
             # soft_targets arrive class-sharded (B, C/n_model)
             logits = local_margin_logits(
@@ -220,7 +281,7 @@ def make_train_step(
             )
             loss = loss + land_weight * land_loss
         new_stats = mutated.get("batch_stats", batch_stats) if batch_stats else batch_stats
-        return loss, new_stats
+        return loss, (new_stats, head_aux)
 
     # layer-wise lr decay + wd trees are built lazily from the first params;
     # land_vars/land_weight precede the partial-bound kwargs so the optional
@@ -230,6 +291,16 @@ def make_train_step(
         b = images.shape[0] // cfg.acc_step
         images = images.reshape(cfg.acc_step, b, *images.shape[1:])
         labels = labels.reshape(cfg.acc_step, b)
+        if factored:
+            # row-normalize the (C, D) margin weight ONCE per step — the
+            # in-model head re-normalizes (2×630 MB of HBM traffic) every
+            # microbatch; norms are kept for the post-scan gradient chain
+            norms = jnp.maximum(
+                jnp.linalg.norm(cls_weight, axis=1, keepdims=True), 1e-12
+            )
+            wn = (cls_weight / norms).astype(cfg.compute_dtype)
+        else:
+            wn = None
         rng, step_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
         if multi and n_data > 1:
             # independent per-data-shard mixup/dropout draws; the stored
@@ -240,7 +311,10 @@ def make_train_step(
             step_rng = fold_in_shard(step_rng, "data")
 
         def micro(carry, xs):
-            grads_acc, wgrads_acc, stats, loss_acc, mrng = carry
+            if factored:
+                grads_acc, stats, loss_acc, mrng = carry
+            else:
+                grads_acc, wgrads_acc, stats, loss_acc, mrng = carry
             imgs, labs = xs
             mrng, krng, drng, arng = jax.random.split(mrng, 4)
             if cfg.fused_device_aug:
@@ -260,7 +334,17 @@ def make_train_step(
                     )
                 else:
                     targets = shard_one_hot(labs, num_classes, "model")
-            (loss, new_stats), grads = jax.value_and_grad(
+            if factored:
+                # no weight cotangent through autodiff: the head factors come
+                # out as stop-gradient aux and dW is ONE GEMM after the scan
+                (loss, (new_stats, head_aux)), g_params = jax.value_and_grad(
+                    lambda p: loss_fn(p, stats, imgs, targets, drng, cls_weight,
+                                      land_vars, land_weight, wn),
+                    has_aux=True,
+                )(state.params)
+                acc = jax.tree_util.tree_map(jnp.add, grads_acc, g_params)
+                return (acc, new_stats, loss_acc + loss, mrng), head_aux
+            (loss, (new_stats, _)), grads = jax.value_and_grad(
                 lambda p, w: loss_fn(p, stats, imgs, targets, drng, w,
                                      land_vars, land_weight),
                 argnums=(0, 1),
@@ -272,16 +356,35 @@ def make_train_step(
             return (acc, wacc, new_stats, loss_acc + loss, mrng), None
 
         zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        zero_w = jnp.zeros_like(cls_weight)
         # loss carry must enter the scan already device-varying (vma rules)
         zero_loss = jnp.zeros(())
         if multi:
             zero_loss = jax.lax.pcast(zero_loss, ("data", "model"), to="varying")
-        (grads, wgrads, new_stats, loss_sum, _), _ = jax.lax.scan(
-            micro,
-            (zero_g, zero_w, state.batch_stats, zero_loss, step_rng),
-            (images, labels),
-        )
+        if factored:
+            (grads, new_stats, loss_sum, _), (nembs, dcoss) = jax.lax.scan(
+                micro,
+                (zero_g, state.batch_stats, zero_loss, step_rng),
+                (images, labels),
+            )
+            # dW over ALL microbatch rows in one MXU-shaped GEMM:
+            # (C, acc·b) @ (acc·b, D) — the concatenation IS the accumulation
+            dwn = jnp.matmul(
+                dcoss.reshape(-1, dcoss.shape[-1]).T,
+                nembs.reshape(-1, nembs.shape[-1]),
+                preferred_element_type=jnp.float32,
+            )
+            # chain once through wn_r = w_r/||w_r||:
+            # dw_r = (dwn_r − (wn_r·dwn_r)·wn_r)/||w_r||
+            wnf = wn.astype(jnp.float32)
+            rowdot = jnp.sum(dwn * wnf, axis=1, keepdims=True)
+            wgrads = (dwn - rowdot * wnf) / norms
+        else:
+            zero_w = jnp.zeros_like(cls_weight)
+            (grads, wgrads, new_stats, loss_sum, _), _ = jax.lax.scan(
+                micro,
+                (zero_g, zero_w, state.batch_stats, zero_loss, step_rng),
+                (images, labels),
+            )
         # mean over microbatches, then over data shards (DDP allreduce)
         inv = 1.0 / cfg.acc_step
         grads = jax.tree_util.tree_map(lambda g: g * inv, grads)

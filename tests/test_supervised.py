@@ -182,3 +182,130 @@ def test_nonfinite_loss_skips_update():
     new_state2, w, w_opt, metrics2 = step(new_state, w, w_opt, images, labels, 1e-2)
     assert float(metrics2["skipped_nonfinite"]) == 0.0
     assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_factored_head_matches_autodiff():
+    """The factored head path (dW assembled from stacked (nemb, dcos)
+    factors after the scan, weight-norm chain applied once) must produce
+    the SAME loss and the SAME classifier update as plain autodiff through
+    an in-graph CosFace head."""
+    from lafs_cvpr2024_tpu.models.heads import cosface_logits
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViT
+    from lafs_cvpr2024_tpu.train.losses import softmax_cross_entropy
+    from lafs_cvpr2024_tpu.train.optim import adamw_init, adamw_update
+
+    model_cfg = PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, num_classes=16, with_land=False,
+        dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+    )
+    cfg = SupervisedConfig(
+        model=model_cfg, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0, prob=0.0,
+                          num_classes=16, label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=True, weight_decay=0.1,
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    state = create_state(cfg, jax.random.PRNGKey(0), sharded_classifier=True)
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+
+    b = 4
+    images = jax.random.uniform(
+        jax.random.PRNGKey(3), (cfg.acc_step * b, 48, 48, 3)) * 2 - 1
+    labels = jnp.arange(cfg.acc_step * b) % 16
+    lr = 1e-3
+    new_state, new_w, new_opt, metrics = step(state, w, w_opt, images, labels, lr)
+
+    # reference: plain autodiff through the margin head (deterministic model:
+    # no dropout/mixup/batch_stats, so the rng does not matter)
+    model = PartFViT(PartFViTConfig(**{**model_cfg.__dict__, "loss_type": "None"}))
+    imgs = images.reshape(cfg.acc_step, b, 48, 48, 3)
+    labs = labels.reshape(cfg.acc_step, b)
+
+    def ref_loss(params, weight):
+        total = 0.0
+        for i in range(cfg.acc_step):
+            emb = model.apply(
+                {"params": params}, imgs[i], None, train=True,
+                rngs={"dropout": jax.random.PRNGKey(9)},
+            ).astype(jnp.float32)
+            onehot = jax.nn.one_hot(labs[i], 16)
+            logits = cosface_logits(
+                emb, weight, onehot,
+                s=model_cfg.cosface_s, m=model_cfg.cosface_m,
+            )
+            total = total + softmax_cross_entropy(logits, onehot)
+        return total / cfg.acc_step
+
+    loss_ref, wgrad_ref = jax.value_and_grad(ref_loss, argnums=1)(
+        state.params, w
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(loss_ref), rtol=2e-5)
+
+    ref_w, _ = adamw_update(
+        {"w": wgrad_ref}, adamw_init({"w": w}), {"w": w}, lr,
+        wd=cfg.weight_decay,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_w), np.asarray(ref_w["w"]), rtol=2e-4, atol=2e-6)
+
+
+def test_factored_head_trains_on_mesh():
+    """Factored head on a (2,1) data-parallel mesh with mixup: loss finite
+    and the fixed batch overfits."""
+    cfg = SupervisedConfig(
+        model=TINY_MODEL, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=16),
+        compute_dtype=jnp.float32, factored_head=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("data", "model"))
+    state = jax.jit(
+        lambda r: create_state(cfg, r, sharded_classifier=True)
+    )(jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    b = 8
+    images = jax.random.uniform(
+        jax.random.PRNGKey(2), (cfg.acc_step * b, 48, 48, 3)) * 2 - 1
+    labels = jnp.tile(jnp.arange(b), cfg.acc_step) % 16
+    losses = []
+    for _ in range(6):
+        state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-3)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[2:]) < losses[0]
+
+
+def test_factored_head_matches_sharded_autodiff():
+    """Factored + class-sharded (TP) head: same loss and same classifier
+    update as the autodiff TP path, on a (2,4) mesh (deterministic model:
+    no dropout/mixup, so the two step functions are comparable)."""
+    model_cfg = PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, num_classes=16, with_land=False,
+        dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+    )
+    mk = lambda fact: SupervisedConfig(
+        model=model_cfg, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0, prob=0.0,
+                          num_classes=16, label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=fact, shard_classifier=True,
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+    state = create_state(mk(False), jax.random.PRNGKey(0), sharded_classifier=True)
+    w, w_opt = create_classifier(mk(False), jax.random.PRNGKey(1))
+    b = 8
+    images = jax.random.uniform(
+        jax.random.PRNGKey(3), (2 * b, 48, 48, 3)) * 2 - 1
+    labels = jnp.arange(2 * b) % 16
+
+    outs = {}
+    for fact in (False, True):
+        step = make_train_step(mk(fact), mesh)
+        _, new_w, _, metrics = step(state, w, w_opt, images, labels, 1e-3)
+        outs[fact] = (float(metrics["loss"]), np.asarray(new_w))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=2e-5)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=2e-4, atol=2e-6)
