@@ -11,6 +11,10 @@ Usage: python bench_supervised.py [variant]
   noland   — with_land=False (landmark CNN + patch-gather cost)
   factored — factored external-head dW accumulation (one dW GEMM + one
              weight-norm pass per step; docs/PERF.md §factored-head)
+  pfc      — PartialFC sampled head at ratio 0.1 (20,599 of 205,990
+             classes/step, block sampler; parallel/partial_fc.py)
+  pfcuni   — PartialFC ratio 0.1 with the insightface-faithful 'uniform'
+             scattered sampler (docs/PERF.md §partial-fc)
 DIAGNOSTIC variants quantify the supervised step's fixed costs the way
 bench_ssl_variants.py bisected the SSL step.
 """
@@ -54,7 +58,9 @@ def main():
             num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
         ),
         shard_classifier=False,
-        factored_head=variant == "factored",
+        factored_head=variant in ("factored", "pfc", "pfcuni"),
+        pfc_ratio=0.1 if variant in ("pfc", "pfcuni") else 1.0,
+        pfc_sampler="uniform" if variant == "pfcuni" else "block",
     )
     B_local = 192 if variant == "acc1" else B
     state = jax.jit(lambda r: create_state(

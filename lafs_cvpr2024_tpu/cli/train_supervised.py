@@ -95,6 +95,21 @@ def get_args():
                         " + one weight-norm pass per step; docs/PERF.md "
                         "§factored-head); composes with the TP head "
                         "(--model-axis>1): per-shard factors")
+    p.add_argument("--pfc-ratio", type=float, default=1.0,
+                   help="PartialFC-style sampled margin head: each step the "
+                        "CE runs over all positives + uniform negatives "
+                        "totalling ratio*C classes, and only those weight/"
+                        "moment rows are updated (sparse-row AdamW). "
+                        "Implies --factored-head; excludes label smoothing "
+                        "and --model-axis>1")
+    p.add_argument("--pfc-sampler", choices=["block", "uniform"],
+                   default="block",
+                   help="PartialFC negative sampler: 'block' (TPU-native "
+                        "contiguous-block negatives + explicit positive "
+                        "columns; weight/moment rows move via dynamic "
+                        "slices) or 'uniform' (insightface-faithful "
+                        "scattered sample; measured slower on TPU — "
+                        "docs/PERF.md §partial-fc)")
     p.add_argument("--slices", type=int, default=None,
                    help="multi-slice topology: lay the data axis out "
                         "slice-major so grad psums reduce ICI-first with one "
@@ -221,7 +236,9 @@ def main():
             mixup_alpha=args.mixup, prob=args.mixup_prob, num_classes=num_classes
         ),
         shard_classifier=args.model_axis > 1,
-        factored_head=args.factored_head,
+        factored_head=args.factored_head or args.pfc_ratio < 1.0,
+        pfc_ratio=args.pfc_ratio,
+        pfc_sampler=args.pfc_sampler,
         fused_device_aug=args.device_aug,
         input_scale=None if args.device_aug else "unit",
         rand_aug=args.rand_aug,

@@ -40,12 +40,13 @@ def _beta_vec(key, alpha: float, n: int):
     return g1 / (g1 + g2)
 
 
-def _mixup_elem_or_pair(key, images, y1, cfg: "MixupConfig", pair: bool):
+def _mixup_elem_or_pair(key, images, cfg: "MixupConfig", pair: bool):
     """Vectorized per-element mixup/cutmix (timm ``_mix_elem`` /
     ``_mix_pair``, ``util/mixup_my.py:114-132,152-187``): element i mixes
     with element n−1−i; 'pair' draws ONE (lam, box) per (i, n−1−i) pair so
     both elements mix symmetrically. Per-element CutMix uses per-sample
-    boxes (a (B,H,W,1) mask — cheap next to the conv/matmul work)."""
+    boxes (a (B,H,W,1) mask — cheap next to the conv/matmul work).
+    Returns ``(mixed_images, lam_eff (B,))``."""
     n = images.shape[0]
     if pair:
         assert n % 2 == 0, "pair mode needs an even batch (mixup_my.py:203)"
@@ -99,8 +100,7 @@ def _mixup_elem_or_pair(key, images, y1, cfg: "MixupConfig", pair: bool):
     mixed_mix = images * lam_img + flipped * (1 - lam_img)
     mixed_cut = jnp.where(in_box, flipped, images)
     mixed = jnp.where(e(use_cut), mixed_cut, mixed_mix)
-    target = y1 * lam_eff[:, None] + jnp.flip(y1, axis=0) * (1 - lam_eff[:, None])
-    return mixed, target
+    return mixed, lam_eff
 
 
 def _beta(key, alpha: float):
@@ -129,10 +129,28 @@ def mixup_cutmix(key, images, labels, cfg: MixupConfig):
       (mixed_images, soft_targets (B, num_classes)).
     """
     y1 = one_hot_smooth(labels, cfg.num_classes, cfg.label_smoothing)
+    mixed, lam_eff = mixup_cutmix_factors(key, images, labels, cfg)
+    target = y1 * lam_eff[:, None] + jnp.flip(y1, axis=0) * (
+        1.0 - lam_eff[:, None]
+    )
+    return mixed, target
+
+
+def mixup_cutmix_factors(key, images, labels, cfg: MixupConfig):
+    """Mixup/cutmix in FACTORED form: ``(mixed_images, lam_eff (B,))``.
+
+    The soft target is always ``onehot(labels)·lam_eff +
+    onehot(flip(labels))·(1−lam_eff)`` (the mixing partner is element
+    n−1−i in every mode); callers that operate on a SAMPLED class subset
+    (PartialFC, ``parallel/partial_fc.py``) build their target columns
+    from these factors by label comparison instead of materializing the
+    dense (B, num_classes) row. Identical image mixing (same key → same
+    pixels) as :func:`mixup_cutmix`.
+    """
     if not cfg.enabled:
-        return images, y1
+        return images, jnp.ones((images.shape[0],), jnp.float32)
     if cfg.mode in ("elem", "pair"):
-        return _mixup_elem_or_pair(key, images, y1, cfg, pair=cfg.mode == "pair")
+        return _mixup_elem_or_pair(key, images, cfg, pair=cfg.mode == "pair")
     if cfg.mode != "batch":
         raise ValueError(
             f"unsupported mixup mode {cfg.mode!r}: expected 'batch', 'elem' "
@@ -178,10 +196,9 @@ def mixup_cutmix(key, images, labels, cfg: MixupConfig):
     use_cut = apply & use_cutmix
     mixed = jnp.where(use_cut, mixed_cut, mixed_mix)
     lam_eff = jnp.where(use_cut, lam_cut, lam)
-
-    y2 = jnp.flip(y1, axis=0)
-    target = y1 * lam_eff + y2 * (1.0 - lam_eff)
-    return mixed, target
+    return mixed, jnp.broadcast_to(
+        lam_eff.astype(jnp.float32), (images.shape[0],)
+    )
 
 
 class FastCollateMixup:

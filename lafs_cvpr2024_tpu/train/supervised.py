@@ -25,7 +25,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.partfvit import PartFViT, PartFViTConfig
 from ..ops.augment_device import scale_uint8
-from ..ops.mixup import MixupConfig, mixup_cutmix
+from ..ops.mixup import MixupConfig, mixup_cutmix, mixup_cutmix_factors
+from ..parallel.partial_fc import (
+    block_pos_adamw,
+    block_sample,
+    sample_classes,
+    sparse_row_adamw,
+)
 from ..parallel.sharded_cosface import (
     local_margin_logits,
     shard_one_hot,
@@ -73,6 +79,24 @@ class SupervisedConfig:
                                  # §factored-head). Composes with the
                                  # class-sharded (TP) head: per-shard factors,
                                  # local dW GEMM.
+    pfc_ratio: float = 1.0  # PartialFC-style negative-class sampling
+                            # (reference imports-but-comments insightface's
+                            # PartialFC, ViT_face.py:645-651): each step the
+                            # margin CE runs over all positives + a uniform
+                            # sample of negatives totalling pfc_ratio·C
+                            # classes, and ONLY the sampled weight/moment
+                            # rows are touched (sparse-row AdamW). Requires
+                            # factored_head; excludes label smoothing (its
+                            # off-sample mass would be dropped) and the TP
+                            # head (shard OR sample). parallel/partial_fc.py
+    pfc_sampler: str = "block"  # "block" (TPU-native contiguous-block
+                                # negatives + explicit positive columns —
+                                # all weight/moment traffic via dynamic
+                                # slices) or "uniform" (insightface-
+                                # faithful top_k sample; measured SLOWER
+                                # than the full head on TPU — XLA scattered
+                                # row gather/scatter, docs/PERF.md
+                                # §partial-fc)
 
 
 class TrainState(NamedTuple):
@@ -157,6 +181,21 @@ def make_train_step(
     factored = cfg.factored_head  # composes with the TP head: per-shard
                                   # factors, local dW GEMM after the scan
     ext_head = shard_cls or factored  # margin weight lives outside the model
+    pfc = factored and cfg.pfc_ratio < 1.0
+    if cfg.pfc_ratio < 1.0:
+        if not cfg.factored_head:
+            raise ValueError("pfc_ratio < 1 requires factored_head=True "
+                             "(the sampled head rides the factored-dW path)")
+        if shard_cls:
+            raise ValueError("pfc_ratio < 1 and the class-sharded TP head "
+                             "are exclusive: shard the head OR sample it")
+        if cfg.mixup.label_smoothing > 0:
+            raise ValueError("pfc_ratio < 1 drops the off-sample label-"
+                             "smoothing mass; set label_smoothing=0")
+        if cfg.pfc_sampler not in ("block", "uniform"):
+            raise ValueError(f"unknown pfc_sampler {cfg.pfc_sampler!r}; "
+                             "expected 'block' or 'uniform'")
+    num_sample = max(1, int(round(cfg.pfc_ratio * cfg.model.num_classes)))
     bn_axis = "data" if (multi and n_data > 1) else None
     model_cfg = cfg.model
     if ext_head:
@@ -192,7 +231,7 @@ def make_train_step(
         )
 
     def loss_fn(params, batch_stats, images, soft_targets, rng, cls_weight,
-                land_vars=None, land_weight=0.0, wn=None):
+                land_vars=None, land_weight=0.0, wn=None, col_mask=None):
         cparams = _cast(params, cfg.compute_dtype)
         # external-head paths (sharded TP / factored): model emits embeddings,
         # margin head applied manually; unsharded in-model: the model's own
@@ -226,6 +265,11 @@ def make_train_step(
             logits = cfg.model.cosface_s * (
                 cos - cfg.model.cosface_m * soft_targets
             )
+            if col_mask is not None:
+                # dead pfc columns (duplicate class slots): out of the
+                # softmax entirely — exp(-1e9 - rowmax) underflows to
+                # exactly 0, so p and dcos are exact zeros there
+                logits = jnp.where(col_mask[None, :], logits, -1e9)
             if shard_cls:
                 # stable CE over the sharded class dim (same reductions as
                 # sharded_softmax_ce) with the softmax kept for the factors
@@ -291,17 +335,59 @@ def make_train_step(
         b = images.shape[0] // cfg.acc_step
         images = images.reshape(cfg.acc_step, b, *images.shape[1:])
         labels = labels.reshape(cfg.acc_step, b)
+        rng, step_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
+        pfc_idx = pfc_blk = col_mask = None
+        if pfc:
+            # the class sample is drawn from the PRE-fold rng and from the
+            # all-gathered step labels, so every data shard holds the SAME
+            # sample — the sparse update stays replicated and the dW
+            # allreduce shrinks to the sampled rows
+            pos = labels.reshape(-1)
+            if multi and n_data > 1:
+                pos = jax.lax.all_gather(pos, "data").reshape(-1)
+            pfc_rng = jax.random.fold_in(step_rng, 23)
+            if cfg.pfc_sampler == "uniform":
+                if num_sample < pos.size:
+                    raise ValueError(
+                        f"pfc_ratio {cfg.pfc_ratio} gives {num_sample} "
+                        f"sampled classes but the step carries {pos.size} "
+                        "labels; every positive must fit in the sample — "
+                        "raise pfc_ratio")
+                pfc_idx = sample_classes(
+                    pfc_rng, pos, cfg.model.num_classes, num_sample
+                )
+            else:
+                start, u_pos = block_sample(
+                    pfc_rng, pos, cfg.model.num_classes, num_sample
+                )
+                pfc_blk = (start, pos, u_pos)
+                col_mask = jnp.concatenate(
+                    [jnp.ones((num_sample,), bool), u_pos]
+                )
         if factored:
-            # row-normalize the (C, D) margin weight ONCE per step — the
-            # in-model head re-normalizes (2×630 MB of HBM traffic) every
-            # microbatch; norms are kept for the post-scan gradient chain
+            # row-normalize the margin weight ONCE per step — the in-model
+            # head re-normalizes (2×630 MB of HBM traffic) every microbatch;
+            # norms are kept for the post-scan gradient chain. Under pfc
+            # only the sampled rows are gathered/normalized.
+            if pfc_blk is not None:
+                start, pos, u_pos = pfc_blk
+                w_rows = jnp.concatenate([
+                    jax.lax.dynamic_slice(
+                        cls_weight, (start, 0),
+                        (num_sample, cls_weight.shape[1]),
+                    ),
+                    cls_weight[pos],
+                ])
+            elif pfc:
+                w_rows = cls_weight[pfc_idx]
+            else:
+                w_rows = cls_weight
             norms = jnp.maximum(
-                jnp.linalg.norm(cls_weight, axis=1, keepdims=True), 1e-12
+                jnp.linalg.norm(w_rows, axis=1, keepdims=True), 1e-12
             )
-            wn = (cls_weight / norms).astype(cfg.compute_dtype)
+            wn = (w_rows / norms).astype(cfg.compute_dtype)
         else:
             wn = None
-        rng, step_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
         if multi and n_data > 1:
             # independent per-data-shard mixup/dropout draws; the stored
             # state.rng (``rng``) stays replicated, and the 'model' axis is
@@ -323,7 +409,28 @@ def make_train_step(
                 )
             elif cfg.input_scale is not None:
                 imgs = scale_uint8(imgs, cfg.input_scale)
-            imgs, targets = mixup_cutmix(krng, imgs, labs, cfg.mixup)
+            if pfc:
+                # factored mixup: targets are built per sampled column from
+                # (labels, flip(labels), lam) — the dense (B, num_classes)
+                # soft-target row never materializes
+                imgs, lam_eff = mixup_cutmix_factors(krng, imgs, labs,
+                                                     cfg.mixup)
+                la = lam_eff[:, None]
+                y2 = jnp.flip(labs, axis=0)
+                col_t = lambda ids: (
+                    la * (labs[:, None] == ids[None, :])
+                    + (1 - la) * (y2[:, None] == ids[None, :])
+                )
+                if pfc_blk is not None:
+                    start, pos, u_pos = pfc_blk
+                    targets = jnp.concatenate([
+                        col_t(start + jnp.arange(num_sample)),
+                        col_t(pos) * u_pos[None, :],
+                    ], axis=1)
+                else:
+                    targets = col_t(pfc_idx)
+            else:
+                imgs, targets = mixup_cutmix(krng, imgs, labs, cfg.mixup)
             if shard_cls:
                 if cfg.mixup.enabled:
                     # soft rows: slice this shard's class block
@@ -339,7 +446,7 @@ def make_train_step(
                 # out as stop-gradient aux and dW is ONE GEMM after the scan
                 (loss, (new_stats, head_aux)), g_params = jax.value_and_grad(
                     lambda p: loss_fn(p, stats, imgs, targets, drng, cls_weight,
-                                      land_vars, land_weight, wn),
+                                      land_vars, land_weight, wn, col_mask),
                     has_aux=True,
                 )(state.params)
                 acc = jax.tree_util.tree_map(jnp.add, grads_acc, g_params)
@@ -413,10 +520,27 @@ def make_train_step(
             grads, state.opt_state, state.params, lr * scale,
             wd_scale_tree=wd_tree, lr_scale_tree=lr_scale_tree, wd=1.0,
         )
-        new_w, new_cls_opt = adamw_update(
-            {"w": wgrads}, cls_opt, {"w": cls_weight}, lr * scale,
-            wd=cfg.weight_decay,
-        )
+        if pfc_blk is not None:
+            # block rows via dynamic slices + tiny positive-row delta scatter
+            start, pos, u_pos = pfc_blk
+            new_w_arr, new_cls_opt = block_pos_adamw(
+                wgrads, cls_opt, cls_weight, start, num_sample, pos, u_pos,
+                lr * scale, wd=cfg.weight_decay,
+            )
+            new_w = {"w": new_w_arr}
+        elif pfc:
+            # sparse-row AdamW: only the sampled (num_sample, D) rows of the
+            # weight and its moments are read/updated/written
+            new_w_arr, new_cls_opt = sparse_row_adamw(
+                wgrads, cls_opt, cls_weight, pfc_idx, lr * scale,
+                wd=cfg.weight_decay,
+            )
+            new_w = {"w": new_w_arr}
+        else:
+            new_w, new_cls_opt = adamw_update(
+                {"w": wgrads}, cls_opt, {"w": cls_weight}, lr * scale,
+                wd=cfg.weight_decay,
+            )
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,

@@ -16,6 +16,7 @@ from lafs_cvpr2024_tpu.train.supervised import (
     SupervisedConfig,
     create_classifier,
     create_state,
+    make_embed_fn,
     make_train_step,
 )
 
@@ -309,3 +310,243 @@ def test_factored_head_matches_sharded_autodiff():
     np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=2e-5)
     np.testing.assert_allclose(outs[True][1], outs[False][1],
                                rtol=2e-4, atol=2e-6)
+
+
+def test_pfc_sample_classes_properties():
+    """Every positive appears in the sample; no duplicates; correct size."""
+    from lafs_cvpr2024_tpu.parallel.partial_fc import sample_classes
+
+    labels = jnp.array([3, 3, 7, 15, 200, 511])
+    idx = np.asarray(sample_classes(jax.random.PRNGKey(0), labels, 512, 64))
+    assert idx.shape == (64,)
+    assert len(set(idx.tolist())) == 64
+    assert set(np.asarray(labels).tolist()) <= set(idx.tolist())
+
+
+def test_pfc_sparse_row_adamw_matches_dense_on_rows():
+    """Sampled rows get exactly the dense AdamW update; unsampled rows (and
+    their moments) are bit-untouched."""
+    from lafs_cvpr2024_tpu.parallel.partial_fc import sparse_row_adamw
+    from lafs_cvpr2024_tpu.train.optim import adamw_init, adamw_update
+
+    rng = jax.random.PRNGKey(0)
+    w = jax.random.normal(rng, (10, 4))
+    opt = adamw_init({"w": w})
+    # tick the moments once so they are non-zero
+    g0 = jax.random.normal(jax.random.fold_in(rng, 1), (10, 4))
+    wd, lr = 0.1, 1e-2
+    wfull, opt = adamw_update({"w": g0}, opt, {"w": w}, lr, wd=wd)
+    w = wfull["w"]
+
+    idx = jnp.array([7, 2, 5])
+    grad_rows = jax.random.normal(jax.random.fold_in(rng, 2), (3, 4))
+    new_w, new_opt = sparse_row_adamw(grad_rows, opt, w, idx, lr, wd=wd)
+
+    # dense reference on the gathered 3-row problem with the same count
+    sub_opt = type(opt)(opt.count, {"w": opt.mu["w"][idx]}, {"w": opt.nu["w"][idx]})
+    ref_rows, ref_opt = adamw_update(
+        {"w": grad_rows}, sub_opt, {"w": w[idx]}, lr, wd=wd
+    )
+    np.testing.assert_allclose(np.asarray(new_w[idx]),
+                               np.asarray(ref_rows["w"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_opt.mu["w"][idx]),
+                               np.asarray(ref_opt.mu["w"]), rtol=1e-6)
+    untouched = jnp.array([0, 1, 3, 4, 6, 8, 9])
+    np.testing.assert_array_equal(np.asarray(new_w[untouched]),
+                                  np.asarray(w[untouched]))
+    np.testing.assert_array_equal(np.asarray(new_opt.nu["w"][untouched]),
+                                  np.asarray(opt.nu["w"][untouched]))
+    assert int(new_opt.count) == int(opt.count) + 1
+
+
+@pytest.mark.parametrize("sampler", ["block", "uniform"])
+def test_pfc_full_coverage_matches_factored(sampler):
+    """When the sample covers every class (ratio→1), both pfc samplers must
+    reproduce the plain factored head exactly: uniform's sample is a
+    permutation of all classes (CE/dW are permutation-invariant); block's
+    only start is 0 and every positive column is a masked duplicate."""
+    model_cfg = PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, num_classes=16, with_land=False,
+        dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+    )
+    mk = lambda ratio: SupervisedConfig(
+        model=model_cfg, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0, prob=0.0,
+                          num_classes=16, label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=True, pfc_ratio=ratio,
+        pfc_sampler=sampler, weight_decay=0.1,
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    state = create_state(mk(1.0), jax.random.PRNGKey(0), sharded_classifier=True)
+    w, w_opt = create_classifier(mk(1.0), jax.random.PRNGKey(1))
+    b = 4
+    images = jax.random.uniform(
+        jax.random.PRNGKey(3), (2 * b, 48, 48, 3)) * 2 - 1
+    labels = jnp.arange(2 * b) % 16
+
+    outs = {}
+    for ratio in (1.0, 0.99):  # round(0.99*16) == 16: full-coverage sample
+        step = make_train_step(mk(ratio), mesh)
+        _, new_w, _, metrics = step(state, w, w_opt, images, labels, 1e-3)
+        outs[ratio] = (float(metrics["loss"]), np.asarray(new_w))
+    np.testing.assert_allclose(outs[0.99][0], outs[1.0][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0.99][1], outs[1.0][1],
+                               rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("sampler,ratio,row_bound", [
+    # uniform: ≤ num_sample=12 rows move/step (labels must fit the sample)
+    ("uniform", 0.75, 12),
+    # block: ≤ block(4) + distinct out-of-block positives(≤4) rows move
+    ("block", 0.25, 8),
+])
+def test_pfc_trains_on_mesh(sampler, ratio, row_bound):
+    """Sampled head on a (2,1) data-parallel mesh with mixup: finite
+    losses, the fixed batch overfits, and per-step row sparsity holds."""
+    cfg = SupervisedConfig(
+        model=TINY_MODEL, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=16,
+                          label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=True, pfc_ratio=ratio,
+        pfc_sampler=sampler,
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2, 1), ("data", "model"))
+    state = jax.jit(
+        lambda r: create_state(cfg, r, sharded_classifier=True)
+    )(jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    # gathered labels/step = 2 shards × acc 2 × b 2 = 8, 4 distinct
+    b = 2
+    images = jax.random.uniform(
+        jax.random.PRNGKey(2), (cfg.acc_step * b, 48, 48, 3)) * 2 - 1
+    labels = (jnp.arange(cfg.acc_step * b) * 3) % 16
+    embed = make_embed_fn(cfg)
+
+    def own_class_cos(state, w):
+        """Deterministic learning probe: mean cosine between each image's
+        eval-mode embedding and its class's margin-weight row. Per-step
+        train losses are NOT comparable under pfc — each step scores a
+        different negative sample (and a different PRNG impl reorders the
+        draws), so a loss-trend assert is sampling noise; this dense,
+        sample-free quantity is what CosFace actually optimizes."""
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        emb = np.asarray(embed(variables, images))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        wn = np.asarray(w, np.float32)
+        wn = wn / np.linalg.norm(wn, axis=1, keepdims=True)
+        cos = emb @ wn.T
+        return float(cos[np.arange(labels.shape[0]), np.asarray(labels)].mean())
+
+    cos0 = own_class_cos(state, w)
+    prev_w = np.asarray(w)
+    state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-2)
+    changed = (np.abs(np.asarray(w) - prev_w).max(axis=1) > 0).sum()
+    assert changed <= row_bound
+    losses = [float(metrics["loss"])]
+    for _ in range(19):
+        state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-2)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    cos1 = own_class_cos(state, w)
+    assert cos1 > cos0 + 0.1, (cos0, cos1)
+
+
+def test_pfc_config_guards():
+    """Invalid pfc combinations fail loudly at build/trace time."""
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    base = dict(model=TINY_MODEL, acc_step=1, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="factored_head"):
+        make_train_step(SupervisedConfig(
+            mixup=MixupConfig(num_classes=16), pfc_ratio=0.5, **base), mesh)
+    with pytest.raises(ValueError, match="smoothing"):
+        make_train_step(SupervisedConfig(
+            mixup=MixupConfig(num_classes=16, label_smoothing=0.1),
+            factored_head=True, pfc_ratio=0.5, **base), mesh)
+    with pytest.raises(ValueError, match="pfc_sampler"):
+        make_train_step(SupervisedConfig(
+            mixup=MixupConfig(num_classes=16, label_smoothing=0.0),
+            factored_head=True, pfc_ratio=0.5, pfc_sampler="nope", **base),
+            mesh)
+    # uniform sampler: too many labels for the sample raises at trace time
+    # (the block sampler has no such limit — positives ride as extra cols)
+    cfg = SupervisedConfig(
+        mixup=MixupConfig(mixup_alpha=0.0, prob=0.0, num_classes=16,
+                          label_smoothing=0.0),
+        factored_head=True, pfc_ratio=0.25, pfc_sampler="uniform",
+        **base)  # num_sample = 4
+    state = create_state(cfg, jax.random.PRNGKey(0), sharded_classifier=True)
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    images = jnp.zeros((8, 48, 48, 3))
+    with pytest.raises(ValueError, match="raise pfc_ratio"):
+        step(state, w, w_opt, images, jnp.arange(8) % 16, 1e-3)
+
+
+def test_pfc_block_sample_and_adamw():
+    """block_sample masks in-block and duplicate positives; block_pos_adamw
+    applies dense AdamW to block + live positive rows and leaves everything
+    else (incl. dead-slot rows) bit-untouched."""
+    from lafs_cvpr2024_tpu.parallel.partial_fc import (
+        block_pos_adamw, block_sample, first_occurrence_mask)
+    from lafs_cvpr2024_tpu.train.optim import adamw_init, adamw_update
+
+    assert np.asarray(first_occurrence_mask(
+        jnp.array([5, 3, 5, 5, 7, 3]))).tolist() == [
+        True, True, False, False, True, False]
+
+    C, D, bs = 20, 4, 6
+    pos = jnp.array([2, 11, 11, 19])
+    start, u_pos = block_sample(jax.random.PRNGKey(4), pos, C, bs)
+    start = int(start)
+    assert 0 <= start <= C - bs
+    exp = []
+    seen = set()
+    for p in np.asarray(pos).tolist():
+        live = p not in seen and not (start <= p < start + bs)
+        seen.add(p)
+        exp.append(live)
+    assert np.asarray(u_pos).tolist() == exp
+
+    rng = jax.random.PRNGKey(0)
+    w = jax.random.normal(rng, (C, D))
+    opt = adamw_init({"w": w})
+    g0 = jax.random.normal(jax.random.fold_in(rng, 1), (C, D))
+    lr, wd = 1e-2, 0.1
+    wfull, opt = adamw_update({"w": g0}, opt, {"w": w}, lr, wd=wd)
+    w = wfull["w"]
+
+    grad_rows = jax.random.normal(jax.random.fold_in(rng, 2), (bs + 4, D))
+    # dead slots must carry zero gradient (as the masked CE guarantees)
+    grad_rows = grad_rows * np.concatenate(
+        [np.ones(bs), np.asarray(u_pos, np.float32)])[:, None]
+    new_w, new_opt = block_pos_adamw(
+        grad_rows, opt, w, jnp.int32(start), bs, pos, u_pos, lr, wd=wd)
+
+    # dense reference: scatter the sampled grads into a full (C, D) grad and
+    # run dense AdamW, then compare ONLY on touched rows
+    dense_g = np.zeros((C, D), np.float32)
+    dense_g[start:start + bs] = np.asarray(grad_rows[:bs])
+    for slot, p in enumerate(np.asarray(pos).tolist()):
+        if exp[slot]:
+            dense_g[p] += np.asarray(grad_rows[bs + slot])
+    ref_w, ref_opt = adamw_update({"w": jnp.asarray(dense_g)}, opt, {"w": w},
+                                  lr, wd=wd)
+    touched = sorted(set(range(start, start + bs)) |
+                     {p for slot, p in enumerate(np.asarray(pos).tolist())
+                      if exp[slot]})
+    untouched = sorted(set(range(C)) - set(touched))
+    np.testing.assert_allclose(np.asarray(new_w[jnp.array(touched)]),
+                               np.asarray(ref_w["w"][jnp.array(touched)]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new_opt.mu["w"][jnp.array(touched)]),
+                               np.asarray(ref_opt.mu["w"][jnp.array(touched)]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(new_w[jnp.array(untouched)]),
+                                  np.asarray(w[jnp.array(untouched)]))
+    np.testing.assert_array_equal(
+        np.asarray(new_opt.nu["w"][jnp.array(untouched)]),
+        np.asarray(opt.nu["w"][jnp.array(untouched)]))
