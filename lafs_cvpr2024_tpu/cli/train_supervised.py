@@ -100,8 +100,9 @@ def get_args():
                         "CE runs over all positives + uniform negatives "
                         "totalling ratio*C classes, and only those weight/"
                         "moment rows are updated (sparse-row AdamW). "
-                        "Implies --factored-head; excludes label smoothing "
-                        "and --model-axis>1")
+                        "Implies --factored-head; excludes label smoothing. "
+                        "Composes with --model-axis>1 (block sampler: each "
+                        "shard samples within its own class range)")
     p.add_argument("--pfc-sampler", choices=["block", "uniform"],
                    default="block",
                    help="PartialFC negative sampler: 'block' (TPU-native "

@@ -15,6 +15,12 @@ TPU-native formulation (vs insightface's per-GPU sampling + sparse SGD):
   every data shard (the sample rng is taken before the per-shard rng
   fold, so the sparse update is the same everywhere and the cross-shard
   dW allreduce shrinks by ``pfc_ratio``);
+- composes with the TP-sharded head (block sampler only — insightface's
+  actual PartialFC×model-parallel production layout): each model shard
+  draws its own block within the class range it owns
+  (:func:`block_sample_local`), positives contribute exactly one live
+  column across the mesh (their owner's), and the cross-shard softmax
+  reductions are unchanged;
 - gradients reach the weight through the factored-head path
   (``train/supervised.py``): the scan emits ``(nemb, dcos)`` factors in
   SAMPLED class space, so the per-step dW GEMM is ``(C_s, acc·b × D)``;
@@ -91,6 +97,30 @@ def block_sample(rng, positives, num_classes: int, block_size: int):
     start = jax.random.randint(rng, (), 0, num_classes - block_size + 1)
     in_block = (positives >= start) & (positives < start + block_size)
     return start, first_occurrence_mask(positives) & ~in_block
+
+
+def block_sample_local(rng, positives, c_loc: int, block_size: int, shard_idx):
+    """Per-shard block sample for the TP-sharded head (insightface's actual
+    production layout: PartialFC *composed with* model parallelism — each
+    rank samples within the class range it owns).
+
+    ``positives`` are GLOBAL class ids; shard ``shard_idx`` owns
+    ``[shard_idx·c_loc, (shard_idx+1)·c_loc)``. Returns
+    ``(start, row_idx, u_pos)``: ``start`` is the block start in LOCAL
+    class space; ``row_idx`` (P,) are local row indices for the positive
+    slots (clipped to 0 for slots this shard does not own — their updates
+    are gated off); ``u_pos`` marks LIVE positive slots: first global
+    occurrence of a class this shard owns that is outside its block. A
+    positive class therefore contributes exactly one live column across
+    the whole mesh (its owner's), which keeps the cross-shard softmax
+    normalization exact.
+    """
+    start = jax.random.randint(rng, (), 0, c_loc - block_size + 1)
+    local = positives - shard_idx * c_loc
+    owned = (local >= 0) & (local < c_loc)
+    in_block = owned & (local >= start) & (local < start + block_size)
+    u_pos = first_occurrence_mask(positives) & owned & ~in_block
+    return start, jnp.where(owned, local, 0), u_pos
 
 
 def block_pos_adamw(

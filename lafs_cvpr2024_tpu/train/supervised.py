@@ -29,6 +29,7 @@ from ..ops.mixup import MixupConfig, mixup_cutmix, mixup_cutmix_factors
 from ..parallel.partial_fc import (
     block_pos_adamw,
     block_sample,
+    block_sample_local,
     sample_classes,
     sparse_row_adamw,
 )
@@ -82,13 +83,17 @@ class SupervisedConfig:
     pfc_ratio: float = 1.0  # PartialFC-style negative-class sampling
                             # (reference imports-but-comments insightface's
                             # PartialFC, ViT_face.py:645-651): each step the
-                            # margin CE runs over all positives + a uniform
-                            # sample of negatives totalling pfc_ratio·C
-                            # classes, and ONLY the sampled weight/moment
-                            # rows are touched (sparse-row AdamW). Requires
+                            # margin CE runs over all positives + sampled
+                            # negatives totalling pfc_ratio·C classes, and
+                            # ONLY the sampled weight/moment rows are
+                            # touched (sparse-row AdamW). Requires
                             # factored_head; excludes label smoothing (its
-                            # off-sample mass would be dropped) and the TP
-                            # head (shard OR sample). parallel/partial_fc.py
+                            # off-sample mass would be dropped). Composes
+                            # with the TP head (block sampler only): each
+                            # model shard block-samples within the class
+                            # range it owns — insightface's
+                            # PartialFC×model-parallel production layout.
+                            # parallel/partial_fc.py
     pfc_sampler: str = "block"  # "block" (TPU-native contiguous-block
                                 # negatives + explicit positive columns —
                                 # all weight/moment traffic via dynamic
@@ -186,16 +191,24 @@ def make_train_step(
         if not cfg.factored_head:
             raise ValueError("pfc_ratio < 1 requires factored_head=True "
                              "(the sampled head rides the factored-dW path)")
-        if shard_cls:
-            raise ValueError("pfc_ratio < 1 and the class-sharded TP head "
-                             "are exclusive: shard the head OR sample it")
+        if shard_cls and cfg.pfc_sampler == "uniform":
+            raise ValueError("the TP-sharded head composes with the 'block' "
+                             "pfc sampler only (per-shard contiguous "
+                             "blocks); 'uniform' scatters rows across the "
+                             "shard and is a measured wash even unsharded "
+                             "(docs/PERF.md §partial-fc)")
         if cfg.mixup.label_smoothing > 0:
             raise ValueError("pfc_ratio < 1 drops the off-sample label-"
                              "smoothing mass; set label_smoothing=0")
         if cfg.pfc_sampler not in ("block", "uniform"):
             raise ValueError(f"unknown pfc_sampler {cfg.pfc_sampler!r}; "
                              "expected 'block' or 'uniform'")
-    num_sample = max(1, int(round(cfg.pfc_ratio * cfg.model.num_classes)))
+    # under TP the sample is PER SHARD (each shard samples within the class
+    # range it owns — insightface's PartialFC×model-parallel layout), so the
+    # ratio applies to the local class count
+    num_sample = max(1, int(round(
+        cfg.pfc_ratio * (cfg.model.num_classes // (n_model if shard_cls else 1))
+    )))
     bn_axis = "data" if (multi and n_data > 1) else None
     model_cfg = cfg.model
     if ext_head:
@@ -336,15 +349,18 @@ def make_train_step(
         images = images.reshape(cfg.acc_step, b, *images.shape[1:])
         labels = labels.reshape(cfg.acc_step, b)
         rng, step_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
-        pfc_idx = pfc_blk = col_mask = None
+        pfc_idx = pfc_blk = col_mask = pfc_pos = pfc_block_ids = None
         if pfc:
             # the class sample is drawn from the PRE-fold rng and from the
             # all-gathered step labels, so every data shard holds the SAME
             # sample — the sparse update stays replicated and the dW
-            # allreduce shrinks to the sampled rows
+            # allreduce shrinks to the sampled rows. Under TP each MODEL
+            # shard draws its own block within the class range it owns
+            # (a fold on axis_index — still identical across data shards).
             pos = labels.reshape(-1)
             if multi and n_data > 1:
                 pos = jax.lax.all_gather(pos, "data").reshape(-1)
+            pfc_pos = pos
             pfc_rng = jax.random.fold_in(step_rng, 23)
             if cfg.pfc_sampler == "uniform":
                 if num_sample < pos.size:
@@ -356,11 +372,24 @@ def make_train_step(
                 pfc_idx = sample_classes(
                     pfc_rng, pos, cfg.model.num_classes, num_sample
                 )
+            elif shard_cls:
+                c_loc = num_classes // n_model
+                shard_idx = jax.lax.axis_index("model")
+                start, row_idx, u_pos = block_sample_local(
+                    jax.random.fold_in(pfc_rng, shard_idx), pos, c_loc,
+                    num_sample, shard_idx,
+                )
+                pfc_blk = (start, row_idx, u_pos)
+                pfc_block_ids = shard_idx * c_loc + start + jnp.arange(num_sample)
+                col_mask = jnp.concatenate(
+                    [jnp.ones((num_sample,), bool), u_pos]
+                )
             else:
                 start, u_pos = block_sample(
                     pfc_rng, pos, cfg.model.num_classes, num_sample
                 )
                 pfc_blk = (start, pos, u_pos)
+                pfc_block_ids = start + jnp.arange(num_sample)
                 col_mask = jnp.concatenate(
                     [jnp.ones((num_sample,), bool), u_pos]
                 )
@@ -370,13 +399,13 @@ def make_train_step(
             # norms are kept for the post-scan gradient chain. Under pfc
             # only the sampled rows are gathered/normalized.
             if pfc_blk is not None:
-                start, pos, u_pos = pfc_blk
+                start, row_idx, u_pos = pfc_blk
                 w_rows = jnp.concatenate([
                     jax.lax.dynamic_slice(
                         cls_weight, (start, 0),
                         (num_sample, cls_weight.shape[1]),
                     ),
-                    cls_weight[pos],
+                    cls_weight[row_idx],
                 ])
             elif pfc:
                 w_rows = cls_weight[pfc_idx]
@@ -412,7 +441,8 @@ def make_train_step(
             if pfc:
                 # factored mixup: targets are built per sampled column from
                 # (labels, flip(labels), lam) — the dense (B, num_classes)
-                # soft-target row never materializes
+                # soft-target row never materializes. All ids are GLOBAL
+                # (under TP, pfc_block_ids carry the shard's class offset)
                 imgs, lam_eff = mixup_cutmix_factors(krng, imgs, labs,
                                                      cfg.mixup)
                 la = lam_eff[:, None]
@@ -422,16 +452,16 @@ def make_train_step(
                     + (1 - la) * (y2[:, None] == ids[None, :])
                 )
                 if pfc_blk is not None:
-                    start, pos, u_pos = pfc_blk
+                    _, _, u_pos = pfc_blk
                     targets = jnp.concatenate([
-                        col_t(start + jnp.arange(num_sample)),
-                        col_t(pos) * u_pos[None, :],
+                        col_t(pfc_block_ids),
+                        col_t(pfc_pos) * u_pos[None, :],
                     ], axis=1)
                 else:
                     targets = col_t(pfc_idx)
             else:
                 imgs, targets = mixup_cutmix(krng, imgs, labs, cfg.mixup)
-            if shard_cls:
+            if shard_cls and not pfc:
                 if cfg.mixup.enabled:
                     # soft rows: slice this shard's class block
                     idx = jax.lax.axis_index("model")
@@ -521,10 +551,12 @@ def make_train_step(
             wd_scale_tree=wd_tree, lr_scale_tree=lr_scale_tree, wd=1.0,
         )
         if pfc_blk is not None:
-            # block rows via dynamic slices + tiny positive-row delta scatter
-            start, pos, u_pos = pfc_blk
+            # block rows via dynamic slices + tiny positive-row delta
+            # scatter; under TP everything here is in LOCAL row space and
+            # dead (unowned) positive slots are gated off
+            start, row_idx, u_pos = pfc_blk
             new_w_arr, new_cls_opt = block_pos_adamw(
-                wgrads, cls_opt, cls_weight, start, num_sample, pos, u_pos,
+                wgrads, cls_opt, cls_weight, start, num_sample, row_idx, u_pos,
                 lr * scale, wd=cfg.weight_decay,
             )
             new_w = {"w": new_w_arr}

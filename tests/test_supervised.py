@@ -550,3 +550,104 @@ def test_pfc_block_sample_and_adamw():
     np.testing.assert_array_equal(
         np.asarray(new_opt.nu["w"][jnp.array(untouched)]),
         np.asarray(opt.nu["w"][jnp.array(untouched)]))
+
+
+def test_pfc_tp_full_coverage_matches_factored_tp():
+    """pfc block sampler COMPOSED with the TP-sharded head: when every
+    shard's block covers its whole local class range (ratio→1 pins each
+    block start at 0), the step must reproduce the plain factored TP path
+    exactly — every positive column is a masked duplicate of an in-block
+    column on its owner shard and dead everywhere else."""
+    model_cfg = PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, num_classes=16, with_land=False,
+        dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+    )
+    mk = lambda ratio: SupervisedConfig(
+        model=model_cfg, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0, prob=0.0,
+                          num_classes=16, label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=True, shard_classifier=True,
+        pfc_ratio=ratio, weight_decay=0.1,
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+    state = create_state(mk(1.0), jax.random.PRNGKey(0), sharded_classifier=True)
+    w, w_opt = create_classifier(mk(1.0), jax.random.PRNGKey(1))
+    b = 8
+    images = jax.random.uniform(
+        jax.random.PRNGKey(3), (2 * b, 48, 48, 3)) * 2 - 1
+    labels = jnp.arange(2 * b) % 16
+
+    outs = {}
+    for ratio in (1.0, 0.99):  # c_loc=4: round(0.99*4) == 4 — full coverage
+        step = make_train_step(mk(ratio), mesh)
+        _, new_w, _, metrics = step(state, w, w_opt, images, labels, 1e-3)
+        outs[ratio] = (float(metrics["loss"]), np.asarray(new_w))
+    np.testing.assert_allclose(outs[0.99][0], outs[1.0][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0.99][1], outs[1.0][1],
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_pfc_tp_trains_on_mesh():
+    """pfc block sampler + TP head on a (2,2) mesh with mixup: finite
+    losses, the deterministic embedding-to-class-row probe rises, and
+    per-shard row sparsity holds (each shard touches at most its block +
+    the positives it owns)."""
+    cfg = SupervisedConfig(
+        model=TINY_MODEL, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=16,
+                          label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=True, shard_classifier=True,
+        pfc_ratio=0.25,  # c_loc=8 -> block 2 per shard
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+    state = jax.jit(
+        lambda r: create_state(cfg, r, sharded_classifier=True)
+    )(jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    # gathered labels/step = 2 data shards x acc 2 x b 2 = 8, 4 distinct
+    b = 2
+    images = jax.random.uniform(
+        jax.random.PRNGKey(2), (cfg.acc_step * b, 48, 48, 3)) * 2 - 1
+    labels = (jnp.arange(cfg.acc_step * b) * 3) % 16
+
+    embed = make_embed_fn(cfg)
+
+    def own_class_cos(state, w):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        emb = np.asarray(embed(variables, images))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        wn = np.asarray(w, np.float32)
+        wn = wn / np.linalg.norm(wn, axis=1, keepdims=True)
+        cos = emb @ wn.T
+        return float(cos[np.arange(labels.shape[0]), np.asarray(labels)].mean())
+
+    cos0 = own_class_cos(state, w)
+    prev_w = np.asarray(w)
+    state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-2)
+    changed = (np.abs(np.asarray(w) - prev_w).max(axis=1) > 0).sum()
+    # 2 shards x block 2 + <=4 distinct out-of-block positives
+    assert changed <= 8
+    losses = [float(metrics["loss"])]
+    for _ in range(19):
+        state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-2)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    cos1 = own_class_cos(state, w)
+    assert cos1 > cos0 + 0.1, (cos0, cos1)
+
+
+def test_pfc_tp_uniform_rejected():
+    """The TP head + 'uniform' pfc sampler is a loud error (block only)."""
+    cfg = SupervisedConfig(
+        model=TINY_MODEL, acc_step=1,
+        mixup=MixupConfig(num_classes=16, label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=True, shard_classifier=True,
+        pfc_ratio=0.5, pfc_sampler="uniform",
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    with pytest.raises(ValueError, match="block"):
+        make_train_step(cfg, mesh)
