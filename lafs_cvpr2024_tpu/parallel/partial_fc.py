@@ -59,7 +59,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..train.optim import AdamWState
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # runtime import would be circular: train.__init__ pulls
+    # in train.supervised, which imports this module
+    from ..train.optim import AdamWState
 
 
 def sample_classes(rng, positive_labels, num_classes: int, num_sample: int):
@@ -78,10 +82,21 @@ def sample_classes(rng, positive_labels, num_classes: int, num_sample: int):
 
 
 def first_occurrence_mask(ids):
-    """(P,) bool: True where ids[i] is the first slot holding that value."""
-    eq = ids[:, None] == ids[None, :]
-    earlier = jnp.tril(eq, k=-1).any(axis=1)
-    return ~earlier
+    """(P,) bool: True where ids[i] is the first slot holding that value.
+
+    Sort-based O(P log P): the naive all-pairs comparison materializes a
+    (P, P) boolean — at pod scale the step gathers every data shard's
+    labels (P ≈ 50k on a 256-chip DP run), where P² would be gigabytes.
+    jnp.argsort is stable, so the first slot of each run of equal sorted
+    ids IS the first occurrence in original order (any one-slot-per-class
+    choice would be correct — targets/updates are gated consistently —
+    but stability keeps it deterministic and testable)."""
+    order = jnp.argsort(ids)
+    s = ids[order]
+    first_sorted = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )
+    return jnp.zeros(ids.shape, bool).at[order].set(first_sorted)
 
 
 def block_sample(rng, positives, num_classes: int, block_size: int):
@@ -188,7 +203,7 @@ def block_pos_adamw(
     )
     return (
         add(w, new_p, p_o),
-        AdamWState(
+        type(opt)(
             count,
             {"w": add(mu_full, m_p, m_o)},
             {"w": add(nu_full, v_p, v_o)},
@@ -229,7 +244,7 @@ def sparse_row_adamw(
     new_rows = p - lr * step
     return (
         w.at[idx].set(new_rows.astype(w.dtype)),
-        AdamWState(
+        type(opt)(
             count,
             {"w": mu_full.at[idx].set(m.astype(mu_full.dtype))},
             {"w": nu_full.at[idx].set(v.astype(nu_full.dtype))},

@@ -651,3 +651,19 @@ def test_pfc_tp_uniform_rejected():
     mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
     with pytest.raises(ValueError, match="block"):
         make_train_step(cfg, mesh)
+
+
+def test_first_occurrence_mask_matches_naive():
+    """Sort-based O(P log P) mask equals the naive first-seen scan for
+    random duplicate-heavy inputs (incl. the P=1 edge)."""
+    from lafs_cvpr2024_tpu.parallel.partial_fc import first_occurrence_mask
+
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 7, 100, 1000):
+        ids = rng.integers(0, max(1, n // 3), n)
+        got = np.asarray(first_occurrence_mask(jnp.asarray(ids)))
+        seen, exp = set(), []
+        for v in ids.tolist():
+            exp.append(v not in seen)
+            seen.add(v)
+        assert got.tolist() == exp, n
