@@ -86,6 +86,11 @@ def get_args():
                         "only); resume is EXACT mid-epoch (sampler order is "
                         "a pure function of seed+epoch)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1 optimizer-state sharding: AdamW moments "
+                        "live 1/n_data per chip (psum_scatter grads, "
+                        "all_gather updated student params); needs data "
+                        "axis > 1")
     p.add_argument("--slices", type=int, default=None,
                    help="multi-slice topology: slice-major data axis "
                         "(auto-detected from device metadata when omitted)")
@@ -195,6 +200,7 @@ def main():
         fused_device_aug=args.device_aug,
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
         teacher_dtype=jnp.bfloat16 if args.teacher_dtype == "bfloat16" else jnp.float32,
+        zero1=args.zero1,
     )
     if tuple(args.local_crops_scale) != (0.05, 0.4):
         # no silently-ignored argument: LAFS draws LOCAL crops from the
@@ -207,7 +213,9 @@ def main():
         )
 
     rng = jax.random.PRNGKey(args.seed)
-    state = jax.jit(lambda r: create_ssl_state(cfg, r))(rng)
+    state = jax.jit(lambda r: create_ssl_state(
+        cfg, r, zero1_shards=mesh.shape["data"] if cfg.zero1 else 0
+    ))(rng)
     landmark_vars = create_landmark_provider(cfg, jax.random.fold_in(rng, 1))
     if args.landmark_path and args.landmark_path.endswith(".pth"):
         sd = load_torch_file(args.landmark_path)

@@ -111,6 +111,11 @@ def get_args():
                         "slices) or 'uniform' (insightface-faithful "
                         "scattered sample; measured slower on TPU — "
                         "docs/PERF.md §partial-fc)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1 optimizer-state sharding: AdamW moments "
+                        "live 1/n_data per chip (psum_scatter grads, "
+                        "all_gather updated params — same collective bytes "
+                        "as the plain grad allreduce); needs data axis > 1")
     p.add_argument("--slices", type=int, default=None,
                    help="multi-slice topology: lay the data axis out "
                         "slice-major so grad psums reduce ICI-first with one "
@@ -245,6 +250,7 @@ def main():
         rand_aug=args.rand_aug,
         landmark_distill=args.landmark_distill,
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
+        zero1=args.zero1,
     )
 
     rng = jax.random.PRNGKey(args.seed)
@@ -252,7 +258,10 @@ def main():
     # replicated (C, D) weight + moments would be dead state) and vice versa
     shard_cls = cfg.shard_classifier and mesh.shape["model"] > 1
     ext_head = shard_cls or cfg.factored_head
-    state = jax.jit(lambda r: create_state(cfg, r, sharded_classifier=ext_head))(rng)
+    state = jax.jit(lambda r: create_state(
+        cfg, r, sharded_classifier=ext_head,
+        zero1_shards=mesh.shape["data"] if cfg.zero1 else 0,
+    ))(rng)
     cls_w, cls_opt = create_classifier(cfg, jax.random.fold_in(rng, 1), enabled=ext_head)
     land_vars = None
     if args.landmark_distill:

@@ -124,6 +124,104 @@ def adamw_update(
     )
 
 
+def _zero1_chunk(n_shards: int, size: int) -> int:
+    return -(-size // n_shards)
+
+
+def zero1_init(params, n_shards: int, moment_dtype=None) -> AdamWState:
+    """ZeRO-1 AdamW state: each moment leaf is stored FLAT, padded to
+    ``n_shards`` equal chunks — shape ``(n_shards·ceil(size/n),)`` — and
+    meant to live SHARDED over the data axis (``P('data')`` leading dim),
+    so each data shard holds 1/n of the optimizer state instead of a full
+    replica (the replicated layout costs 2×param-count per device; on the
+    flagship that is ~0.9 GB fp32 per chip for moments alone). The count
+    scalar stays replicated. Pair with :func:`zero1_adamw_update`."""
+    def z(p):
+        c = _zero1_chunk(n_shards, p.size)
+        return jnp.zeros((n_shards * c,), dtype=moment_dtype or p.dtype)
+    return AdamWState(
+        count=jnp.zeros((), jnp.int32),
+        mu=jax.tree_util.tree_map(z, params),
+        nu=jax.tree_util.tree_map(z, params),
+    )
+
+
+def zero1_adamw_update(
+    grad_sums,
+    state: AdamWState,
+    params,
+    lr,
+    n_shards: int,
+    axis_name: str = "data",
+    wd_scale_tree=None,
+    lr_scale_tree=None,
+    wd=0.0,
+    grad_scale: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+):
+    """ZeRO-1 data-flow inside ``shard_map`` (How-to-Scale "optimizer state
+    sharding"): per leaf, ``psum_scatter`` the locally-summed gradient over
+    ``axis_name`` (HALF an allreduce — each shard receives only its chunk
+    of the mean), run fp32 AdamW on this shard's 1/n chunk of the
+    flattened padded parameter + its local moment chunks, and
+    ``all_gather`` the updated parameter chunks back to the full replica
+    (the second half of the allreduce). Total collective bytes match the
+    plain pmean-allreduce path, but moment read/write traffic and storage
+    drop by n, and the elementwise update runs on 1/n of the state per
+    chip.
+
+    ``grad_sums`` are LOCAL sums (no pmean applied); fold the microbatch/
+    shard mean into ``grad_scale`` (e.g. ``1/(acc·n_data)``). ``state``
+    holds the LOCAL (c,) moment chunk views that shard_map carves from
+    the global ``(n·c,)`` arrays produced by :func:`zero1_init`.
+    Semantics match :func:`adamw_update` exactly (same fp32 math, same
+    torch AdamW update rule); padding chunks see zero grads and zero
+    params, so they stay zero forever.
+    """
+    count = state.count + 1
+    f32 = jnp.float32
+    c1 = 1 - b1 ** count.astype(f32)
+    c2 = 1 - b2 ** count.astype(f32)
+    ones = jax.tree_util.tree_map(lambda p: 1.0, params)
+    wd_t = wd_scale_tree if wd_scale_tree is not None else ones
+    lr_t = lr_scale_tree if lr_scale_tree is not None else ones
+    idx = jax.lax.axis_index(axis_name)
+
+    def leaf(g, m, v, p, wscale, lscale):
+        c = m.shape[0]  # local chunk length
+        pad = n_shards * c - p.size
+        gf = jnp.pad(g.reshape(-1).astype(f32), (0, pad))
+        gl = jax.lax.psum_scatter(
+            gf, axis_name, scatter_dimension=0, tiled=True
+        ) * grad_scale
+        pf = jnp.pad(p.reshape(-1).astype(f32), (0, pad))
+        pl = jax.lax.dynamic_slice(pf, (idx * c,), (c,))
+        m_new = b1 * m.astype(f32) + (1 - b1) * gl
+        v_new = b2 * v.astype(f32) + (1 - b2) * jnp.square(gl)
+        step = (m_new / c1) / (jnp.sqrt(v_new / c2) + eps) + (wd * wscale) * pl
+        p_new = pl - (lr * lscale) * step
+        full = jax.lax.all_gather(p_new, axis_name, axis=0, tiled=True)
+        return (
+            full[:p.size].reshape(p.shape).astype(p.dtype),
+            m_new.astype(m.dtype),
+            v_new.astype(v.dtype),
+        )
+
+    treedef = jax.tree_util.tree_structure(params)
+    flat = lambda tree: treedef.flatten_up_to(tree)
+    out = [
+        leaf(*leaves)
+        for leaves in zip(
+            flat(grad_sums), flat(state.mu), flat(state.nu), flat(params),
+            flat(wd_t), flat(lr_t),
+        )
+    ]
+    unflat = lambda i: jax.tree_util.tree_unflatten(treedef, [o[i] for o in out])
+    return unflat(0), AdamWState(count, unflat(1), unflat(2))
+
+
 class LARSState(NamedTuple):
     mu: Any
 
@@ -324,6 +422,125 @@ def fused_adamw_ema_update(
             flat(teacher), flat(wd_t), flat(gate_t), key_leaves,
         )
     ]
+    unflat = lambda i: jax.tree_util.tree_unflatten(treedef, [o[i] for o in out])
+    return unflat(0), AdamWState(count, unflat(1), unflat(2)), unflat(3)
+
+
+def zero1_fused_adamw_ema_update(
+    grad_means,
+    state: AdamWState,
+    params,
+    teacher,
+    lr,
+    wd,
+    momentum,
+    n_shards: int,
+    axis_name: str = "data",
+    wd_scale_tree=None,
+    gate_tree=None,
+    gate_scalar=None,
+    clip: float = 0.0,
+    grad_scale: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    sr_rng=None,
+    sr_moments: bool = False,
+):
+    """ZeRO-1 version of :func:`fused_adamw_ema_update` for the SSL tail:
+    per leaf, ``psum_scatter`` the local grads over ``axis_name`` (each
+    shard receives only its chunk of the cross-shard mean), gate + clip +
+    fp32 AdamW on this shard's 1/n chunk of the flattened padded student
+    state, ``all_gather`` the updated parameter chunks, and chain the EMA
+    teacher update off the gathered full leaf. Moment storage and
+    elementwise optimizer math drop to 1/n per chip; the replicated
+    teacher EMA pass is unchanged.
+
+    The per-leaf grad clip needs the FULL-leaf norm of the mean gradient,
+    which no shard holds — it is assembled as ONE stacked scalar ``psum``
+    of the per-chunk squared sums (n_leaves scalars; negligible next to
+    the scattered grads). Gate/clip/update semantics and SR-cast noise
+    derivation match the replicated fused tail exactly; the teacher SR
+    keys are per-leaf and identical on every shard, which keeps the
+    replicated teacher bit-identical across the mesh.
+
+    ``grad_means`` are the LOCAL per-shard mean grads (no pmean applied);
+    ``grad_scale`` folds the cross-shard mean into the scatter (pass
+    ``1/n_shards``). ``state`` moments are the LOCAL (c,) chunk views of
+    :func:`zero1_init` arrays sharded over ``axis_name``.
+    """
+    count = state.count + 1
+    f32 = jnp.float32
+    c1 = 1 - b1 ** count.astype(f32)
+    c2 = 1 - b2 ** count.astype(f32)
+    ones = jax.tree_util.tree_map(lambda p: 1.0, params)
+    wd_t = wd_scale_tree if wd_scale_tree is not None else ones
+    gate_t = gate_tree if gate_tree is not None else jax.tree_util.tree_map(
+        lambda p: 0.0, params
+    )
+    idx = jax.lax.axis_index(axis_name)
+
+    treedef = jax.tree_util.tree_structure(params)
+    flat = lambda tree: treedef.flatten_up_to(tree)
+    n_leaves = treedef.num_leaves
+    if sr_rng is not None:
+        ks = jax.random.split(sr_rng, 3 * n_leaves)
+        key_leaves = [tuple(ks[3 * i:3 * i + 3]) for i in range(n_leaves)]
+    else:
+        key_leaves = [None] * n_leaves
+
+    g_l, m_l, v_l, p_l, t_l = (
+        flat(grad_means), flat(state.mu), flat(state.nu), flat(params),
+        flat(teacher),
+    )
+    wd_l, gate_l = flat(wd_t), flat(gate_t)
+
+    # pass 1: scatter grads to mean chunks, apply the static gates
+    gls = []
+    for g, m, gate in zip(g_l, m_l, gate_l):
+        c = m.shape[0]
+        gf = jnp.pad(g.reshape(-1).astype(f32), (0, n_shards * c - g.size))
+        gl = jax.lax.psum_scatter(
+            gf, axis_name, scatter_dimension=0, tiled=True
+        ) * grad_scale
+        if gate == 2.0:      # static: hard-frozen leaf (weight-norm g)
+            gl = jnp.zeros_like(gl)
+        elif gate == 1.0:    # runtime-gated leaf (last-layer freeze epochs)
+            gl = gl * gate_scalar
+        gls.append(gl)
+    if clip:
+        sq = jax.lax.psum(
+            jnp.stack([jnp.sum(jnp.square(gl)) for gl in gls]), axis_name
+        )
+        coefs = jnp.minimum(clip / (jnp.sqrt(sq) + 1e-6), 1.0)
+
+    # pass 2: AdamW on the local chunk, gather params, chain the EMA
+    out = []
+    for i, (m, v, p, t, wscale, kset) in enumerate(
+        zip(m_l, v_l, p_l, t_l, wd_l, key_leaves)
+    ):
+        gl = gls[i] * (coefs[i] if clip else 1.0)
+        c = m.shape[0]
+        pad = n_shards * c - p.size
+        pf = jnp.pad(p.reshape(-1).astype(f32), (0, pad))
+        pl = jax.lax.dynamic_slice(pf, (idx * c,), (c,))
+        m_new = b1 * m.astype(f32) + (1 - b1) * gl
+        v_new = b2 * v.astype(f32) + (1 - b2) * jnp.square(gl)
+        step = (m_new / c1) / (jnp.sqrt(v_new / c2) + eps) + (wd * wscale) * pl
+        full = jax.lax.all_gather(
+            pl - lr * step, axis_name, axis=0, tiled=True
+        )
+        p_new = full[:p.size].reshape(p.shape).astype(p.dtype)
+        t_new = momentum * t.astype(f32) + (1.0 - momentum) * p_new.astype(f32)
+        if kset is None:
+            out.append((p_new, m_new.astype(m.dtype), v_new.astype(v.dtype),
+                        t_new.astype(t.dtype)))
+        elif sr_moments:
+            out.append((p_new, _sr_cast(m_new, kset[0], m),
+                        _sr_cast(v_new, kset[1], v), _sr_cast(t_new, kset[2], t)))
+        else:
+            out.append((p_new, m_new.astype(m.dtype), v_new.astype(v.dtype),
+                        _sr_cast(t_new, kset[2], t)))
     unflat = lambda i: jax.tree_util.tree_unflatten(treedef, [o[i] for o in out])
     return unflat(0), AdamWState(count, unflat(1), unflat(2)), unflat(3)
 

@@ -179,6 +179,12 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh, donate: bool = False) 
                         in_specs=(rep(state), rep(landmark_vars),
                                   P("data"), P(), P()),
                         out_specs=(rep(state), {"loss": P()}),
+                        # MUST be False: check_vma=True auto-psums grads
+                        # wrt the replicated params, turning the explicit
+                        # pmean into a no-op — the step would train on the
+                        # grad SUM (n_data× the DDP mean). See the ssl.py
+                        # shard_map comment + test_vma_autopsum_trap.
+                        check_vma=False,
                     ),
                     **dk,
                 )

@@ -38,12 +38,15 @@ from ..models.heads import DINOHead
 from ..models.partfvit import LandmarkProvider, PartFViT, PartFViTConfig
 from .losses import dino_loss
 from .optim import (
+    AdamWState,
     adamw_init,
     adamw_update,
     clip_grads_per_param,
     dino_wd_mask,
     ema_update,
     fused_adamw_ema_update,
+    zero1_fused_adamw_ema_update,
+    zero1_init,
     zero_grads_by_path,
 )
 
@@ -90,6 +93,15 @@ class SSLConfig:
     fused_tail: bool = True  # clip+freeze+AdamW+EMA as ONE tree traversal
                              # (optim.fused_adamw_ema_update) — fewer HBM
                              # passes over the ~134M-param state
+    zero1: bool = False  # ZeRO-1 optimizer-state sharding over the data
+                         # axis: AdamW moments live 1/n_data per chip,
+                         # grads reach the update via psum_scatter and
+                         # updated student params return via all_gather
+                         # (same collective bytes as the grad pmean; the
+                         # per-leaf clip norm is ONE stacked scalar psum).
+                         # Requires fused_tail and n_data > 1; create the
+                         # state with create_ssl_state(...,
+                         # zero1_shards=n_data)
     fused_device_aug: bool = False  # run the 20-crop augmentation INSIDE the
                                     # train step (input = raw uint8 batch);
                                     # one compiled program, XLA overlaps the
@@ -131,8 +143,14 @@ def _head(cfg: SSLConfig) -> DINOHead:
     )
 
 
-def create_ssl_state(cfg: SSLConfig, rng: jax.Array) -> SSLTrainState:
-    """Init student/teacher (identical weights — ``lafs_train.py:377``)."""
+def create_ssl_state(
+    cfg: SSLConfig, rng: jax.Array, zero1_shards: int = 0
+) -> SSLTrainState:
+    """Init student/teacher (identical weights — ``lafs_train.py:377``).
+
+    ``zero1_shards`` (pass ``mesh.shape['data']`` when ``cfg.zero1``): store
+    the AdamW moments in the ZeRO-1 flat-chunked layout so the train step
+    can shard them over the data axis."""
     backbone = _backbone(cfg)
     head = _head(cfg)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
@@ -140,10 +158,14 @@ def create_ssl_state(cfg: SSLConfig, rng: jax.Array) -> SSLTrainState:
     bb = backbone.init({"params": k1, "dropout": k4}, tokens)["params"]
     hd = head.init(k2, jnp.zeros((2, cfg.model.dim)))["params"]
     student = {"backbone": bb, "head": hd}
+    if zero1_shards > 1:
+        opt_state = zero1_init(student, zero1_shards, moment_dtype=cfg.moment_dtype)
+    else:
+        opt_state = adamw_init(student, moment_dtype=cfg.moment_dtype)
     return SSLTrainState(
         student=student,
         teacher=_cast(jax.tree_util.tree_map(jnp.copy, student), cfg.teacher_dtype),
-        opt_state=adamw_init(student, moment_dtype=cfg.moment_dtype),
+        opt_state=opt_state,
         center=jnp.zeros((1, cfg.out_dim)),
         step=jnp.zeros((), jnp.int32),
         rng=k3,
@@ -188,6 +210,14 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     multi = int(np.prod(list(mesh.shape.values()))) > 1
     data_axis = "data" if multi else None
     _pmean = (lambda x: jax.lax.pmean(x, "data")) if multi else (lambda x: x)
+    n_data = mesh.shape["data"]
+    zero1 = cfg.zero1
+    if zero1 and n_data < 2:
+        raise ValueError("zero1=True needs a data axis to shard over "
+                         f"(n_data={n_data})")
+    if zero1 and not cfg.fused_tail:
+        raise ValueError("zero1=True requires fused_tail=True (the sharded "
+                         "update ships only in the fused tail)")
 
     def make_tokens(landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, rng):
         """Frozen landmark branch (no gradients — lafs_train.py:381-382)."""
@@ -288,7 +318,10 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
         (loss, new_center), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.student
         )
-        grads = _pmean(grads)
+        if not zero1:
+            # under zero1 the grads stay LOCAL per-shard means — the
+            # cross-shard mean folds into the psum_scatter inside the tail
+            grads = _pmean(grads)
         loss = _pmean(loss)
         wd_mask = dino_wd_mask(state.student)
         if cfg.fused_tail:
@@ -304,12 +337,22 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 return 0.0
 
             gate_tree = jax.tree_util.tree_map_with_path(_gate, state.student)
-            new_student, new_opt, new_teacher = fused_adamw_ema_update(
-                grads, state.opt_state, state.student, state.teacher,
-                lr, wd, momentum, wd_scale_tree=wd_mask,
-                gate_tree=gate_tree, gate_scalar=freeze_last,
-                clip=cfg.clip_grad or 0.0, sr_rng=sr_rng,
-            )
+            if zero1:
+                new_student, new_opt, new_teacher = zero1_fused_adamw_ema_update(
+                    grads, state.opt_state, state.student, state.teacher,
+                    lr, wd, momentum, n_shards=n_data,
+                    wd_scale_tree=wd_mask,
+                    gate_tree=gate_tree, gate_scalar=freeze_last,
+                    clip=cfg.clip_grad or 0.0, grad_scale=1.0 / n_data,
+                    sr_rng=sr_rng,
+                )
+            else:
+                new_student, new_opt, new_teacher = fused_adamw_ema_update(
+                    grads, state.opt_state, state.student, state.teacher,
+                    lr, wd, momentum, wd_scale_tree=wd_mask,
+                    gate_tree=gate_tree, gate_scalar=freeze_last,
+                    clip=cfg.clip_grad or 0.0, sr_rng=sr_rng,
+                )
         else:
             if cfg.clip_grad:
                 grads = clip_grads_per_param(grads, cfg.clip_grad)
@@ -355,16 +398,44 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                     crop_specs = (P("data"), P(), P(), P())
                 else:
                     crop_specs = (P(None, "data"),) * 4
+                state_spec = rep(state)
+                if zero1:
+                    # ZeRO-1: moment leaves are flat (n_data·c,) arrays
+                    # sharded over 'data'; the rest of the state replicated
+                    state_spec = state_spec._replace(
+                        opt_state=AdamWState(
+                            count=P(),
+                            mu=jax.tree_util.tree_map(
+                                lambda _: P("data"), state.opt_state.mu
+                            ),
+                            nu=jax.tree_util.tree_map(
+                                lambda _: P("data"), state.opt_state.nu
+                            ),
+                        )
+                    )
                 cache["fn"] = jax.jit(
                     jax.shard_map(
                         step_impl,
                         mesh=mesh,
                         in_specs=(
-                            rep(state), rep(landmark_vars),
+                            state_spec, rep(landmark_vars),
                             *crop_specs,
                             P(), P(), P(), P(), P(),
                         ),
-                        out_specs=(rep(state), {"loss": P()}),
+                        out_specs=(state_spec, {"loss": P()}),
+                        # check_vma MUST be False here (all trainers):
+                        # under check_vma=True, autodiff of the (varying)
+                        # local loss wrt the (invariant) replicated params
+                        # AUTO-PSUMS the gradient — the explicit pmean
+                        # below is then a no-op on an already-replicated
+                        # value and the step trains on the grad SUM
+                        # (n_data× the DDP mean the reference uses).
+                        # With False, grads stay local and pmean is the
+                        # true mean. (zero1 additionally needs False: the
+                        # checker types the all_gather'd params as
+                        # varying though they are replicated.) Regression:
+                        # tests/test_ssl.py::test_vma_autopsum_trap.
+                        check_vma=False,
                     ),
                     **dk,
                 )

@@ -39,7 +39,14 @@ from ..parallel.sharded_cosface import (
     sharded_softmax_ce,
 )
 from .losses import softmax_cross_entropy
-from .optim import AdamWState, adamw_init, adamw_update, param_groups_lrd
+from .optim import (
+    AdamWState,
+    adamw_init,
+    adamw_update,
+    param_groups_lrd,
+    zero1_adamw_update,
+    zero1_init,
+)
 
 
 @dataclass(frozen=True)
@@ -102,6 +109,15 @@ class SupervisedConfig:
                                 # than the full head on TPU — XLA scattered
                                 # row gather/scatter, docs/PERF.md
                                 # §partial-fc)
+    zero1: bool = False  # ZeRO-1 optimizer-state sharding over the data
+                         # axis: AdamW moments live sharded (1/n_data per
+                         # chip instead of a full replica), grads reach
+                         # the update via psum_scatter and updated params
+                         # return via all_gather — same collective bytes
+                         # as the plain grad allreduce, 1/n the moment
+                         # storage+traffic. Requires n_data > 1; create
+                         # the state with create_state(...,
+                         # zero1_shards=n_data). optim.zero1_adamw_update
 
 
 class TrainState(NamedTuple):
@@ -120,7 +136,8 @@ def _cast(tree, dtype):
 
 
 def create_state(
-    cfg: SupervisedConfig, rng: jax.Array, sharded_classifier: bool = False
+    cfg: SupervisedConfig, rng: jax.Array, sharded_classifier: bool = False,
+    zero1_shards: int = 0,
 ) -> TrainState:
     """Host-side init (run under jit by the caller for speed).
 
@@ -130,6 +147,10 @@ def create_state(
     dead fully-replicated (num_classes, dim) weight + two AdamW moments
     (~1.9 GB/device at 205k classes) would defeat the TP memory saving and
     bloat checkpoints.
+
+    ``zero1_shards`` (pass ``mesh.shape['data']`` when ``cfg.zero1``): store
+    the AdamW moments in the ZeRO-1 flat-chunked layout so the train step
+    can shard them over the data axis.
     """
     model_cfg = cfg.model
     if sharded_classifier:
@@ -140,10 +161,14 @@ def create_state(
     variables = model.init({"params": rng, "dropout": rng}, x, labels, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if zero1_shards > 1:
+        opt_state = zero1_init(params, zero1_shards, moment_dtype=cfg.moment_dtype)
+    else:
+        opt_state = adamw_init(params, moment_dtype=cfg.moment_dtype)
     return TrainState(
         params=params,
         batch_stats=batch_stats,
-        opt_state=adamw_init(params, moment_dtype=cfg.moment_dtype),
+        opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
         rng=rng,
     )
@@ -203,6 +228,11 @@ def make_train_step(
         if cfg.pfc_sampler not in ("block", "uniform"):
             raise ValueError(f"unknown pfc_sampler {cfg.pfc_sampler!r}; "
                              "expected 'block' or 'uniform'")
+    zero1 = cfg.zero1
+    if zero1 and n_data < 2:
+        raise ValueError("zero1=True needs a data axis to shard over "
+                         f"(n_data={n_data}); the moment layout would not "
+                         "match a single-device state")
     # under TP the sample is PER SHARD (each shard samples within the class
     # range it owns — insightface's PartialFC×model-parallel layout), so the
     # ratio applies to the local class count
@@ -522,11 +552,15 @@ def make_train_step(
                 (zero_g, zero_w, state.batch_stats, zero_loss, step_rng),
                 (images, labels),
             )
-        # mean over microbatches, then over data shards (DDP allreduce)
+        # mean over microbatches, then over data shards (DDP allreduce);
+        # under zero1 the model grads stay LOCAL SUMS — the mean folds into
+        # the psum_scatter inside zero1_adamw_update (half an allreduce;
+        # the updated-param all_gather is the other half)
         inv = 1.0 / cfg.acc_step
-        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        if not zero1:
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            grads = _pmean_data(grads)
         wgrads = wgrads * inv
-        grads = _pmean_data(grads)
         wgrads = _pmean_data(wgrads)
         loss = _pmean_data(loss_sum * inv)
 
@@ -546,10 +580,18 @@ def make_train_step(
             lambda n, o: jnp.where(finite, n, o), new_stats, state.batch_stats
         )
 
-        new_params, new_opt = adamw_update(
-            grads, state.opt_state, state.params, lr * scale,
-            wd_scale_tree=wd_tree, lr_scale_tree=lr_scale_tree, wd=1.0,
-        )
+        if zero1:
+            new_params, new_opt = zero1_adamw_update(
+                grads, state.opt_state, state.params, lr * scale,
+                n_shards=n_data, wd_scale_tree=wd_tree,
+                lr_scale_tree=lr_scale_tree, wd=1.0,
+                grad_scale=inv / n_data,
+            )
+        else:
+            new_params, new_opt = adamw_update(
+                grads, state.opt_state, state.params, lr * scale,
+                wd_scale_tree=wd_tree, lr_scale_tree=lr_scale_tree, wd=1.0,
+            )
         if pfc_blk is not None:
             # block rows via dynamic slices + tiny positive-row delta
             # scatter; under TP everything here is in LOCAL row space and
@@ -615,6 +657,21 @@ def make_train_step(
                 lambda x: P("model", None) if getattr(x, "ndim", 0) == 2 else P(),
                 cls_opt,
             )
+            state_spec = replicate(state)
+            if zero1:
+                # ZeRO-1: moment leaves are flat (n_data·c,) arrays sharded
+                # over 'data'; everything else in the state stays replicated
+                state_spec = state_spec._replace(
+                    opt_state=AdamWState(
+                        count=P(),
+                        mu=jax.tree_util.tree_map(
+                            lambda _: P("data"), state.opt_state.mu
+                        ),
+                        nu=jax.tree_util.tree_map(
+                            lambda _: P("data"), state.opt_state.nu
+                        ),
+                    )
+                )
             extra_specs = (
                 (replicate(land_vars), P()) if cfg.landmark_distill else ()
             )
@@ -623,7 +680,7 @@ def make_train_step(
                     impl,
                     mesh=mesh,
                     in_specs=(
-                        replicate(state),
+                        state_spec,
                         P("model", None),
                         cls_opt_spec,
                         P("data"),
@@ -631,7 +688,7 @@ def make_train_step(
                         P(),
                     ) + extra_specs,
                     out_specs=(
-                        replicate(state),
+                        state_spec,
                         P("model", None),
                         cls_opt_spec,
                         {"loss": P(), "skipped_nonfinite": P()},

@@ -189,3 +189,79 @@ def test_ssl_step_bf16_teacher_sr():
         assert np.isfinite(float(metrics["loss"]))
         assert leaf(state).dtype == jnp.bfloat16
         assert not np.allclose(before, np.asarray(leaf(state), np.float32))
+
+
+def test_ssl_zero1_matches_replicated_tail():
+    """ZeRO-1 SSL tail (moments sharded over the (4,1) data mesh,
+    psum_scatter grads + chunked AdamW + all_gather + chained EMA) must
+    reproduce the replicated fused tail: same loss, same student/teacher
+    params, gathered flat moments equal the dense ones. Covers the per-leaf
+    clip (norm via stacked scalar psum), the wd mask, and the last-layer
+    gate (freeze_last=0 leaves last_layer_v untouched)."""
+    from dataclasses import replace
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+    args = dict(lr=jnp.float32(1e-3), wd=jnp.float32(0.04),
+                momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                freeze_last=jnp.float32(0.0))
+    land = create_landmark_provider(TINY, jax.random.PRNGKey(1))
+
+    out = {}
+    for z in (False, True):
+        cfg = replace(TINY, zero1=z)
+        state = jax.jit(lambda r: create_ssl_state(
+            cfg, r, zero1_shards=4 if z else 0
+        ))(jax.random.PRNGKey(0))
+        step = make_ssl_train_step(cfg, mesh)
+        new_state, metrics = step(state, land, gc, ga, lc, la, **args)
+        out[z] = (float(metrics["loss"]), new_state)
+
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-6)
+    dense, zero1 = out[False][1], out[True][1]
+    for tree in ("student", "teacher"):
+        for pd, pz in zip(jax.tree_util.tree_leaves(getattr(dense, tree)),
+                          jax.tree_util.tree_leaves(getattr(zero1, tree))):
+            np.testing.assert_allclose(np.asarray(pz), np.asarray(pd),
+                                       rtol=2e-5, atol=1e-7)
+    for md, mz in zip(jax.tree_util.tree_leaves(dense.opt_state.nu),
+                      jax.tree_util.tree_leaves(zero1.opt_state.nu)):
+        flat = np.asarray(mz)
+        np.testing.assert_allclose(flat[:md.size],
+                                   np.asarray(md).reshape(-1),
+                                   rtol=2e-5, atol=1e-10)
+        assert not flat[md.size:].any()
+    # the weight-norm gain stays hard-frozen, last_layer_v gated off
+    np.testing.assert_array_equal(
+        np.asarray(zero1.student["head"]["last_layer_g"]),
+        np.asarray(dense.student["head"]["last_layer_g"]))
+
+
+def test_vma_autopsum_trap():
+    """Documents the JAX shard_map behavior every trainer here must guard
+    against: with check_vma=True, autodiff of a VARYING local loss wrt
+    INVARIANT (replicated) params auto-psums the gradient, so a subsequent
+    pmean is a no-op on the already-replicated value — the step would
+    train on the grad SUM (n_data× the DDP mean the reference uses). All
+    trainer shard_maps therefore run check_vma=False + explicit pmean.
+    If this test starts failing, JAX changed the semantics — re-audit
+    ssl.py / simmim.py / supervised.py check_vma settings."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    params = jnp.ones((3,))
+    x = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+
+    def mk(check):
+        def f(params, xs):
+            g = jax.grad(lambda p: jnp.sum(p * xs[0]))(params)  # local = xs[0]
+            return jax.lax.pmean(g, "data")[None]
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=P("data"), check_vma=check))
+
+    mean = np.asarray(x).mean(0)
+    got_false = np.asarray(mk(False)(params, x))[0]
+    np.testing.assert_allclose(got_false, mean, rtol=1e-6)  # true DDP mean
+    got_true = np.asarray(mk(True)(params, x))[0]
+    np.testing.assert_allclose(got_true, np.asarray(x).sum(0), rtol=1e-6)

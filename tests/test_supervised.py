@@ -667,3 +667,104 @@ def test_first_occurrence_mask_matches_naive():
             exp.append(v not in seen)
             seen.add(v)
         assert got.tolist() == exp, n
+
+
+def test_zero1_matches_dense_adamw():
+    """ZeRO-1 (moments sharded over a (4,1) data mesh, psum_scatter grads,
+    all_gather params) must reproduce the replicated-AdamW step: same loss,
+    same updated params, and the gathered flat moment chunks equal the
+    dense moments leaf-for-leaf (padding stays zero)."""
+    model_cfg = PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, num_classes=16, with_land=False,
+        dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+    )
+    mk = lambda z: SupervisedConfig(
+        model=model_cfg, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0, prob=0.0,
+                          num_classes=16, label_smoothing=0.0),
+        compute_dtype=jnp.float32, zero1=z,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    b = 8
+    images = jax.random.uniform(
+        jax.random.PRNGKey(3), (2 * b, 48, 48, 3)) * 2 - 1
+    labels = jnp.arange(2 * b) % 16
+
+    out = {}
+    for z in (False, True):
+        cfg = mk(z)
+        state = create_state(cfg, jax.random.PRNGKey(0),
+                             zero1_shards=4 if z else 0)
+        w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1), enabled=False)
+        step = make_train_step(cfg, mesh)
+        new_state, _, _, metrics = step(state, w, w_opt, images, labels, 1e-3)
+        out[z] = (float(metrics["loss"]), new_state)
+
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-5)
+    dense, zero1 = out[False][1], out[True][1]
+    for pd, pz in zip(jax.tree_util.tree_leaves(dense.params),
+                      jax.tree_util.tree_leaves(zero1.params)):
+        np.testing.assert_allclose(np.asarray(pz), np.asarray(pd),
+                                   rtol=2e-5, atol=1e-7)
+    for md, mz in zip(jax.tree_util.tree_leaves(dense.opt_state.mu),
+                      jax.tree_util.tree_leaves(zero1.opt_state.mu)):
+        flat = np.asarray(mz)
+        np.testing.assert_allclose(flat[:md.size],
+                                   np.asarray(md).reshape(-1),
+                                   rtol=2e-5, atol=1e-8)
+        assert not flat[md.size:].any()  # padding stays zero
+
+
+def test_zero1_with_pfc_tp_trains():
+    """ZeRO-1 model-state sharding composes with the PartialFC×TP head on a
+    (2,2) mesh: finite losses and the deterministic probe rises."""
+    cfg = SupervisedConfig(
+        model=TINY_MODEL, acc_step=2,
+        mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=16,
+                          label_smoothing=0.0),
+        compute_dtype=jnp.float32, factored_head=True, shard_classifier=True,
+        pfc_ratio=0.25, zero1=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+    state = jax.jit(lambda r: create_state(
+        cfg, r, sharded_classifier=True, zero1_shards=2
+    ))(jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+    b = 2
+    images = jax.random.uniform(
+        jax.random.PRNGKey(2), (cfg.acc_step * b, 48, 48, 3)) * 2 - 1
+    labels = (jnp.arange(cfg.acc_step * b) * 3) % 16
+
+    embed = make_embed_fn(cfg)
+
+    def own_class_cos(state, w):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        emb = np.asarray(embed(variables, images))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        wn = np.asarray(w, np.float32)
+        wn = wn / np.linalg.norm(wn, axis=1, keepdims=True)
+        cos = emb @ wn.T
+        return float(cos[np.arange(labels.shape[0]), np.asarray(labels)].mean())
+
+    cos0 = own_class_cos(state, w)
+    losses = []
+    for _ in range(20):
+        state, w, w_opt, metrics = step(state, w, w_opt, images, labels, 1e-2)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    cos1 = own_class_cos(state, w)
+    assert cos1 > cos0 + 0.1, (cos0, cos1)
+
+
+def test_zero1_single_data_shard_rejected():
+    cfg = SupervisedConfig(
+        model=TINY_MODEL, acc_step=1, mixup=MixupConfig(num_classes=16),
+        compute_dtype=jnp.float32, zero1=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
+    with pytest.raises(ValueError, match="zero1"):
+        make_train_step(cfg, mesh)
