@@ -42,6 +42,9 @@ def get_args(argv=None):
                    help="AdamW moment STORAGE dtype (update math is always "
                         "fp32); bf16 halves optimizer HBM traffic — "
                         "loss-trajectory A/B identical (docs/PERF.md)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1 optimizer-state sharding: AdamW moments "
+                        "live 1/n_data per chip; needs data axis > 1")
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
     p.add_argument("--image-size", type=int, default=112)
@@ -124,10 +127,13 @@ def main(argv=None):
         use_landmarks=not args.grid_patches,
         input_scale="unit",  # uint8 ships; scaling happens on device
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
+        zero1=args.zero1,
     )
 
     rng = jax.random.PRNGKey(args.seed)
-    state = jax.jit(lambda r: create_simmim_state(cfg, r))(rng)
+    state = jax.jit(lambda r: create_simmim_state(
+        cfg, r, zero1_shards=mesh.shape["data"] if cfg.zero1 else 0
+    ))(rng)
     land_vars = create_landmark_provider(
         _ssl_cfg_for_provider(cfg), jax.random.fold_in(rng, 1)
     )

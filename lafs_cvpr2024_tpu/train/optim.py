@@ -146,6 +146,33 @@ def zero1_init(params, n_shards: int, moment_dtype=None) -> AdamWState:
     )
 
 
+def zero1_shard_moments(opt: AdamWState, params, n_shards: int) -> AdamWState:
+    """Convert a replicated :func:`adamw_init`-layout state to the ZeRO-1
+    flat-chunked layout (resume a dense checkpoint onto a mesh with
+    ``zero1=True``). Values are preserved exactly; padding is zeros."""
+    def to_flat(m, p):
+        c = _zero1_chunk(n_shards, p.size)
+        return jnp.pad(m.reshape(-1), (0, n_shards * c - p.size))
+    return AdamWState(
+        count=opt.count,
+        mu=jax.tree_util.tree_map(to_flat, opt.mu, params),
+        nu=jax.tree_util.tree_map(to_flat, opt.nu, params),
+    )
+
+
+def zero1_unshard_moments(opt: AdamWState, params) -> AdamWState:
+    """Inverse of :func:`zero1_shard_moments`: flat-chunked → the leaf-shaped
+    replicated layout (resume a ZeRO-1 checkpoint on a single chip or with
+    ``zero1=False``)."""
+    def to_leaf(m, p):
+        return m[:p.size].reshape(p.shape)
+    return AdamWState(
+        count=opt.count,
+        mu=jax.tree_util.tree_map(to_leaf, opt.mu, params),
+        nu=jax.tree_util.tree_map(to_leaf, opt.nu, params),
+    )
+
+
 def zero1_adamw_update(
     grad_sums,
     state: AdamWState,
@@ -157,6 +184,7 @@ def zero1_adamw_update(
     lr_scale_tree=None,
     wd=0.0,
     grad_scale: float = 1.0,
+    global_clip: float = 0.0,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
@@ -179,6 +207,10 @@ def zero1_adamw_update(
     Semantics match :func:`adamw_update` exactly (same fp32 math, same
     torch AdamW update rule); padding chunks see zero grads and zero
     params, so they stay zero forever.
+
+    ``global_clip`` > 0 applies torch ``clip_grad_norm_`` semantics on the
+    scattered mean gradient — the global norm no shard holds is assembled
+    as ONE scalar psum of the per-chunk squared sums.
     """
     count = state.count + 1
     f32 = jnp.float32
@@ -189,14 +221,29 @@ def zero1_adamw_update(
     lr_t = lr_scale_tree if lr_scale_tree is not None else ones
     idx = jax.lax.axis_index(axis_name)
 
-    def leaf(g, m, v, p, wscale, lscale):
+    treedef = jax.tree_util.tree_structure(params)
+    flat = lambda tree: treedef.flatten_up_to(tree)
+    m_l, v_l, p_l = flat(state.mu), flat(state.nu), flat(params)
+
+    # pass 1: reduce-scatter every leaf to its local mean chunk
+    gls = []
+    for g, m in zip(flat(grad_sums), m_l):
         c = m.shape[0]  # local chunk length
-        pad = n_shards * c - p.size
-        gf = jnp.pad(g.reshape(-1).astype(f32), (0, pad))
-        gl = jax.lax.psum_scatter(
+        gf = jnp.pad(g.reshape(-1).astype(f32), (0, n_shards * c - g.size))
+        gls.append(jax.lax.psum_scatter(
             gf, axis_name, scatter_dimension=0, tiled=True
-        ) * grad_scale
-        pf = jnp.pad(p.reshape(-1).astype(f32), (0, pad))
+        ) * grad_scale)
+    if global_clip:
+        gn = jnp.sqrt(jax.lax.psum(
+            sum(jnp.sum(jnp.square(gl)) for gl in gls), axis_name
+        ))
+        coef = jnp.minimum(global_clip / (gn + 1e-6), 1.0)
+        gls = [gl * coef for gl in gls]
+
+    # pass 2: AdamW on the local chunk, gather the updated params
+    def leaf(gl, m, v, p, wscale, lscale):
+        c = m.shape[0]
+        pf = jnp.pad(p.reshape(-1).astype(f32), (0, n_shards * c - p.size))
         pl = jax.lax.dynamic_slice(pf, (idx * c,), (c,))
         m_new = b1 * m.astype(f32) + (1 - b1) * gl
         v_new = b2 * v.astype(f32) + (1 - b2) * jnp.square(gl)
@@ -209,14 +256,9 @@ def zero1_adamw_update(
             v_new.astype(v.dtype),
         )
 
-    treedef = jax.tree_util.tree_structure(params)
-    flat = lambda tree: treedef.flatten_up_to(tree)
     out = [
-        leaf(*leaves)
-        for leaves in zip(
-            flat(grad_sums), flat(state.mu), flat(state.nu), flat(params),
-            flat(wd_t), flat(lr_t),
-        )
+        leaf(gl, *leaves)
+        for gl, leaves in zip(gls, zip(m_l, v_l, p_l, flat(wd_t), flat(lr_t)))
     ]
     unflat = lambda i: jax.tree_util.tree_unflatten(treedef, [o[i] for o in out])
     return unflat(0), AdamWState(count, unflat(1), unflat(2))

@@ -24,7 +24,15 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.partfvit import LandmarkProvider, PartFViT, PartFViTConfig
-from .optim import adamw_init, adamw_update, clip_grads_global, dino_wd_mask
+from .optim import (
+    AdamWState,
+    adamw_init,
+    adamw_update,
+    clip_grads_global,
+    dino_wd_mask,
+    zero1_adamw_update,
+    zero1_init,
+)
 
 
 @dataclass(frozen=True)
@@ -42,6 +50,11 @@ class SimMIMConfig:
     compute_dtype: Any = jnp.bfloat16
     moment_dtype: Any = jnp.float32  # AdamW moment storage (math stays fp32)
     use_landmarks: bool = True  # gather patches at predicted landmarks
+    zero1: bool = False  # ZeRO-1 moment sharding over the data axis (see
+                         # train/supervised.py); the global grad clip is
+                         # assembled as one scalar psum of chunk sq-sums.
+                         # Requires n_data > 1 and create_simmim_state(...,
+                         # zero1_shards=n_data)
 
 
 class SimMIMTrainState(NamedTuple):
@@ -67,7 +80,9 @@ def _backbone(cfg: SimMIMConfig) -> PartFViT:
     )
 
 
-def create_simmim_state(cfg: SimMIMConfig, rng: jax.Array) -> SimMIMTrainState:
+def create_simmim_state(
+    cfg: SimMIMConfig, rng: jax.Array, zero1_shards: int = 0
+) -> SimMIMTrainState:
     backbone = _backbone(cfg)
     patch_dim = 3 * cfg.model.patch_size ** 2
     k1, k2, k3 = jax.random.split(rng, 3)
@@ -83,9 +98,13 @@ def create_simmim_state(cfg: SimMIMConfig, rng: jax.Array) -> SimMIMTrainState:
         "bias": jnp.zeros((patch_dim,), jnp.float32),
     }
     params = {"backbone": bb, "decoder": dec}
+    if zero1_shards > 1:
+        opt_state = zero1_init(params, zero1_shards, moment_dtype=cfg.moment_dtype)
+    else:
+        opt_state = adamw_init(params, moment_dtype=cfg.moment_dtype)
     return SimMIMTrainState(
         params=params,
-        opt_state=adamw_init(params, moment_dtype=cfg.moment_dtype),
+        opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
         rng=k3,
     )
@@ -104,6 +123,11 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh, donate: bool = False) 
     )
     multi = int(np.prod(list(mesh.shape.values()))) > 1
     _pmean = (lambda x: jax.lax.pmean(x, "data")) if multi else (lambda x: x)
+    n_data = mesh.shape["data"]
+    zero1 = cfg.zero1
+    if zero1 and n_data < 2:
+        raise ValueError("zero1=True needs a data axis to shard over "
+                         f"(n_data={n_data})")
 
     def step_impl(state, landmark_vars, images, lr, wd):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -150,14 +174,24 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh, donate: bool = False) 
             return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = _pmean(grads)
         loss = _pmean(loss)
-        if cfg.clip_grad:
-            grads = clip_grads_global(grads, cfg.clip_grad)
-        new_params, new_opt = adamw_update(
-            grads, state.opt_state, state.params, lr,
-            wd_scale_tree=dino_wd_mask(state.params), wd=wd,
-        )
+        if zero1:
+            # grads stay LOCAL means; cross-shard mean folds into the
+            # psum_scatter, the global clip norm into one scalar psum
+            new_params, new_opt = zero1_adamw_update(
+                grads, state.opt_state, state.params, lr,
+                n_shards=n_data, wd_scale_tree=dino_wd_mask(state.params),
+                wd=wd, grad_scale=1.0 / n_data,
+                global_clip=cfg.clip_grad or 0.0,
+            )
+        else:
+            grads = _pmean(grads)
+            if cfg.clip_grad:
+                grads = clip_grads_global(grads, cfg.clip_grad)
+            new_params, new_opt = adamw_update(
+                grads, state.opt_state, state.params, lr,
+                wd_scale_tree=dino_wd_mask(state.params), wd=wd,
+            )
         return (
             SimMIMTrainState(new_params, new_opt, state.step + 1, state.rng),
             {"loss": loss},
@@ -172,13 +206,26 @@ def make_simmim_train_step(cfg: SimMIMConfig, mesh: Mesh, donate: bool = False) 
                 cache["fn"] = jax.jit(step_impl, **dk)
             else:
                 rep = lambda t: jax.tree_util.tree_map(lambda _: P(), t)
+                state_spec = rep(state)
+                if zero1:
+                    state_spec = state_spec._replace(
+                        opt_state=AdamWState(
+                            count=P(),
+                            mu=jax.tree_util.tree_map(
+                                lambda _: P("data"), state.opt_state.mu
+                            ),
+                            nu=jax.tree_util.tree_map(
+                                lambda _: P("data"), state.opt_state.nu
+                            ),
+                        )
+                    )
                 cache["fn"] = jax.jit(
                     jax.shard_map(
                         step_impl,
                         mesh=mesh,
-                        in_specs=(rep(state), rep(landmark_vars),
+                        in_specs=(state_spec, rep(landmark_vars),
                                   P("data"), P(), P()),
-                        out_specs=(rep(state), {"loss": P()}),
+                        out_specs=(state_spec, {"loss": P()}),
                         # MUST be False: check_vma=True auto-psums grads
                         # wrt the replicated params, turning the explicit
                         # pmean into a no-op — the step would train on the
