@@ -48,7 +48,7 @@ def main():
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, with_land=False, loss_type="None", num_classes=0,
-            mlp_impl="fused",  # pallas fc1+gelu+dropout+fc2 kernel
+            mlp_impl="fused_ln",  # pallas LN+fc1+gelu+dropout+fc2 kernel
         ),
         out_dim=100000,
         local_crops_number=8,

@@ -18,6 +18,11 @@ Variants stack (each includes the previous unless noted):
   fa_depth6 — fusedattn + depth 6 (DIAGNOSTIC: per-layer split w/ both kernels)
   fusedtail — fusedmlp + single-traversal clip+AdamW+EMA tail
   teacher16 — fusedtail + EMA teacher stored bf16 (stochastic-rounded cast)
+  packedav  — fusedtail + head-pair-packed AV contraction (d_head geometry)
+  packedqk  — fusedtail + head-pair-packed 128-wide QK^T (d_head geometry)
+  fusedln   — fusedtail + pre-MLP LayerNorm fused INTO the pallas MLP kernel
+  teachdense — fusedln + teacher forward on the DENSE MLP lowering (the
+             teacher graph is inference-only, where pallas measured slower)
 """
 
 import json
@@ -70,13 +75,16 @@ def main():
             attn_impl=(
                 "flash" if variant == "flash"
                 else "fused" if variant.startswith(("fusedattn", "fa_"))
+                else "packed_av" if variant == "packedav"
+                else "packed_qk" if variant == "packedqk"
                 else "einsum"
             ),
             mlp_impl=(
-                "fused"
+                "fused_ln" if variant in ("fusedln", "teachdense")
+                else "fused"
                 if variant.startswith(
                     ("fusedmlp", "fm_", "fusedattn", "fa_", "fusedtail",
-                     "teacher16")
+                     "teacher16", "packed")
                 )
                 else "dense"
             ),
@@ -89,10 +97,13 @@ def main():
         landmark_dtype=land_dtype,
         head_dtype=head_dtype,
         moment_dtype=jnp.bfloat16
-        if variant in ("mom16", "fusedmlp", "fusedtail", "teacher16")
+        if variant in ("mom16", "fusedmlp", "fusedtail", "teacher16",
+                       "packedav", "packedqk", "fusedln", "teachdense")
         or variant.startswith(("fm_", "fusedattn", "fa_"))
         else jnp.float32,
-        fused_tail=variant in ("fusedtail", "teacher16"),
+        fused_tail=variant in ("fusedtail", "teacher16", "packedav",
+                               "packedqk", "fusedln", "teachdense"),
+        teacher_mlp_impl="dense" if variant == "teachdense" else "same",
         teacher_dtype=jnp.bfloat16 if variant == "teacher16" else jnp.float32,
     )
 

@@ -15,6 +15,9 @@ Usage: python bench_supervised.py [variant]
              classes/step, block sampler; parallel/partial_fc.py)
   pfcuni   — PartialFC ratio 0.1 with the insightface-faithful 'uniform'
              scattered sampler (docs/PERF.md §partial-fc)
+  fusedln  — base + mlp_impl='fused_ln' (pre-MLP LayerNorm inside the
+             pallas MLP kernel; docs/PERF.md §round-3)
+  pfcln    — pfc + mlp_impl='fused_ln' (best-known supervised config)
 DIAGNOSTIC variants quantify the supervised step's fixed costs the way
 bench_ssl_variants.py bisected the SSL step.
 """
@@ -49,7 +52,9 @@ def main():
             num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
             with_land=variant != "noland",
             loss_type="CosFace",
-            mlp_impl="fused", attn_impl=attn,
+            mlp_impl="fused_ln" if variant in ("fusedln", "pfcln")
+            else "fused",
+            attn_impl=attn,
         ),
         acc_step=1 if variant == "acc1" else 3,
         moment_dtype=jnp.bfloat16,
@@ -58,8 +63,8 @@ def main():
             num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
         ),
         shard_classifier=False,
-        factored_head=variant in ("factored", "pfc", "pfcuni"),
-        pfc_ratio=0.1 if variant in ("pfc", "pfcuni") else 1.0,
+        factored_head=variant in ("factored", "pfc", "pfcuni", "pfcln"),
+        pfc_ratio=0.1 if variant in ("pfc", "pfcuni", "pfcln") else 1.0,
         pfc_sampler="uniform" if variant == "pfcuni" else "block",
     )
     B_local = 192 if variant == "acc1" else B

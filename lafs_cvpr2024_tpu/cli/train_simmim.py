@@ -56,7 +56,7 @@ def get_args(argv=None):
                         "workload (docs/PERF.md) — the pallas kernels "
                         "are for long-sequence configs")
     p.add_argument("--mlp-impl", default="auto",
-                   choices=["auto", "dense", "fused"])
+                   choices=["auto", "dense", "fused", "fused_ln"])
     p.add_argument("--bgr", action="store_true")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--slices", type=int, default=None,

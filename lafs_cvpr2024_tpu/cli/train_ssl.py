@@ -102,7 +102,7 @@ def get_args():
                         "workload (docs/PERF.md) — the pallas kernels "
                         "are for long-sequence configs")
     p.add_argument("--mlp-impl", default="auto",
-                   choices=["auto", "dense", "fused"],
+                   choices=["auto", "dense", "fused", "fused_ln"],
                    help="transformer MLP impl; 'fused' = pallas fc1+gelu+"
                         "dropout+fc2 kernel (auto: fused on TPU)")
     p.add_argument("--device-aug", action="store_true",

@@ -81,7 +81,7 @@ def get_args():
                         "workload (docs/PERF.md) — the pallas kernels "
                         "are for long-sequence configs")
     p.add_argument("--mlp-impl", default="auto",
-                   choices=["auto", "dense", "fused"],
+                   choices=["auto", "dense", "fused", "fused_ln"],
                    help="transformer MLP impl; 'fused' = pallas fc1+gelu+"
                         "dropout+fc2 kernel (auto: fused on TPU)")
     p.add_argument("--device-aug", action="store_true",
@@ -281,6 +281,24 @@ def main():
         state = state._replace(
             params=merge_params(state.params, imp.params, unmatched=missing)
         )
+        if missing:
+            print(f"[import ssl ckpt] not in model ({len(missing)}): {missing[:8]}")
+    elif args.ssl_checkpoint:
+        # orbax dir written by cli/train_ssl — the pretrain→finetune handoff
+        # (reference: load the SSL TEACHER backbone, train_largescale.py:
+        # 639-657; the DINO head is dropped)
+        from ..train.checkpoint import restore_eval_variables
+
+        variables, ssl_step = restore_eval_variables(args.ssl_checkpoint)
+        missing = []
+        state = state._replace(
+            params=merge_params(
+                state.params, variables["params"], unmatched=missing
+            )
+        )
+        n_leaves = len(jax.tree_util.tree_leaves(variables["params"]))
+        print(f"[import ssl ckpt] orbax step {ssl_step}: merged teacher "
+              f"backbone ({n_leaves} tensors)")
         if missing:
             print(f"[import ssl ckpt] not in model ({len(missing)}): {missing[:8]}")
     if args.landmark_checkpoint:

@@ -70,20 +70,59 @@ class _LinearParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching ``nn.LayerNorm``'s tree (scale/bias) so the
+    LN-fused MLP path (``mlp_impl='fused_ln'``) loads the same checkpoints
+    as the dense/'fused' paths."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return g, b
+
+
 class FeedForward(nn.Module):
     """Reference MLP (``ViT_face.py:128-142``): Linear, GELU(exact), Dropout,
     Linear, Dropout. ``mlp_impl='fused'`` runs the whole block as ONE Pallas
     kernel (hidden activation + dropout masks never touch HBM — see
-    ``ops/fused_mlp.py``); param tree is identical to the dense path."""
+    ``ops/fused_mlp.py``); param tree is identical to the dense path.
+    When the caller passes ``ln=(scale, bias)`` the preceding LayerNorm is
+    fused into the same kernel (``mlp_impl='fused_ln'``)."""
 
     dim: int
     hidden_dim: int
     dropout: float = 0.0
-    mlp_impl: str = "dense"  # 'dense' | 'fused' (pallas, needs dims % 128)
+    mlp_impl: str = "dense"  # 'dense' | 'fused' | 'fused_ln' (pallas, %128)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.mlp_impl == "fused" and self.dim % 128 == 0 and self.hidden_dim % 128 == 0:
+    def __call__(self, x, deterministic: bool = True, ln=None):
+        dims_ok = self.dim % 128 == 0 and self.hidden_dim % 128 == 0
+        if ln is not None and not dims_ok:
+            raise ValueError(
+                "FeedForward(ln=...) requires dim/hidden_dim % 128 == 0 — "
+                "the caller must apply the LayerNorm itself otherwise"
+            )
+        if ln is not None and dims_ok:
+            from ..ops.fused_mlp import fused_ln_mlp
+
+            g, bt = ln
+            w1, b1 = _LinearParams(self.dim, self.hidden_dim, name="fc1")()
+            w2, b2 = _LinearParams(self.hidden_dim, self.dim, name="fc2")()
+            rng = None
+            if not deterministic and self.dropout > 0.0:
+                rng = self.make_rng("dropout")
+            return fused_ln_mlp(
+                x, g.astype(x.dtype), bt.astype(x.dtype),
+                w1.astype(x.dtype), b1.astype(x.dtype),
+                w2.astype(x.dtype), b2.astype(x.dtype),
+                rate=self.dropout, rng=rng, deterministic=deterministic,
+            )
+        # 'fused_ln' with no ln supplied degrades to the plain fused kernel
+        # (the caller applied the LayerNorm itself)
+        if self.mlp_impl in ("fused", "fused_ln") and dims_ok:
             from ..ops.fused_mlp import fused_mlp
 
             w1, b1 = _LinearParams(self.dim, self.hidden_dim, name="fc1")()
@@ -133,6 +172,10 @@ class Attention(nn.Module):
             out = fused_attention(q, k, v, scale)
         elif self.attn_impl == "flash":
             out = _flash_attention(q, k, v, scale)
+        elif self.attn_impl == "packed_av":
+            out = _packed_av_attention(q, k, v, scale)
+        elif self.attn_impl == "packed_qk":
+            out = _packed_qk_attention(q, k, v, scale)
         else:
             # NOTE: jax.nn.dot_product_attention wins isolated microbenchmarks
             # (~2x) but makes the FULL SSL step 10% slower — the explicit
@@ -173,6 +216,98 @@ def _flash_attention(q, k, v, scale: float):
     return out[:, :, :n, :] if pad else out
 
 
+def _pad_heads_even(q, k, v):
+    """Zero-pad the head axis to an even count (the packed variants pair
+    heads). A zero q/k head softmaxes to uniform attention over zero v —
+    its output is zero and gets sliced off; the reference's 11-head
+    geometry pays ~9% extra attention FLOPs for the padding, which is part
+    of the measured verdict on these packings."""
+    h = q.shape[1]
+    if h % 2:
+        pad = ((0, 0), (0, 1), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    return q, k, v, h
+
+
+def _packed_av_attention(q, k, v, scale: float):
+    """d_head-geometry EXPERIMENT (docs/PERF.md §round-3): AV contraction
+    with head PAIRS packed into the 128-lane output dim.
+
+    Plain AV is ``(n, n) @ (n, 64)`` per head — the output minor dim (64)
+    fills half a 128-lane MXU tile. Here pairs (2g, 2g+1) compute
+    ``[A_2g | A_2g+1] (n, 2n) @ blockdiag(V_2g, V_2g+1) (2n, 128)``
+    = ``[A_2g·V_2g | A_2g+1·V_2g+1] (n, 128)`` — all 128 output lanes
+    live, at 2x the nominal MACs (which equals the lane-padded MAC count
+    of the unpacked form, so the packing can only win if XLA's d=64
+    handling is worse than simple lane padding). QK^T + softmax stay in
+    the standard batched form.
+    """
+    b, _, n, d = q.shape
+    q, k, v, h0 = _pad_heads_even(q, k, v)
+    h = q.shape[1]
+    h2 = h // 2
+    logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    # A2[b, g, i, :] = [attn[2g, i, :], attn[2g+1, i, :]]  -> (b, h2, n, 2n)
+    a2 = (
+        attn.reshape(b, h2, 2, n, n)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, h2, n, 2 * n)
+    )
+    vp = v.reshape(b, h2, 2, n, d)
+    z = jnp.zeros_like(vp[:, :, 0])
+    v2 = jnp.concatenate(
+        [
+            jnp.concatenate([vp[:, :, 0], z], axis=-1),
+            jnp.concatenate([z, vp[:, :, 1]], axis=-1),
+        ],
+        axis=2,
+    )  # (b, h2, 2n, 2d) block-diagonal
+    out2 = jnp.einsum("bhij,bhjd->bhid", a2, v2)  # (b, h2, n, 2d)
+    out = (
+        out2.reshape(b, h2, n, 2, d).transpose(0, 1, 3, 2, 4).reshape(b, h, n, d)
+    )
+    return out[:, :h0]
+
+
+def _packed_qk_attention(q, k, v, scale: float):
+    """d_head-geometry EXPERIMENT (docs/PERF.md §round-3): QK^T with head
+    pairs packed into a 128-wide contraction.
+
+    Plain QK^T contracts over d=64 — half the MXU's 128-deep systolic
+    contraction. Packing ``blockdiag(Q_2g, Q_2g+1) (2n, 128) @
+    blockdiag(K_2g, K_2g+1)^T (128, 2n)`` fills the contraction but
+    computes a (2n, 2n) score matrix whose off-diagonal blocks are
+    discarded — 2x the lane-padded MACs of the unpacked form, so this is
+    expected NEGATIVE a priori; it exists to put a measured number on the
+    'pack 2 heads into the 128-lane contraction' idea. AV stays standard.
+    """
+    b, _, n, d = q.shape
+    q, k, v, h0 = _pad_heads_even(q, k, v)
+    h = q.shape[1]
+    h2 = h // 2
+
+    def blockdiag(t):
+        tp = t.reshape(b, h2, 2, n, d)
+        z = jnp.zeros_like(tp[:, :, 0])
+        return jnp.concatenate(
+            [
+                jnp.concatenate([tp[:, :, 0], z], axis=-1),
+                jnp.concatenate([z, tp[:, :, 1]], axis=-1),
+            ],
+            axis=2,
+        )  # (b, h2, 2n, 2d)
+
+    s2 = jnp.einsum("bhid,bhjd->bhij", blockdiag(q), blockdiag(k)) * scale
+    s2 = s2.reshape(b, h2, 2, n, 2, n)
+    logits = jnp.concatenate(
+        [s2[:, :, 0, :, 0][:, :, None], s2[:, :, 1, :, 1][:, :, None]], axis=2
+    ).reshape(b, h, n, n)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+    return out[:, :h0]
+
+
 class TransformerBlock(nn.Module):
     dim: int
     heads: int
@@ -193,10 +328,25 @@ class TransformerBlock(nn.Module):
         if not deterministic and self.drop_path_rate > 0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = FeedForward(
-            self.dim, self.mlp_dim, self.dropout, self.mlp_impl, name="mlp"
-        )(h, deterministic)
+        if (
+            self.mlp_impl == "fused_ln"
+            and self.dim % 128 == 0
+            and self.mlp_dim % 128 == 0
+        ):
+            # LN params held under the same 'norm2' scope/names as
+            # nn.LayerNorm, applied INSIDE the pallas MLP kernel — the
+            # normalized activations never round-trip HBM.
+            ln = _LNParams(self.dim, name="norm2")()
+            h = FeedForward(
+                self.dim, self.mlp_dim, self.dropout, self.mlp_impl,
+                name="mlp",
+            )(x, deterministic, ln=ln)
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+            h = FeedForward(
+                self.dim, self.mlp_dim, self.dropout, self.mlp_impl,
+                name="mlp",
+            )(h, deterministic)
         if not deterministic and self.drop_path_rate > 0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
         return x + h

@@ -69,9 +69,11 @@ class PartFViTConfig:
                                     # fp32 softmax) | 'flash' (long-seq;
                                     # TPU-only, numerics match to ~1e-3;
                                     # measured SLOWER at 197/37-token seqs)
-    mlp_impl: str = "dense"         # 'dense' | 'fused' (pallas fc1+gelu+
-                                    # dropout+fc2 kernel; needs dim/mlp_dim
-                                    # % 128; measured FASTER — ops/fused_mlp)
+    mlp_impl: str = "dense"         # 'dense' | 'fused' | 'fused_ln' (pallas
+                                    # fc1+gelu+dropout+fc2 kernel, 'fused_ln'
+                                    # folds the pre-MLP LayerNorm in too;
+                                    # needs dim/mlp_dim % 128; measured
+                                    # FASTER — ops/fused_mlp)
     remat_policy: str = "none"      # transformer remat: 'none'|'dots'|'all'
     bn_axis_name: Optional[str] = None  # set to mesh axis for SyncBN
     stn_mode: str = "large"            # MobileNetV3 variant for the stem
@@ -250,7 +252,7 @@ class LandmarkProvider(nn.Module):
                                     # fp32 softmax) | 'flash' (long-seq;
                                     # TPU-only, numerics match to ~1e-3;
                                     # measured SLOWER at 197/37-token seqs)
-    mlp_impl: str = "dense"         # 'dense' | 'fused' (see PartFViTConfig)
+    mlp_impl: str = "dense"         # 'dense'|'fused'|'fused_ln' (see PartFViTConfig)
     remat_policy: str = "none"      # transformer remat: 'none'|'dots'|'all'
     bn_axis_name: Optional[str] = None
     stn_mode: str = "large"

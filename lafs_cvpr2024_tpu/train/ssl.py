@@ -90,6 +90,13 @@ class SSLConfig:
                                       # increments, freezing the teacher —
                                       # see optim.stochastic_round)
 
+    teacher_mlp_impl: str = "same"  # MLP impl for the TEACHER forward only
+                                    # ('same' = cfg.model.mlp_impl). The
+                                    # teacher graph is inference-only, where
+                                    # the pallas kernels measured slower in
+                                    # round 2 (IJB) — 'dense' lets XLA fuse
+                                    # it freely. Param tree is identical
+                                    # across impls, so the EMA is unaffected.
     fused_tail: bool = True  # clip+freeze+AdamW+EMA as ONE tree traversal
                              # (optim.fused_adamw_ema_update) — fewer HBM
                              # passes over the ~134M-param state
@@ -197,6 +204,15 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     a saved state and must not donate).
     """
     backbone = _backbone(cfg)
+    if cfg.teacher_mlp_impl not in ("same", cfg.model.mlp_impl):
+        t_backbone = PartFViT(
+            PartFViTConfig(**{
+                **cfg.model.__dict__, "with_land": False, "loss_type": "None",
+                "mlp_impl": cfg.teacher_mlp_impl,
+            })
+        )
+    else:
+        t_backbone = backbone
     head = _head(cfg)
     provider = LandmarkProvider(
         num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
@@ -248,13 +264,14 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     def forward(params, g_tokens, l_tokens, rng, train: bool):
         cparams = _cast(params, cfg.compute_dtype)
         rngs = {"dropout": rng} if train else None
-        emb_g = backbone.apply(
+        bb = backbone if train else t_backbone
+        emb_g = bb.apply(
             {"params": cparams["backbone"]},
             g_tokens.astype(cfg.compute_dtype), train=train, rngs=rngs,
         )
         outs = [emb_g]
         if l_tokens is not None:
-            emb_l = backbone.apply(
+            emb_l = bb.apply(
                 {"params": cparams["backbone"]},
                 l_tokens.astype(cfg.compute_dtype), train=train,
                 rngs={"dropout": jax.random.fold_in(rng, 3)} if train else None,

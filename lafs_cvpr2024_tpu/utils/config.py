@@ -46,10 +46,11 @@ def apply_toml_defaults(
 
 
 def resolve_mlp_impl(choice: str) -> str:
-    """'auto' → the pallas fused MLP on TPU backends, dense elsewhere (the
-    fused kernel falls back to slow interpret mode off-TPU)."""
+    """'auto' → the LN-fused pallas MLP on TPU backends (measured fastest:
+    126.7 vs 129.0 ms SSL step — docs/PERF.md §fused-ln), dense elsewhere
+    (the fused kernels fall back to slow interpret mode off-TPU)."""
     if choice != "auto":
         return choice
     import jax
 
-    return "fused" if jax.default_backend() == "tpu" else "dense"
+    return "fused_ln" if jax.default_backend() == "tpu" else "dense"

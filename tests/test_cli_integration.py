@@ -508,3 +508,75 @@ def test_evaluate_bin_cli(tmp_path):
     assert 0.0 <= results["lfw"]["accuracy"] <= 1.0
     saved = json.load(open(out_json))
     assert saved["lfw"]["accuracy"] == results["lfw"]["accuracy"]
+
+
+def test_ssl_pretrain_to_supervised_finetune_handoff(tmp_path, monkeypatch):
+    """The reference's headline WORKFLOW end-to-end on our own artifacts:
+    SSL pretrain (cli/train_ssl, orbax checkpoint) → supervised finetune
+    initialized from that checkpoint via --ssl-checkpoint <orbax dir>
+    (the teacher backbone lands in the supervised model —
+    train_largescale.py:639-657 semantics, DINO head dropped). lr=0 makes
+    the finetune a pure pass-through so the saved supervised params must
+    EQUAL the SSL teacher's on every shared leaf."""
+    import numpy as np
+
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    ssl_out = str(tmp_path / "ssl")
+    work = str(tmp_path / "work")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir, n_ids=4, per=4)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_ssl, train_supervised
+    from lafs_cvpr2024_tpu.train.checkpoint import restore_eval_variables
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    dims = [
+        "--dim", "32", "--depth", "1", "--heads", "2", "--mlp-dim", "64",
+        "--num-patches", "36", "--image-size", "48", "--stn-mode", "small",
+    ]
+    monkeypatch.setattr(
+        sys, "argv",
+        ["ssl", "--data-path", rec_dir, "--output-dir", ssl_out,
+         "--batch-size-per-chip", "1", "--epochs", "1",
+         "--warmup-epochs", "0", "--warmup-teacher-temp-epochs", "1",
+         "--out-dim", "64", "--local-crops-number", "2",
+         "--random-subset", "0", "--workers", "2", *dims],
+    )
+    train_ssl.main()
+    ssl_ckpt = os.path.join(ssl_out, "ckpt")
+    teacher, _ = restore_eval_variables(ssl_ckpt)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train", "--data-root", rec_dir, "--work-path", work,
+         "--ssl-checkpoint", ssl_ckpt,
+         "--batch-size", "1", "--acc-step", "2", "--epochs", "1",
+         "--warmup-epochs", "0", "--lr", "0", "--workers", "2",
+         "--embedding-size", "32", "--depth", "1", "--heads", "2",
+         "--mlp-dim", "64", "--num-patches", "36", "--image-size", "48",
+         "--stn-mode", "small", "--model-axis", "1", "--disp-freq", "1"],
+    )
+    train_supervised.main()
+    fin, _ = restore_eval_variables(os.path.join(work, "ckpt"))
+
+    # every leaf of the SSL teacher backbone that exists in the supervised
+    # model (transformer, patch embed, cls/pos, final norm) must have
+    # survived the handoff + 1 lr=0 epoch bit-exactly
+    from lafs_cvpr2024_tpu.train.checkpoint import _flatten
+
+    flat_t = _flatten(teacher["params"])
+    flat_f = _flatten(fin["params"])
+    shared = [p for p in flat_t if p in flat_f]
+    assert len(shared) >= 10, f"handoff matched too few leaves: {shared}"
+    for path in shared:
+        np.testing.assert_array_equal(
+            np.asarray(flat_f[path], np.float32),
+            np.asarray(flat_t[path], np.float32),
+            err_msg=f"SSL→supervised handoff changed {'/'.join(path)}",
+        )

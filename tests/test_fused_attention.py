@@ -94,3 +94,26 @@ def test_attention_module_fused_impl_matches_einsum():
     # must hit the einsum fallback without error either way
     xs = jnp.asarray(rng.standard_normal((2, 37, 64)).astype(np.float32))
     jax.jit(lambda v, x: a_fus.apply(v, x))(variables, xs)
+
+
+@pytest.mark.parametrize("impl", ["packed_av", "packed_qk"])
+@pytest.mark.parametrize("heads", [2, 3])
+def test_packed_geometry_impls_match_einsum(impl, heads):
+    """The d_head-geometry experiment packings (docs/PERF.md §round-3:
+    head pairs packed into 128 output lanes / a 128-wide contraction) are
+    exact reformulations — identical math to the einsum path, including an
+    ODD head count (the reference's 11-head geometry), which exercises the
+    zero-head padding."""
+    from lafs_cvpr2024_tpu.models.layers import Attention
+
+    rng = np.random.default_rng(4)
+    dim = 32 * heads
+    x = jnp.asarray(rng.standard_normal((2, 37, dim)).astype(np.float32))
+    a_ein = Attention(dim, heads=heads, dim_head=32, attn_impl="einsum")
+    a_pkd = Attention(dim, heads=heads, dim_head=32, attn_impl=impl)
+    variables = a_ein.init(jax.random.PRNGKey(0), x)
+    y_ein = jax.jit(lambda v, x: a_ein.apply(v, x))(variables, x)
+    y_pkd = jax.jit(lambda v, x: a_pkd.apply(v, x))(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(y_pkd), np.asarray(y_ein), atol=2e-5
+    )

@@ -188,3 +188,118 @@ def test_fused_mlp_under_shard_map():
     l_ref, g_ref = jax.value_and_grad(ref_loss)(w1)
     np.testing.assert_allclose(float(l), float(l_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# LN-fused variant (mlp_impl='fused_ln'): the pre-MLP LayerNorm runs inside
+# the kernel — ops/fused_mlp.py::fused_ln_mlp
+# ---------------------------------------------------------------------------
+
+
+def _ref_ln_mlp(x, g, bt, w1, b1, w2, b2, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps) * g + bt
+    return _ref_mlp(xn, w1, b1, w2, b2)
+
+
+def _ln_params(key, t=48):
+    x, w1, b1, w2, b2 = _params(key, t=t)
+    ks = jax.random.split(jax.random.fold_in(key, 99), 2)
+    g = 1.0 + 0.1 * jax.random.normal(ks[0], (D,), jnp.float32)
+    bt = 0.05 * jax.random.normal(ks[1], (D,), jnp.float32)
+    return x, g, bt, w1, b1, w2, b2
+
+
+def test_fused_ln_forward_matches_reference():
+    from lafs_cvpr2024_tpu.ops.fused_mlp import fused_ln_mlp
+
+    args = _ln_params(jax.random.PRNGKey(20))
+    y = fused_ln_mlp(*args, rate=0.0, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(_ref_ln_mlp(*args)), atol=3e-5, rtol=1e-5
+    )
+
+
+def test_fused_ln_grads_match_reference():
+    from lafs_cvpr2024_tpu.ops.fused_mlp import fused_ln_mlp
+
+    args = _ln_params(jax.random.PRNGKey(21))
+
+    def loss_fused(a):
+        return jnp.sum(fused_ln_mlp(*a, rate=0.0, deterministic=True) ** 2)
+
+    def loss_ref(a):
+        return jnp.sum(_ref_ln_mlp(*a) ** 2)
+
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b, name in zip(gf, gr, ["x", "g", "bt", "w1", "b1", "w2", "b2"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=7e-4, rtol=7e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_fused_ln_dropout_vjp_matches_finite_differences():
+    """Backward must regenerate the forward's dropout masks AND apply the
+    LayerNorm backward in-core; a directional finite difference through the
+    fixed-seed dropout catches drift in either."""
+    from lafs_cvpr2024_tpu.ops.fused_mlp import fused_ln_mlp
+
+    x, g, bt, w1, b1, w2, b2 = _ln_params(jax.random.PRNGKey(22), t=32)
+    rng = jax.random.PRNGKey(13)
+    rate = 0.2
+
+    def f(xx):
+        return jnp.sum(
+            fused_ln_mlp(xx, g, bt, w1, b1, w2, b2, rate=rate, rng=rng,
+                         deterministic=False)
+        )
+
+    grad = jax.grad(f)(x)
+    v = jax.random.normal(jax.random.PRNGKey(5), x.shape) * 0.5
+    eps = 1e-3
+    fd = (f(x + eps * v) - f(x - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(
+        float(jnp.vdot(grad, v)), float(fd), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_transformer_block_fused_ln_loads_dense_params():
+    """Checkpoint compatibility across all three MLP impls: one param tree,
+    identical eval-mode outputs (the fused_ln path holds the norm2 params in
+    _LNParams under nn.LayerNorm's names)."""
+    from lafs_cvpr2024_tpu.models.layers import TransformerBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(30), (2, 12, D))
+    blocks = {
+        impl: TransformerBlock(
+            dim=D, heads=2, dim_head=64, mlp_dim=H, dropout=0.1,
+            mlp_impl=impl,
+        )
+        for impl in ("dense", "fused", "fused_ln")
+    }
+    variables = blocks["dense"].init(jax.random.PRNGKey(0), x)
+    for impl in ("fused", "fused_ln"):
+        vi = blocks[impl].init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(vi) == jax.tree_util.tree_structure(variables)
+    y_dense = blocks["dense"].apply(variables, x, deterministic=True)
+    for impl in ("fused", "fused_ln"):
+        y = blocks[impl].apply(variables, x, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_dense), atol=5e-5, rtol=1e-5,
+            err_msg=f"TransformerBlock {impl} != dense",
+        )
+
+
+def test_fused_ln_requires_aligned_dims():
+    from lafs_cvpr2024_tpu.models.layers import FeedForward as FF
+
+    ff = FF(dim=96, hidden_dim=H, mlp_impl="fused_ln")
+    x = jnp.zeros((2, 4, 96))
+    g = jnp.ones((96,))
+    bt = jnp.zeros((96,))
+    with pytest.raises(ValueError, match="128"):
+        ff.init(jax.random.PRNGKey(0), x, ln=(g, bt))
