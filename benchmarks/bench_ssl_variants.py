@@ -23,6 +23,8 @@ Variants stack (each includes the previous unless noted):
   fusedln   — fusedtail + pre-MLP LayerNorm fused INTO the pallas MLP kernel
   teachdense — fusedln + teacher forward on the DENSE MLP lowering (the
              teacher graph is inference-only, where pallas measured slower)
+  lnqkv     — fusedln + pre-ATTENTION LayerNorm fused into the QKV
+             projection kernel (ops/fused_ln_linear.py)
 """
 
 import json
@@ -77,10 +79,11 @@ def main():
                 else "fused" if variant.startswith(("fusedattn", "fa_"))
                 else "packed_av" if variant == "packedav"
                 else "packed_qk" if variant == "packedqk"
+                else "lnqkv" if variant == "lnqkv"
                 else "einsum"
             ),
             mlp_impl=(
-                "fused_ln" if variant in ("fusedln", "teachdense")
+                "fused_ln" if variant in ("fusedln", "teachdense", "lnqkv")
                 else "fused"
                 if variant.startswith(
                     ("fusedmlp", "fm_", "fusedattn", "fa_", "fusedtail",
@@ -98,11 +101,12 @@ def main():
         head_dtype=head_dtype,
         moment_dtype=jnp.bfloat16
         if variant in ("mom16", "fusedmlp", "fusedtail", "teacher16",
-                       "packedav", "packedqk", "fusedln", "teachdense")
+                       "packedav", "packedqk", "fusedln", "teachdense",
+                       "lnqkv")
         or variant.startswith(("fm_", "fusedattn", "fa_"))
         else jnp.float32,
         fused_tail=variant in ("fusedtail", "teacher16", "packedav",
-                               "packedqk", "fusedln", "teachdense"),
+                               "packedqk", "fusedln", "teachdense", "lnqkv"),
         teacher_mlp_impl="dense" if variant == "teachdense" else "same",
         teacher_dtype=jnp.bfloat16 if variant == "teacher16" else jnp.float32,
     )

@@ -18,6 +18,8 @@ Usage: python bench_supervised.py [variant]
   fusedln  — base + mlp_impl='fused_ln' (pre-MLP LayerNorm inside the
              pallas MLP kernel; docs/PERF.md §round-3)
   pfcln    — pfc + mlp_impl='fused_ln' (best-known supervised config)
+  pfclnq   — pfcln + attn_impl='lnqkv' (pre-attention LN fused into the
+             QKV projection kernel; ops/fused_ln_linear.py)
 DIAGNOSTIC variants quantify the supervised step's fixed costs the way
 bench_ssl_variants.py bisected the SSL step.
 """
@@ -42,7 +44,11 @@ B = 64  # per microbatch; acc_step 3 → 192 rows/step (ref: 200/A100)
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "base"
-    attn = variant if variant in ("fused", "flash") else "einsum"
+    attn = (
+        variant if variant in ("fused", "flash")
+        else "lnqkv" if variant == "pfclnq"
+        else "einsum"
+    )
     n_dev = len(jax.devices())
     mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("data", "model"))
     cfg = SupervisedConfig(
@@ -52,7 +58,7 @@ def main():
             num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
             with_land=variant != "noland",
             loss_type="CosFace",
-            mlp_impl="fused_ln" if variant in ("fusedln", "pfcln")
+            mlp_impl="fused_ln" if variant in ("fusedln", "pfcln", "pfclnq")
             else "fused",
             attn_impl=attn,
         ),
@@ -63,8 +69,10 @@ def main():
             num_classes=1000 if variant == "smallhead" else NUM_CLASSES,
         ),
         shard_classifier=False,
-        factored_head=variant in ("factored", "pfc", "pfcuni", "pfcln"),
-        pfc_ratio=0.1 if variant in ("pfc", "pfcuni", "pfcln") else 1.0,
+        factored_head=variant in ("factored", "pfc", "pfcuni", "pfcln",
+                                  "pfclnq"),
+        pfc_ratio=0.1 if variant in ("pfc", "pfcuni", "pfcln", "pfclnq")
+        else 1.0,
         pfc_sampler="uniform" if variant == "pfcuni" else "block",
     )
     B_local = 192 if variant == "acc1" else B

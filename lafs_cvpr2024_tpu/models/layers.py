@@ -70,6 +70,22 @@ class _LinearParams(nn.Module):
         return k, b
 
 
+class _KernelParams(nn.Module):
+    """Parameter holder matching a bias-free ``nn.Dense``'s tree (kernel
+    only) so the LN-fused QKV path (``attn_impl='lnqkv'``) loads the same
+    checkpoints as the dense path."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.features),
+        )
+
+
 class _LNParams(nn.Module):
     """Parameter holder matching ``nn.LayerNorm``'s tree (scale/bias) so the
     LN-fused MLP path (``mlp_impl='fused_ln'``) loads the same checkpoints
@@ -148,13 +164,28 @@ class Attention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
-    attn_impl: str = "einsum"  # 'einsum' | 'fused' (short-seq pallas) | 'flash'
+    attn_impl: str = "einsum"  # 'einsum' | 'lnqkv' (einsum scores, LN-fused
+                               # QKV pallas) | 'fused' (short-seq pallas) |
+                               # 'flash'
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None):
         inner = self.heads * self.dim_head
         b, n, _ = x.shape
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        if ln is not None:
+            # attn_impl='lnqkv': the caller passes the norm1 params UNAPPLIED
+            # and x un-normalized — LN runs inside the QKV projection kernel
+            # (the normalized activations never round-trip HBM). Param tree
+            # identical to the dense path (ops/fused_ln_linear.py).
+            from ..ops.fused_ln_linear import fused_ln_linear
+
+            g, bt = ln
+            w = _KernelParams(self.dim, inner * 3, name="to_qkv")()
+            qkv = fused_ln_linear(
+                x, g.astype(x.dtype), bt.astype(x.dtype), w.astype(x.dtype)
+            )
+        else:
+            qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(t):
@@ -320,11 +351,20 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)  # torch LN eps
-        h = Attention(
-            self.dim, self.heads, self.dim_head, self.dropout,
-            self.attn_impl, name="attn"
-        )(h, deterministic)
+        if self.attn_impl == "lnqkv" and self.dim % 128 == 0:
+            # norm1 params under the same scope/names as nn.LayerNorm,
+            # applied INSIDE the QKV projection kernel
+            ln1 = _LNParams(self.dim, name="norm1")()
+            h = Attention(
+                self.dim, self.heads, self.dim_head, self.dropout,
+                self.attn_impl, name="attn"
+            )(x, deterministic, ln=ln1)
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)  # torch LN eps
+            h = Attention(
+                self.dim, self.heads, self.dim_head, self.dropout,
+                self.attn_impl, name="attn"
+            )(h, deterministic)
         if not deterministic and self.drop_path_rate > 0:
             h = drop_path(h, self.drop_path_rate, deterministic, self.make_rng("dropout"))
         x = x + h
