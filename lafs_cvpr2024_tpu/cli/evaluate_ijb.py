@@ -148,9 +148,17 @@ def main():
             [umeyama(landmarks[i].astype(np.float32), ARCFACE_SRC)[:2]
              for i in idx]
         )
-        return decode_warp_batch(
-            jpegs, mats, threads=args.workers
-        ).astype(np.float32)
+        try:
+            return decode_warp_batch(
+                jpegs, mats, threads=args.workers
+            ).astype(np.float32)
+        except RuntimeError as e:
+            # libjpeg rejects formats PIL tolerates (CMYK JPEGs, PNGs with
+            # a .jpg name — common in web-collected face sets); one bad
+            # image must not abort a ~470k-face sweep
+            print(f"[ijb] native decode failed for batch at {idx[0]} "
+                  f"({e}) — PIL fallback for this batch")
+            return np.stack(list(pool.map(load_and_align, idx)))
 
     with ThreadPoolExecutor(args.workers) as pool:
         bs = args.batch_size

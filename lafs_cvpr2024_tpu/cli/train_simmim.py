@@ -84,7 +84,6 @@ def main(argv=None):
         import_torch_state_dict,
         load_torch_file,
         merge_params,
-        restore_checkpoint,
         save_checkpoint,
     )
     from ..train.simmim import (
@@ -154,11 +153,25 @@ def main(argv=None):
         args.lr, args.min_lr, args.epochs, steps_per_epoch, args.warmup_epochs
     )
 
-    restored, restored_step = restore_checkpoint(
+    from ..train.checkpoint import restore_checkpoint_flex
+    from ..train.optim import adapt_moment_layout
+
+    _cur_shards = mesh.shape["data"] if cfg.zero1 else 0
+    restored, restored_step = restore_checkpoint_flex(
         os.path.join(args.output_dir, "ckpt"),
         jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
         ),
+        # the OTHER moment layout (dense <-> ZeRO-1 flat-chunked)
+        jax.eval_shape(
+            lambda r: create_simmim_state(
+                cfg, r,
+                zero1_shards=0 if cfg.zero1 else mesh.shape["data"],
+            ),
+            rng,
+        ),
+        lambda st: st._replace(opt_state=adapt_moment_layout(
+            st.opt_state, st.params, _cur_shards)),
     )
     start_epoch = 0
     if restored is not None:

@@ -130,7 +130,6 @@ def main():
         import_torch_state_dict,
         load_torch_file,
         merge_params,
-        restore_checkpoint,
         save_checkpoint,
     )
     from ..train.ssl import (
@@ -245,11 +244,26 @@ def main():
         args.warmup_teacher_temp_epochs, args.epochs,
     )
 
-    restored, restored_step = restore_checkpoint(
+    from ..train.checkpoint import restore_checkpoint_flex
+    from ..train.optim import adapt_moment_layout
+
+    _cur_shards = mesh.shape["data"] if cfg.zero1 else 0
+    restored, restored_step = restore_checkpoint_flex(
         os.path.join(args.output_dir, "ckpt"),
         jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
         ),
+        # the OTHER moment layout (dense <-> ZeRO-1 flat-chunked): lets a
+        # checkpoint saved with --zero1 flipped restore, then convert
+        jax.eval_shape(
+            lambda r: create_ssl_state(
+                cfg, r,
+                zero1_shards=0 if cfg.zero1 else mesh.shape["data"],
+            ),
+            rng,
+        ),
+        lambda st: st._replace(opt_state=adapt_moment_layout(
+            st.opt_state, st.student, _cur_shards)),
     )
     start_epoch = 0
     start_it = 0

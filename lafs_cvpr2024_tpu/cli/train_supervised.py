@@ -155,7 +155,6 @@ def main():
         import_torch_state_dict,
         load_torch_file,
         merge_params,
-        restore_checkpoint,
         save_checkpoint,
         strip_prefixes,
     )
@@ -335,12 +334,34 @@ def main():
 
     start_step = 0
     if args.resume:
-        restored, start_step = restore_checkpoint(
-            os.path.join(args.work_path, "ckpt"),
-            jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                ckpt_payload(),
+        from ..train.checkpoint import restore_checkpoint_flex
+        from ..train.optim import adapt_moment_layout
+
+        cur_shards = mesh.shape["data"] if cfg.zero1 else 0
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            ckpt_payload(),
+        )
+        # the OTHER moment layout's template (dense <-> ZeRO-1
+        # flat-chunked), so a checkpoint saved with --zero1 flipped
+        # still restores (then adapt_moment_layout converts it)
+        alt_state = jax.eval_shape(
+            lambda r: create_state(
+                cfg, r, sharded_classifier=ext_head,
+                zero1_shards=0 if cfg.zero1 else mesh.shape["data"],
             ),
+            rng,
+        )
+
+        def adapt(payload):
+            st = payload["state"]
+            st = st._replace(opt_state=adapt_moment_layout(
+                st.opt_state, st.params, cur_shards))
+            return {**payload, "state": st}
+
+        restored, start_step = restore_checkpoint_flex(
+            os.path.join(args.work_path, "ckpt"),
+            abstract, {**abstract, "state": alt_state}, adapt,
         )
         if restored is not None:
             state = restored["state"]

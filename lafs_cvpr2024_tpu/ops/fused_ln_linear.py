@@ -51,7 +51,7 @@ def _tile(dtype) -> int:
 
 
 def _fwd_kernel(x_ref, g_ref, bt_ref, w_ref, y_ref, *, eps: float):
-    xhat = _ln_rows(x_ref[:].astype(jnp.float32), eps)
+    xhat, _ = _ln_rows(x_ref[:].astype(jnp.float32), eps)
     xn = xhat * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
     y = jnp.dot(xn.astype(x_ref.dtype), w_ref[:],
                 preferred_element_type=jnp.float32)
@@ -62,12 +62,7 @@ def _bwd_kernel(x_ref, dy_ref, g_ref, bt_ref, w_ref,
                 xn_ref, dx_ref, dg_ref, db_ref, *, eps: float):
     i = pl.program_id(0)
     f32 = jnp.float32
-    xf = x_ref[:].astype(f32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = xc * rstd
+    xhat, rstd = _ln_rows(x_ref[:].astype(f32), eps)
     g = g_ref[:].astype(f32)
     xn = xhat * g + bt_ref[:].astype(f32)
     xn_ref[:] = xn.astype(xn_ref.dtype)

@@ -348,12 +348,14 @@ def fused_mlp(x, w1, b1, w2, b2, *, rate: float = 0.0, rng=None,
 
 
 def _ln_rows(xf, eps: float):
-    """Row LayerNorm in fp32: returns xhat = (x - mean) * rsqrt(var + eps)."""
+    """Row LayerNorm in fp32: returns (xhat, rstd) with
+    xhat = (x - mean) * rsqrt(var + eps) — rstd so backward kernels reuse
+    the statistics instead of recomputing them."""
     mu = jnp.mean(xf, axis=1, keepdims=True)
     xc = xf - mu
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    return xc * rstd
+    return xc * rstd, rstd
 
 
 def _ln_fwd_kernel(seed_ref, x_ref, g_ref, bt_ref, w1_ref, b1_ref,
@@ -361,7 +363,7 @@ def _ln_fwd_kernel(seed_ref, x_ref, g_ref, bt_ref, w1_ref, b1_ref,
                    *, rate: float, eps: float, interpret: bool):
     i = pl.program_id(0)
     seed = seed_ref[0]
-    xhat = _ln_rows(x_ref[:].astype(jnp.float32), eps)
+    xhat, _ = _ln_rows(x_ref[:].astype(jnp.float32), eps)
     xn = xhat * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
     xn = xn.astype(x_ref.dtype)
     u = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
@@ -394,7 +396,7 @@ def _ln_bwd_kernel(seed_ref, x_ref, u_ref, dy_ref, g_ref, bt_ref,
     i = pl.program_id(0)
     seed = seed_ref[0]
     f32 = jnp.float32
-    xhat = _ln_rows(x_ref[:].astype(f32), eps)
+    xhat, rstd = _ln_rows(x_ref[:].astype(f32), eps)
     g = g_ref[:].astype(f32)
     xn = xhat * g + bt_ref[:].astype(f32)
     xn_ref[:] = xn.astype(xn_ref.dtype)
@@ -445,12 +447,6 @@ def _ln_bwd_kernel(seed_ref, x_ref, u_ref, dy_ref, g_ref, bt_ref,
     dxhat = dxn * g
     m_1 = jnp.mean(dxhat, axis=1, keepdims=True)
     m_2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
-    # rstd is recomputable from xhat only via var identity; recompute from x
-    xf = x_ref[:].astype(f32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
     dx_ref[:] = (rstd * (dxhat - m_1 - xhat * m_2)).astype(dx_ref.dtype)
 
 

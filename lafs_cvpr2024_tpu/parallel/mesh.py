@@ -83,12 +83,12 @@ def create_multislice_mesh(
             (per_slice // model, model), (slices, 1), devices=devices
         )
     else:
-        # simulation fallback: contiguous groups are "slices"
-        arr = (
-            np.asarray(devices)
-            .reshape(slices, per_slice // model, model)
-            .reshape(slices * (per_slice // model), model)
-        )
+        # simulation fallback: contiguous device groups are "slices". For a
+        # flat device list the slice-major data-axis layout IS the plain
+        # row-major reshape (rows [s*per_slice/model, (s+1)*...) belong to
+        # slice s), so this is create_mesh's array — the asserts above are
+        # what this branch adds.
+        arr = np.asarray(devices).reshape(n // model, model)
     return Mesh(arr, ("data", "model"))
 
 

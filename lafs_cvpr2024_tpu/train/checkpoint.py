@@ -59,6 +59,36 @@ def restore_checkpoint(path: str, abstract_state: Any, step: Optional[int] = Non
         return restored, step
 
 
+def restore_checkpoint_flex(path: str, abstract_state: Any,
+                            alt_abstract_state: Any, adapt,
+                            step: Optional[int] = None):
+    """:func:`restore_checkpoint` that tolerates a dense ↔ ZeRO-1 optimizer
+    moment-layout difference between the checkpoint and the current run
+    (``--zero1`` flipped between save and resume): on a template mismatch
+    it retries with ``alt_abstract_state`` (the other layout's template)
+    and runs ``adapt`` — typically ``optim.adapt_moment_layout`` glue — on
+    the restored payload. Layout conversion across DIFFERENT mesh
+    data-axis sizes only round-trips when the alternate template's chunk
+    count matches the checkpoint's; otherwise resume once without
+    ``--zero1`` to densify, then re-shard.
+
+    ``adapt`` runs on EVERY successful restore (it must be a no-op for a
+    matching layout): orbax restores same-element-count leaves in their
+    SAVED shape without raising, so a layout flip is only an exception
+    when chunk padding changes the element count."""
+    try:
+        restored, st = restore_checkpoint(path, abstract_state, step)
+    except Exception as e:  # orbax raises backend-specific mismatch types
+        print(f"[restore] template mismatch ({type(e).__name__}) — "
+              "retrying with the alternate optimizer-moment layout")
+        restored, st = restore_checkpoint(path, alt_abstract_state, step)
+        if restored is None:
+            raise e
+    if restored is None:
+        return None, st
+    return adapt(restored), st
+
+
 def restore_eval_variables(path: str, step: Optional[int] = None):
     """Template-free restore of model variables from ANY of this framework's
     orbax layouts, for eval CLIs that shouldn't need to reconstruct the

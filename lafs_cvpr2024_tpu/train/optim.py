@@ -173,6 +173,33 @@ def zero1_unshard_moments(opt: AdamWState, params) -> AdamWState:
     )
 
 
+def adapt_moment_layout(opt: AdamWState, params, zero1_shards: int) -> AdamWState:
+    """Convert an :class:`AdamWState` between the dense leaf-shaped layout
+    (:func:`adamw_init`) and the ZeRO-1 flat-chunked layout
+    (:func:`zero1_init`) to match ``zero1_shards`` (0 = dense). No-op when
+    already in the target layout; a flat state chunked for a DIFFERENT
+    shard count is re-chunked via the dense intermediate. This is the
+    resume glue for switching ``--zero1`` (or the mesh's data-axis size)
+    between runs — the CLIs call it through
+    ``checkpoint.restore_checkpoint_flex``."""
+    mu_leaves = jax.tree_util.tree_leaves(opt.mu)
+    p_leaves = jax.tree_util.tree_leaves(params)
+    leaf_shaped = all(
+        m.shape == p.shape for m, p in zip(mu_leaves, p_leaves)
+    )
+    if zero1_shards:
+        if not leaf_shaped:
+            want = [
+                (zero1_shards * _zero1_chunk(zero1_shards, p.size),)
+                for p in p_leaves
+            ]
+            if all(m.shape == w for m, w in zip(mu_leaves, want)):
+                return opt
+            opt = zero1_unshard_moments(opt, params)
+        return zero1_shard_moments(opt, params, zero1_shards)
+    return opt if leaf_shaped else zero1_unshard_moments(opt, params)
+
+
 def zero1_adamw_update(
     grad_sums,
     state: AdamWState,

@@ -143,6 +143,13 @@ void warp_bilinear(const uint8_t* img, int h, int w, const float* M,
                    uint8_t* dst, int oh, int ow) {
   const float a = M[0], b = M[1], c = M[2], d = M[3], e = M[4], f = M[5];
   const float det = a * e - b * d;
+  if (!std::isfinite(det) || std::fabs(det) < 1e-12f) {
+    // degenerate/NaN alignment matrix (e.g. all 5 landmarks identical →
+    // rank-0 Umeyama): match the numpy warp_affine path's deterministic
+    // zero image instead of NaN source coords + UB float->int casts
+    std::memset(dst, 0, static_cast<size_t>(oh) * ow * 3);
+    return;
+  }
   const float ia = e / det, ib = -b / det;
   const float id_ = -d / det, ie = a / det;
   const float ic = -(ia * c + ib * f);

@@ -88,3 +88,90 @@ def test_restore_eval_variables_rejects_lookalike_arity(tmp_path):
     save_checkpoint(str(tmp_path / "ck"), bogus, step=1)
     with pytest.raises(ValueError, match="unrecognized checkpoint layout"):
         restore_eval_variables(str(tmp_path / "ck"))
+
+
+def test_adapt_moment_layout_roundtrips():
+    from lafs_cvpr2024_tpu.train.optim import (
+        adamw_init, adapt_moment_layout, zero1_init)
+
+    params = {"a": jnp.arange(10.0).reshape(2, 5), "b": jnp.arange(3.0)}
+    dense = adamw_init(params)
+    dense = dense._replace(
+        mu=jax.tree_util.tree_map(lambda p: p + 1.0, params),
+        nu=jax.tree_util.tree_map(lambda p: p * 2.0, params),
+    )
+    # dense -> zero1(4): shapes match zero1_init's and values survive
+    z4 = adapt_moment_layout(dense, params, 4)
+    tmpl = zero1_init(params, 4)
+    for m, t in zip(jax.tree_util.tree_leaves(z4.mu),
+                    jax.tree_util.tree_leaves(tmpl.mu)):
+        assert m.shape == t.shape
+    # already in the target layout: no-op (identity tree)
+    z4b = adapt_moment_layout(z4, params, 4)
+    assert z4b.mu is z4.mu
+    # zero1(4) -> zero1(2): re-chunked via the dense intermediate
+    z2 = adapt_moment_layout(z4, params, 2)
+    for m, t in zip(jax.tree_util.tree_leaves(z2.mu),
+                    jax.tree_util.tree_leaves(zero1_init(params, 2).mu)):
+        assert m.shape == t.shape
+    # back to dense: exact values
+    back = adapt_moment_layout(z2, params, 0)
+    for x, y in zip(jax.tree_util.tree_leaves(back.mu),
+                    jax.tree_util.tree_leaves(dense.mu)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree_util.tree_leaves(back.nu),
+                    jax.tree_util.tree_leaves(dense.nu)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    dense2 = adapt_moment_layout(dense, params, 0)
+    assert dense2.mu is dense.mu
+
+
+def test_restore_flex_converts_zero1_layouts(tmp_path):
+    """The --zero1 flag can flip between save and resume: a dense
+    checkpoint restores into a ZeRO-1 run (and vice versa) through the
+    alternate-template retry + adapt_moment_layout glue the CLIs use."""
+    from lafs_cvpr2024_tpu.train.checkpoint import restore_checkpoint_flex
+    from lafs_cvpr2024_tpu.train.optim import adapt_moment_layout
+
+    cfg = SSLConfig(
+        model=PartFViTConfig(
+            image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=36, with_land=False, loss_type="None", num_classes=0,
+        ),
+        out_dim=16, head_hidden_dim=32, head_bottleneck_dim=8,
+        compute_dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    dense_state = jax.jit(lambda r: create_ssl_state(cfg, r))(rng)
+    save_checkpoint(str(tmp_path / "ck"), dense_state, step=5)
+
+    # resume with --zero1 over a 4-way data axis
+    z_state = jax.eval_shape(
+        lambda r: create_ssl_state(cfg, r, zero1_shards=4), rng
+    )
+    restored, step = restore_checkpoint_flex(
+        str(tmp_path / "ck"), _abstract(z_state), _abstract(dense_state),
+        lambda st: st._replace(opt_state=adapt_moment_layout(
+            st.opt_state, st.student, 4)),
+    )
+    assert step == 5
+    for m, t in zip(jax.tree_util.tree_leaves(restored.opt_state.mu),
+                    jax.tree_util.tree_leaves(z_state.opt_state.mu)):
+        assert m.shape == t.shape
+    # student params came through untouched
+    for x, y in zip(jax.tree_util.tree_leaves(restored.student),
+                    jax.tree_util.tree_leaves(dense_state.student)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # and the reverse: a zero1 checkpoint resumes into a dense run
+    z_restored = restored
+    save_checkpoint(str(tmp_path / "ck2"), z_restored, step=7)
+    back, step2 = restore_checkpoint_flex(
+        str(tmp_path / "ck2"), _abstract(dense_state), _abstract(z_state),
+        lambda st: st._replace(opt_state=adapt_moment_layout(
+            st.opt_state, st.student, 0)),
+    )
+    assert step2 == 7
+    for x, y in zip(jax.tree_util.tree_leaves(back.opt_state.mu),
+                    jax.tree_util.tree_leaves(dense_state.opt_state.mu)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
