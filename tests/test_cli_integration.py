@@ -580,3 +580,46 @@ def test_ssl_pretrain_to_supervised_finetune_handoff(tmp_path, monkeypatch):
             np.asarray(flat_t[path], np.float32),
             err_msg=f"SSL→supervised handoff changed {'/'.join(path)}",
         )
+
+
+def test_supervised_cli_resume_zero1_flip(tmp_path, monkeypatch):
+    """Flipping --zero1 between save and resume converts the optimizer
+    moment layout through restore_checkpoint_flex (dense checkpoint ->
+    ZeRO-1 run, then back), instead of dying on an orbax template
+    mismatch."""
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    work = str(tmp_path / "work")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_supervised
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    argv = [
+        "train", "--data-root", rec_dir, "--work-path", work,
+        "--batch-size", "1", "--acc-step", "2", "--epochs", "1",
+        "--warmup-epochs", "0", "--embedding-size", "32", "--depth", "1",
+        "--heads", "2", "--dim-head", "16", "--mlp-dim", "64",
+        "--num-patches", "36", "--image-size", "48", "--stn-mode", "small",
+        "--model-axis", "1", "--workers", "2", "--disp-freq", "1",
+    ]
+    # epoch 0: dense moments
+    monkeypatch.setattr(sys, "argv", argv)
+    train_supervised.main()
+    assert os.listdir(os.path.join(work, "ckpt"))
+
+    # resume WITH --zero1 (virtual 8-device data axis): dense checkpoint
+    # must restore and convert to the flat-chunked layout
+    monkeypatch.setattr(sys, "argv", argv + ["--zero1", "--epochs", "2",
+                                             "--resume"])
+    train_supervised.main()
+
+    # and back: the zero1 checkpoint resumes into a dense run
+    monkeypatch.setattr(sys, "argv", argv + ["--epochs", "3", "--resume"])
+    train_supervised.main()
