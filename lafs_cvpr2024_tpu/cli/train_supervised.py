@@ -82,8 +82,9 @@ def get_args():
                         "are for long-sequence configs")
     p.add_argument("--mlp-impl", default="auto",
                    choices=["auto", "dense", "fused", "fused_ln"],
-                   help="transformer MLP impl; 'fused' = pallas fc1+gelu+"
-                        "dropout+fc2 kernel (auto: fused on TPU)")
+                   help="transformer MLP impl; 'fused_ln' = pallas LN+fc1+"
+                        "gelu+dropout+fc2 kernel (auto: fused_ln on TPU — "
+                        "measured fastest, docs/PERF.md)")
     p.add_argument("--device-aug", action="store_true",
                    help="run mirror+RandAugment+crop+jitter+erasing ON DEVICE "
                         "inside the train step (host ships raw uint8; "
