@@ -70,7 +70,7 @@ def ssl_epoch(data_dir: str, n_workers: int = 4):
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, with_land=False, loss_type="None", num_classes=0,
-            mlp_impl="fused",
+            mlp_impl="fused_ln",
         ),
         out_dim=100000, local_crops_number=8,
         landmark_dtype=jnp.bfloat16, head_dtype=jnp.bfloat16,
@@ -116,7 +116,7 @@ def ssl_epoch(data_dir: str, n_workers: int = 4):
         "phase": "ssl_epoch", "steps": steps, "imgs": steps * batch,
         "wall_s": round(wall, 2), "ms_per_step": round(per_step * 1e3, 1),
         "imgs_per_sec": round(batch / per_step, 1),
-        "device_only_ms": 134.6,  # bench_ssl_variants head16 (pre-cropped)
+        "device_only_ms": 126.7,  # bench_ssl_variants fusedln (pre-cropped)
         "host_convert_ms_per_step": round(host_wait / max(steps - 1, 1) * 1e3, 1),
         "compile_s": round(compile_s, 1), "loss": round(loss, 3),
     }))
@@ -140,7 +140,7 @@ def finetune_and_val(data_dir: str, n_workers: int = 4, device_aug: bool = False
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,
             num_patches=196, num_classes=num_classes, with_land=True,
-            loss_type="CosFace", mlp_impl="fused",
+            loss_type="CosFace", mlp_impl="fused_ln",
         ),
         acc_step=3,
         mixup=MixupConfig(mixup_alpha=0.2, prob=0.1, num_classes=num_classes),
