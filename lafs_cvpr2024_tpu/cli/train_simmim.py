@@ -84,7 +84,6 @@ def main(argv=None):
         import_torch_state_dict,
         load_torch_file,
         merge_params,
-        save_checkpoint,
     )
     from ..train.simmim import (
         SimMIMConfig,
@@ -179,6 +178,11 @@ def main(argv=None):
         start_epoch = restored_step // max(steps_per_epoch, 1)
 
     step_fn = make_simmim_train_step(cfg, mesh, donate=True)
+    # async writer: serialization/IO overlap training (train/checkpoint.py)
+    from ..train.checkpoint import CheckpointWriter
+
+    writer = (CheckpointWriter(os.path.join(args.output_dir, "ckpt"))
+              if is_main_process() else None)
     logger = MetricLogger()
     jsonl = JSONLLogger(
         os.path.join(args.output_dir, "log.txt"), enabled=is_main_process()
@@ -209,16 +213,16 @@ def main(argv=None):
             losses.maybe_flush(it)
         losses.flush()
         logger.synchronize_between_processes()
+        if writer is not None:
+            writer.save((epoch + 1) * steps_per_epoch, state)
         if is_main_process():
-            save_checkpoint(
-                os.path.join(args.output_dir, "ckpt"), state,
-                step=(epoch + 1) * steps_per_epoch,
-            )
             jsonl.write({
                 "epoch": epoch,
                 "train_loss": logger.meters["loss"].global_avg,
                 "epoch_time_s": time.time() - t0,
             })
+    if writer is not None:
+        writer.close()  # drain pending async writes before exit
 
 
 def _ssl_cfg_for_provider(cfg):

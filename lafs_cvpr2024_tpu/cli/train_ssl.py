@@ -131,7 +131,6 @@ def main():
         import_torch_state_dict,
         load_torch_file,
         merge_params,
-        save_checkpoint,
     )
     from ..train.ssl import (
         SSLConfig,
@@ -278,6 +277,11 @@ def main():
     from ..parallel.mesh import global_batch
 
     step_fn = make_ssl_train_step(cfg, mesh, donate=True)
+    # async writer: serialization/IO overlap training (train/checkpoint.py)
+    from ..train.checkpoint import CheckpointWriter
+
+    writer = (CheckpointWriter(os.path.join(args.output_dir, "ckpt"))
+              if is_main_process() else None)
     crop_spec = P(None, "data")
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
@@ -342,16 +346,13 @@ def main():
                 # flush on EVERY process (nan_exit must abort all ranks at
                 # the same step), save on main only
                 losses.flush()
-                if is_main_process():
-                    save_checkpoint(
-                        os.path.join(args.output_dir, "ckpt"), state,
-                        step=gstep + 1,
-                    )
+                if writer is not None:
+                    writer.save(gstep + 1, state)
         losses.flush()
         logger.synchronize_between_processes()
+        if writer is not None:
+            writer.save((epoch + 1) * steps_per_epoch, state)
         if is_main_process():
-            save_checkpoint(os.path.join(args.output_dir, "ckpt"), state,
-                            step=(epoch + 1) * steps_per_epoch)
             jsonl.write({
                 "epoch": epoch,
                 "train_loss": logger.meters["loss"].global_avg,
@@ -359,6 +360,8 @@ def main():
             })
     if tracing:  # run shorter than 2 + profile_steps: still flush the trace
         jax.profiler.stop_trace()
+    if writer is not None:
+        writer.close()  # drain pending async writes before exit
 
 
 if __name__ == "__main__":

@@ -156,7 +156,6 @@ def main():
         import_torch_state_dict,
         load_torch_file,
         merge_params,
-        save_checkpoint,
         strip_prefixes,
     )
     from ..train.supervised import (
@@ -371,6 +370,10 @@ def main():
         else:
             start_step = 0
 
+    # async writer: serialization/IO overlap training (train/checkpoint.py)
+    from ..train.checkpoint import CheckpointWriter
+
+    writer = CheckpointWriter(os.path.join(args.work_path, "ckpt"))
     step_fn = make_train_step(cfg, mesh, donate=True)
     embed_fn = make_embed_fn(cfg, mesh, input_scale="half")
     # eval-time landmark/patch visualization (with_land models only)
@@ -484,18 +487,13 @@ def main():
                             denorm=False,
                         )
                 if need_save(accs, highest_acc):
-                    save_checkpoint(
-                        os.path.join(args.work_path, "ckpt"),
-                        ckpt_payload(),
-                        step=gstep,
-                    )
+                    writer.save(gstep, ckpt_payload())
             gstep += 1
         losses.flush()
         jsonl.write({"epoch": epoch, "loss": logger.meters["loss"].global_avg,
                      "epoch_time_s": time.time() - t_epoch})
-    save_checkpoint(
-        os.path.join(args.work_path, "ckpt"), ckpt_payload(), step=gstep
-    )
+    writer.save(gstep, ckpt_payload())
+    writer.close()  # drain pending async writes before exit
 
 
 if __name__ == "__main__":

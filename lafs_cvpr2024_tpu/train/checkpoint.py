@@ -32,7 +32,11 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(path: str, state: Any, step: int, keep: int = 3) -> None:
-    """Save a pytree checkpoint with orbax (per-step directories)."""
+    """Save a pytree checkpoint with orbax (per-step directories).
+
+    BLOCKING one-shot form (constructs and drains a manager per call) —
+    fine for tests and final saves; the training CLIs use
+    :class:`CheckpointWriter` so serialization/IO overlap training."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -40,6 +44,48 @@ def save_checkpoint(path: str, state: Any, step: int, keep: int = 3) -> None:
         path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mgr:
         mgr.save(step, args=ocp.args.StandardSave(state))
+
+
+class CheckpointWriter:
+    """Long-lived ASYNC orbax writer for the training loops.
+
+    ``save()`` returns once the device state is snapshotted to host;
+    serialization + disk IO run in orbax's background thread while the
+    next train steps dispatch (the reference blocks the loop in
+    ``torch.save`` for the full write, ``lafs_train.py:598-607`` — on the
+    flagship the SSL payload is ~1.4 GB, several seconds of IO per save).
+    Ordering, retention (``max_to_keep``) and atomic per-step directories
+    are orbax's; a still-running previous save is drained automatically
+    before the next one starts. ``close()`` (or context exit) blocks
+    until everything pending is durably on disk — always close before
+    reading the directory back or exiting the process."""
+
+    def __init__(self, path: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(path),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, enable_async_checkpointing=True,
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=self._ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        """Block until all pending async saves are committed."""
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def restore_checkpoint(path: str, abstract_state: Any, step: Optional[int] = None):

@@ -175,3 +175,42 @@ def test_restore_flex_converts_zero1_layouts(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(back.opt_state.mu),
                     jax.tree_util.tree_leaves(dense_state.opt_state.mu)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_writer_async_roundtrip(tmp_path):
+    """CheckpointWriter: async saves commit durably by close(), retention
+    keeps max_to_keep, the caller may drop its reference right after
+    save() (the loop rebinds `state` every step), and the result is
+    readable by the plain restore path."""
+    import gc
+
+    from lafs_cvpr2024_tpu.train.checkpoint import CheckpointWriter
+
+    trees = []
+    with CheckpointWriter(str(tmp_path / "ck"), keep=2) as w:
+        for step in (1, 2, 3):
+            tree = {
+                "a": jnp.full((4, 3), float(step)),
+                "b": {"c": jnp.arange(6.0) * step},
+            }
+            trees.append(jax.tree_util.tree_map(np.asarray, tree))
+            w.save(step, tree)
+            del tree  # the train loop rebinds state immediately
+            gc.collect()
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, jnp.asarray(x).dtype),
+        trees[-1],
+    )
+    restored, step = restore_checkpoint(str(tmp_path / "ck"), abstract)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(restored["a"]), trees[-1]["a"])
+    np.testing.assert_array_equal(
+        np.asarray(restored["b"]["c"]), trees[-1]["b"]["c"]
+    )
+    # retention: only the last 2 steps survive
+    restored2, _ = restore_checkpoint(str(tmp_path / "ck"), abstract, step=2)
+    np.testing.assert_array_equal(np.asarray(restored2["a"]), trees[1]["a"])
+    import pytest
+
+    with pytest.raises(Exception):
+        restore_checkpoint(str(tmp_path / "ck"), abstract, step=1)
