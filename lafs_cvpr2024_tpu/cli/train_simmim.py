@@ -183,6 +183,10 @@ def main(argv=None):
 
     writer = (CheckpointWriter(os.path.join(args.output_dir, "ckpt"))
               if is_main_process() else None)
+    # SIGTERM (TPU-VM preemption grace window) → save + clean exit
+    from ..train.checkpoint import PreemptionGuard
+
+    guard = PreemptionGuard()
     logger = MetricLogger()
     jsonl = JSONLLogger(
         os.path.join(args.output_dir, "log.txt"), enabled=is_main_process()
@@ -211,6 +215,15 @@ def main(argv=None):
             losses.append(gstep, metrics["loss"])
             logger.update(lr=lr_sched[gstep])
             losses.maybe_flush(it)
+            if guard.requested:
+                losses.flush()
+                if writer is not None:
+                    writer.save(gstep + 1, state)
+                    writer.close()
+                print(f"[preempt] SIGTERM: saved step {gstep + 1}; exiting "
+                      "cleanly — resume restarts this epoch (epoch-granular "
+                      "restore)")
+                return
         losses.flush()
         logger.synchronize_between_processes()
         if writer is not None:

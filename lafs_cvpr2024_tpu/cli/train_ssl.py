@@ -282,6 +282,10 @@ def main():
 
     writer = (CheckpointWriter(os.path.join(args.output_dir, "ckpt"))
               if is_main_process() else None)
+    # SIGTERM (TPU-VM preemption grace window) → save + clean exit
+    from ..train.checkpoint import PreemptionGuard
+
+    guard = PreemptionGuard()
     crop_spec = P(None, "data")
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
@@ -348,6 +352,16 @@ def main():
                 losses.flush()
                 if writer is not None:
                     writer.save(gstep + 1, state)
+            if guard.requested:
+                losses.flush()
+                if writer is not None:
+                    writer.save(gstep + 1, state)
+                    writer.close()
+                if tracing:
+                    jax.profiler.stop_trace()
+                print(f"[preempt] SIGTERM: saved step {gstep + 1}; exiting "
+                      "cleanly — rerun the same command to resume exactly")
+                return
         losses.flush()
         logger.synchronize_between_processes()
         if writer is not None:

@@ -374,6 +374,10 @@ def main():
     from ..train.checkpoint import CheckpointWriter
 
     writer = CheckpointWriter(os.path.join(args.work_path, "ckpt"))
+    # SIGTERM (TPU-VM preemption grace window) → save + clean exit
+    from ..train.checkpoint import PreemptionGuard
+
+    guard = PreemptionGuard()
     step_fn = make_train_step(cfg, mesh, donate=True)
     embed_fn = make_embed_fn(cfg, mesh, input_scale="half")
     # eval-time landmark/patch visualization (with_land models only)
@@ -430,6 +434,13 @@ def main():
             losses.append(gstep, metrics["loss"])
             logger.update(lr=lr)
             losses.maybe_flush(gstep)
+            if guard.requested:
+                losses.flush()
+                writer.save(gstep + 1, ckpt_payload())
+                writer.close()
+                print(f"[preempt] SIGTERM: saved step {gstep + 1}; exiting "
+                      "cleanly — rerun with --resume to continue exactly")
+                return
             if gstep % args.disp_freq == 0 and is_main_process():
                 losses.flush()
                 print(f"epoch {epoch} step {gstep}: {logger}")

@@ -88,6 +88,42 @@ class CheckpointWriter:
         self.close()
 
 
+class PreemptionGuard:
+    """SIGTERM-aware training for preemptible TPU VMs.
+
+    Cloud TPU maintenance/preemption delivers SIGTERM with a grace window;
+    the reference has no handling (a mid-``torch.save`` kill corrupts the
+    checkpoint). The guard flips a flag the train loops poll at step
+    boundaries, so the run writes one final exact-resume checkpoint and
+    exits cleanly — the signal handler itself does nothing unsafe. The
+    previous handler is chained (systemd/test runners keep their
+    semantics) and restored by ``uninstall()``."""
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self._requested = False
+        self._prev = {}
+        for s in signals or (_signal.SIGTERM,):
+            self._prev[s] = _signal.signal(s, self._handler)
+
+    def _handler(self, signum, frame):
+        self._requested = True
+        prev = self._prev.get(signum)
+        if callable(prev):
+            prev(signum, frame)
+
+    @property
+    def requested(self) -> bool:
+        return self._requested
+
+    def uninstall(self) -> None:
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        self._prev = {}
+
+
 def restore_checkpoint(path: str, abstract_state: Any, step: Optional[int] = None):
     """Restore latest (or given) step; returns None if no checkpoint exists.
 

@@ -5,6 +5,7 @@ one epoch on the CPU mesh → checkpoint written. Exercises the full user path
 import io
 import os
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -622,4 +623,56 @@ def test_supervised_cli_resume_zero1_flip(tmp_path, monkeypatch):
 
     # and back: the zero1 checkpoint resumes into a dense run
     monkeypatch.setattr(sys, "argv", argv + ["--epochs", "3", "--resume"])
+    train_supervised.main()
+
+
+def test_supervised_cli_preemption_sigterm(tmp_path, monkeypatch):
+    """SIGTERM mid-epoch (the TPU-VM preemption grace signal) makes the
+    CLI save an exact-resume checkpoint and return cleanly; rerunning
+    with --resume continues from the preempted step."""
+    import signal
+    import threading
+
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    work = str(tmp_path / "work")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_supervised
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    argv = [
+        "train", "--data-root", rec_dir, "--work-path", work,
+        "--batch-size", "1", "--acc-step", "2", "--epochs", "40",
+        "--warmup-epochs", "0", "--embedding-size", "32", "--depth", "1",
+        "--heads", "2", "--dim-head", "16", "--mlp-dim", "64",
+        "--num-patches", "36", "--image-size", "48", "--stn-mode", "small",
+        "--model-axis", "1", "--workers", "2", "--disp-freq", "1000",
+    ]
+    # deliver SIGTERM shortly after the first steps start; 40 epochs would
+    # otherwise run for minutes, so finishing fast proves the preempt path
+    timer = threading.Timer(
+        20.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+    )
+    timer.start()
+    t0 = time.time()
+    monkeypatch.setattr(sys, "argv", argv)
+    train_supervised.main()
+    elapsed = time.time() - t0
+    timer.cancel()
+    assert elapsed < 300, "SIGTERM did not stop the run early"
+    ckpt = os.path.join(work, "ckpt")
+    steps = [int(d) for d in os.listdir(ckpt) if d.isdigit()]
+    assert steps, "preemption save missing"
+
+    # resume continues (shrink to 1 epoch so the test ends quickly)
+    argv2 = [a for a in argv]
+    argv2[argv2.index("--epochs") + 1] = "1"
+    monkeypatch.setattr(sys, "argv", argv2 + ["--resume"])
     train_supervised.main()

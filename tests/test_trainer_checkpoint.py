@@ -1,6 +1,8 @@
 """Orbax round-trip of the actual trainer states (NamedTuples with nested
 param trees) — the resume path of both CLIs."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,3 +216,23 @@ def test_checkpoint_writer_async_roundtrip(tmp_path):
 
     with pytest.raises(Exception):
         restore_checkpoint(str(tmp_path / "ck"), abstract, step=1)
+
+
+def test_preemption_guard_chains_and_restores():
+    import signal
+
+    from lafs_cvpr2024_tpu.train.checkpoint import PreemptionGuard
+
+    seen = []
+    prev = signal.signal(signal.SIGUSR1, lambda s, f: seen.append(s))
+    try:
+        g = PreemptionGuard(signals=(signal.SIGUSR1,))
+        assert not g.requested
+        os.kill(os.getpid(), signal.SIGUSR1)
+        assert g.requested
+        assert seen == [signal.SIGUSR1]  # previous handler chained
+        g.uninstall()
+        os.kill(os.getpid(), signal.SIGUSR1)
+        assert seen == [signal.SIGUSR1, signal.SIGUSR1]  # restored
+    finally:
+        signal.signal(signal.SIGUSR1, prev)
