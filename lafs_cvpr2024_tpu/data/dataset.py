@@ -47,9 +47,11 @@ class FaceRecordDataset:
         subset_cache_path: Optional[str] = None,
         seed: int = 0,
         use_native: bool = True,
-        image_size: int = 112,
         native_threads: Optional[int] = None,
     ):
+        # NOTE: no image_size parameter — records decode at their packed
+        # size (the native decoder sizes itself from the first image); a
+        # resize belongs in `transform` where it composes with augmentation
         idx_path = rec_path[:-4] + ".idx"
         self.reader = IndexedRecordIOReader(idx_path, rec_path)
         self._native = None
@@ -280,6 +282,15 @@ class AttributeFaceDataset(FaceRecordDataset):
     def __getitem__(self, index: int):
         img, label = super().__getitem__(index)
         return img, (label, self.attrs[self.seq[index]])
+
+    def fetch_batch(self, indices, pool=None):
+        """Batch fast path with the attribute labels ATTACHED — the
+        inherited native path returns only (imgs, id_labels) and would
+        silently drop ``self.attrs``, breaking fetch_batch's documented
+        equivalence to ``[self[i] for i in indices]``."""
+        items, labels = super().fetch_batch(indices, pool)
+        attrs = np.stack([self.attrs[self.seq[i]] for i in indices])
+        return items, (labels, attrs)
 
 
 @dataclass

@@ -45,7 +45,18 @@ def load_library() -> Optional[ctypes.CDLL]:
         )
     )
     # rebuild on stale: a leftover binary must never shadow newer C++ source
-    if stale and not _build() and not os.path.exists(_LIB_PATH):
+    if stale and not _build():
+        if os.path.exists(_LIB_PATH):
+            # old binary exists but the rebuild failed — loading it would
+            # silently diverge from the current .cc; refuse (PIL fallback)
+            import warnings
+
+            warnings.warn(
+                "native/lafs_dataplane.cc is newer than the built library "
+                "and `make` failed — native data plane DISABLED (stale "
+                "binary not loaded); rebuild manually with "
+                "`make -C native`", RuntimeWarning,
+            )
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

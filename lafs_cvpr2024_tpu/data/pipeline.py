@@ -53,10 +53,13 @@ class EpochSampler:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
-        # pad/shard per process (DistributedSampler pads with wraparound)
+        # pad/shard per process (DistributedSampler pads with wraparound;
+        # np.resize tiles, so even n < process_count/2 pads fully and every
+        # process gets an equal shard — a short concat would leave trailing
+        # processes empty and desync the multi-host collectives)
         per = -(-self.n // self.process_count)
         if len(idx) < per * self.process_count:
-            idx = np.concatenate([idx, idx[: per * self.process_count - len(idx)]])
+            idx = np.resize(idx, per * self.process_count)
         local = idx[self.process_index :: self.process_count]
         if self.drop_last:
             local = local[: len(local) // self.batch_size * self.batch_size]

@@ -107,22 +107,26 @@ def image2template_feature(
     """Media-then-template aggregation (reference ``IJB_evaluation.py:501-535``):
     per template, frames of a video (same media id) are averaged first, then
     media features are SUMMED and the sum L2-normalized."""
-    unique_templates = np.unique(templates)
+    # one argsort groups rows by template (the reference's np.where-per-
+    # template rescan is O(T·N) ≈ 1e10 comparisons on IJB-C; this is
+    # O(N log N) with identical aggregation order-independence)
+    order = np.argsort(templates, kind="stable")
+    sorted_t = templates[order]
+    unique_templates, starts = np.unique(sorted_t, return_index=True)
+    bounds = np.append(starts, len(sorted_t))
     dim = img_feats.shape[1]
     out = np.zeros((len(unique_templates), dim))
-    for i, uqt in enumerate(unique_templates):
-        (ind_t,) = np.where(templates == uqt)
+    for i in range(len(unique_templates)):
+        ind_t = order[bounds[i]:bounds[i + 1]]
         feats = img_feats[ind_t]
         face_medias = medias[ind_t]
-        unique_medias, counts = np.unique(face_medias, return_counts=True)
-        media_feats = []
-        for u, ct in zip(unique_medias, counts):
-            (ind_m,) = np.where(face_medias == u)
-            if ct == 1:
-                media_feats.append(feats[ind_m])
-            else:
-                media_feats.append(np.mean(feats[ind_m], axis=0, keepdims=True))
-        out[i] = np.sum(np.concatenate(media_feats, axis=0), axis=0)
+        unique_medias, inv, counts = np.unique(
+            face_medias, return_inverse=True, return_counts=True
+        )
+        # per-media mean via one bincount pass, then sum of media means
+        sums = np.zeros((len(unique_medias), dim))
+        np.add.at(sums, inv, feats)
+        out[i] = np.sum(sums / counts[:, None], axis=0)
     norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
     return out / norms, unique_templates
 

@@ -50,33 +50,16 @@ def calculate_accuracy(threshold, dist, actual_issame):
 def calculate_roc(
     thresholds, embeddings1, embeddings2, actual_issame, nrof_folds=10
 ):
-    """Reference ``verification.py:37-91`` (vectorized threshold sweep)."""
+    """Reference ``verification.py:37-91``: squared-L2 pair distances, then
+    the shared KFold threshold sweep (:func:`_roc_from_dist` — one
+    implementation, not two copies to keep in sync)."""
     n = min(len(actual_issame), embeddings1.shape[0])
     diff = embeddings1 - embeddings2
     dist = np.sum(diff * diff, axis=1)
-    issame = np.asarray(actual_issame, dtype=bool)
-
-    n_thr = len(thresholds)
-    tprs = np.zeros((nrof_folds, n_thr))
-    fprs = np.zeros((nrof_folds, n_thr))
-    accuracy = np.zeros(nrof_folds)
-    best_thresholds = np.zeros(nrof_folds)
-
-    # vectorized (n_thr, n) prediction matrix
-    pred = dist[None, :] < np.asarray(thresholds)[:, None]
-
-    for fold, (train, test) in enumerate(kfold_indices(n, nrof_folds)):
-        acc_train = (pred[:, train] == issame[None, train]).mean(axis=1)
-        best = int(np.argmax(acc_train))
-        best_thresholds[fold] = thresholds[best]
-        for ti in range(n_thr):
-            tprs[fold, ti], fprs[fold, ti], _ = calculate_accuracy(
-                thresholds[ti], dist[test], issame[test]
-            )
-        _, _, accuracy[fold] = calculate_accuracy(
-            thresholds[best], dist[test], issame[test]
-        )
-    return tprs.mean(0), fprs.mean(0), accuracy, best_thresholds
+    return _roc_from_dist(
+        dist[:n], np.asarray(actual_issame, dtype=bool)[:n],
+        thresholds, nrof_folds,
+    )
 
 
 def calculate_val(

@@ -162,15 +162,6 @@ class TensorBoardWriter:
         self._f = open(os.path.join(logdir, fname), "ab")
         self._write_event(self._event(wall_time=time.time(), file_version="brain.Event:2"))
 
-    @staticmethod
-    def _masked_crc(data: bytes) -> int:
-        import zlib
-
-        crc = zlib.crc32(data) & 0xFFFFFFFF
-        # TFRecord uses masked crc32c; crc32 is accepted by TB's reader? No —
-        # TB validates crc32c. Implement crc32c via table below.
-        return crc
-
     def _write_event(self, payload: bytes):
         data_len = struct.pack("<Q", len(payload))
         self._f.write(data_len)

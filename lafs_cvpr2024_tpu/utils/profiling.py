@@ -21,12 +21,14 @@ def cost_analysis(fn: Callable, *example_args) -> Dict[str, float]:
     compiled = lowered.compile()
     costs = compiled.cost_analysis()
     if isinstance(costs, list):
-        costs = costs[0]
+        costs = costs[0] if costs else None
+    if not costs:  # some PJRT backends return None/empty: degrade, not crash
+        return {"flops": -1.0, "bytes_accessed": -1.0,
+                "utilization_hint": -1.0}
     return {
         "flops": float(costs.get("flops", -1)),
         "bytes_accessed": float(costs.get("bytes accessed", -1)),
-        "utilization_hint": float(costs.get("utilization operand 0 {}", -1))
-        if costs else -1.0,
+        "utilization_hint": float(costs.get("utilization operand 0 {}", -1)),
     }
 
 

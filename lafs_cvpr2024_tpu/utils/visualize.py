@@ -77,8 +77,9 @@ def save_patch_grid(
     n = patches.shape[0]
     r = int(np.ceil(np.sqrt(n)))
     fig, axes = plt.subplots(r, r, figsize=(r, r))
+    axes = np.atleast_1d(np.asarray(axes)).ravel()  # r=1: bare Axes
     for i in range(r * r):
-        ax = axes.flat[i]
+        ax = axes[i]
         ax.axis("off")
         if i < n:
             p = patches[i]
@@ -121,6 +122,9 @@ def attention_rollout(
         a = fused + np.eye(n)[None]
         a = a / a.sum(axis=-1, keepdims=True)
         result = a if result is None else a @ result
+    if result is None:
+        raise ValueError("attention_rollout: empty attentions sequence "
+                         "(did the layer-capture hook record anything?)")
     return result[:, 0, 1:]
 
 

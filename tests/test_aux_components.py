@@ -95,6 +95,13 @@ def test_attribute_dataset(tmp_path):
     img, (label, attrs) = ds[1]
     assert attrs.shape == (2,)
     assert label == 1.0
+    if ds.supports_batch_fetch:
+        # the native fast path must NOT drop the attribute labels (it is
+        # documented equivalent to [ds[i] for i in indices])
+        imgs, (labels, battrs) = ds.fetch_batch([0, 2])
+        assert imgs.shape[0] == 2 and battrs.shape == (2, 2)
+        np.testing.assert_allclose(battrs[1], ds.attrs[ds.seq[2]])
+        np.testing.assert_allclose(labels, [0.0, 2.0])
 
 
 def test_evaluate_token_and_two():

@@ -235,3 +235,24 @@ def test_face_folder_dataset(tmp_path):
     assert len(ds) == 6
     labels = sorted(ds[i][1] for i in range(len(ds)))
     assert labels == [0.0, 0.0, 1.0, 1.0, 2.0, 2.0]
+
+
+def test_epoch_sampler_tiny_dataset_equal_shards():
+    """n < process_count: wraparound padding must TILE (np.resize), not
+    short-concat — every process gets an equal shard or multi-host
+    collectives desync."""
+    from lafs_cvpr2024_tpu.data.pipeline import EpochSampler
+
+    for n, pc in [(3, 8), (1, 8), (5, 4), (7, 16)]:
+        shards = [
+            EpochSampler(n, 1, process_index=i, process_count=pc,
+                         shuffle=False).epoch_indices(0)
+            for i in range(pc)
+        ]
+        sizes = {len(s) for s in shards}
+        assert len(sizes) == 1, (n, pc, [len(s) for s in shards])
+        per = -(-n // pc)
+        assert sizes == {per}
+        # every real index still appears at least once across the shards
+        all_idx = set(np.concatenate(shards).tolist())
+        assert all_idx == set(range(n))
