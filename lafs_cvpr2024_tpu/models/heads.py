@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -71,6 +72,14 @@ class ArcFace(nn.Module):
         cosine = jnp.clip(cosine, -1.0 + 1e-7, 1.0 - 1e-7)
         theta = jnp.arccos(cosine)
         phi = jnp.cos(theta + self.m)
+        # standard insightface hard-sample guard (easy_margin=False): past
+        # θ > π − m, cos(θ+m) turns INCREASING in θ — the penalty would
+        # reward worse embeddings; use the monotone linear tail cos−m·sin(m)
+        phi = jnp.where(
+            cosine > float(np.cos(np.pi - self.m)),
+            phi,
+            cosine - self.m * float(np.sin(self.m)),
+        )
         if labels.ndim > 1:
             one_hot = labels.astype(cosine.dtype)
         else:

@@ -27,18 +27,7 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, a * x)
 
 
-class _BN(nn.Module):
-    axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.axis_name if train else None,
-            name="bn",
-        )(x)
+from .layers import SyncableBN as _BN
 
 
 class IBasicBlock(nn.Module):

@@ -15,6 +15,8 @@ All math is jnp; XLA fuses LN/GELU/softmax into the matmuls.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -68,6 +70,26 @@ class _LinearParams(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return k, b
+
+
+class SyncableBN(nn.Module):
+    """BatchNorm with optional cross-device stat sync (SyncBatchNorm when
+    ``axis_name`` names a mesh axis; plain BN otherwise). Torch-default
+    momentum/eps; eval always uses running stats with NO collective (the
+    eval graph must not require a mesh). Shared by the MobileNetV3 and
+    iResNet backbones — one definition, one sync-gating behavior."""
+
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            name="bn",
+        )(x)
 
 
 class _KernelParams(nn.Module):

@@ -60,18 +60,7 @@ def hsigmoid(x):
     return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
 
 
-class _BN(nn.Module):
-    axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.axis_name if train else None,
-            name="bn",
-        )(x)
+from .layers import SyncableBN as _BN
 
 
 class ConvBN(nn.Module):

@@ -139,6 +139,16 @@ class PartFViT(nn.Module):
         modeling path — masked patch embeddings are replaced by a learned
         ``mask_token`` (reference ``ViT_face.py:947-951,1152-1156``)."""
         cfg = self.cfg
+        if cfg.with_land and cfg.use_standcoord:
+            # in the reference these flags run SEQUENTIALLY — the standcoord
+            # block re-gathers from the landmark block's already-gathered
+            # patch tensor (ViT_face.py:680-760), which is shape-invalid for
+            # grid_sample; standcoord configs there always set with_land off.
+            # Refuse loudly instead of silently preferring one branch.
+            raise ValueError(
+                "PartFViTConfig: with_land and use_standcoord are mutually "
+                "exclusive (set with_land=False for the fixed-grid variant)"
+            )
         p = cfg.patch_size
         theta = None
 

@@ -40,26 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_mlp import _align_vma, _use_interpret, _vma
+
 _NEG = -1e30
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _vma(*arrays):
-    out = frozenset()
-    for a in arrays:
-        out |= getattr(jax.typeof(a), "vma", frozenset())
-    return out
-
-
-def _align_vma(vma, *arrays):
-    out = []
-    for a in arrays:
-        missing = tuple(vma - getattr(jax.typeof(a), "vma", frozenset()))
-        out.append(jax.lax.pvary(a, missing) if missing else a)
-    return out
 
 
 def _softmax_fp32(q, k, scale: float, n_real: int):

@@ -85,7 +85,10 @@ def _bits(shape, seed, tile_idx, draw_idx: int, interpret: bool):
 
 
 def _thresh(rate: float) -> np.uint32:
-    return np.uint32(int(round((1.0 - rate) * 2.0 ** 32)) & 0xFFFFFFFF)
+    # clamp BELOW 2**32: for rate < ~1.2e-10 the rounded keep-threshold hits
+    # 2**32 exactly and the uint32 mask would wrap it to 0 (= drop ALL);
+    # mirror FastDropout's uint16 min(..., 65535) guard
+    return np.uint32(min(int(round((1.0 - rate) * 2.0 ** 32)), 2 ** 32 - 1))
 
 
 def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,

@@ -295,11 +295,13 @@ class FastCollateMixup:
                 lam_eff[i] = lam
                 if pair:
                     lam_eff[j] = lam
-        y = np.asarray(
-            one_hot_smooth(
-                jnp.asarray(np.asarray(labels, np.int32)),
-                cfg.num_classes, cfg.label_smoothing,
-            )
-        )
+        # pure numpy: this is the HOST collate hot path — a jnp round-trip
+        # here would add a device transfer + dispatch per batch, contending
+        # with the train step
+        lab = np.asarray(labels, np.int64)
+        off = cfg.label_smoothing / cfg.num_classes
+        on = 1.0 - cfg.label_smoothing + off
+        y = np.full((len(lab), cfg.num_classes), off, np.float32)
+        y[np.arange(len(lab)), lab] = on
         target = y * lam_eff[:, None] + y[::-1] * (1 - lam_eff[:, None])
         return np.rint(out).astype(images.dtype), target.astype(np.float32)

@@ -182,10 +182,31 @@ def is_main_process() -> bool:
 
 def maybe_initialize_distributed():
     """Multi-host init (reference ``init_distributed_mode``). No-op when the
-    runtime is single-process or already initialized."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    runtime is single-process or already initialized.
+
+    ORDER MATTERS: the env check runs FIRST — ``jax.process_count()``
+    initializes the XLA backend, after which ``jax.distributed.initialize``
+    raises ("must be called before any JAX calls"). So probing
+    process_count to decide whether to initialize would always crash the
+    one launch this function exists for; instead initialize straight off
+    the env var and treat orbax/launcher double-init as a no-op."""
     import os
 
-    if "COORDINATOR_ADDRESS" in os.environ:
+    if "COORDINATOR_ADDRESS" not in os.environ:
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        # already initialized (by the launcher or an earlier call): fine.
+        # Anything else (rendezvous failure, bad address) must surface.
+        if "already" not in str(e) and "before any JAX" not in str(e):
+            raise
+        if "before any JAX" in str(e) and jax.process_count() <= 1:
+            # backend got initialized single-process BEFORE this call —
+            # the pod join is impossible now; tell the user loudly
+            raise RuntimeError(
+                "COORDINATOR_ADDRESS is set but the XLA backend was "
+                "already initialized single-process — call "
+                "maybe_initialize_distributed() (or jax.distributed."
+                "initialize()) before ANY other jax API use"
+            ) from e

@@ -75,5 +75,50 @@ def test_gnn():
     g = GNN(channels=16, depth=2)
     x = jnp.ones((2, 9, 16))
     var = jax.jit(g.init)(jax.random.PRNGKey(0), x)
-    out = g.apply(var, x)
+    out, edge = g.apply(var, x)
     assert out.shape == (2, 9, 16)
+    assert edge.shape == (2, 9, 9, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # train mode mutates BN batch stats
+    (out_t, _), updates = g.apply(
+        var, x, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in updates
+
+
+def test_arcface_margin_monotone_for_hard_samples():
+    """insightface easy_margin=False guard: past θ > π − m the penalized
+    target logit must keep DECREASING in θ (the naive cos(θ+m) turns
+    increasing and would reward worse embeddings)."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.models.heads import ArcFace
+
+    m = ArcFace(in_features=4, out_features=3, s=1.0, m=0.5)
+    w = jnp.eye(3, 4)  # class centers along axes
+    thetas = np.linspace(0.05, np.pi - 0.05, 40)
+    embs = jnp.stack(
+        [jnp.array([np.cos(t), np.sin(t), 0.0, 0.0]) for t in thetas]
+    )
+    labels = jnp.zeros((len(thetas),), jnp.int32)
+    logits = m.apply(
+        {"params": {"weight": w}}, embs, labels
+    )
+    target = np.asarray(logits)[:, 0]
+    assert np.all(np.diff(target) < 1e-6), "target logit not monotone in θ"
+
+
+def test_with_land_and_standcoord_mutually_exclusive():
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig
+
+    cfg = PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, with_land=True, use_standcoord=True,
+        stn_mode="small",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PartFViT(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3))
+        )

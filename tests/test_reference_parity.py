@@ -453,3 +453,78 @@ def test_iresnet_avgpool_variant_parity(ref):
     )
     cos = _cosine_rows(emb_t, emb_j)
     assert cos.min() >= 1 - 1e-3, cos
+
+
+def test_gnn_parity(ref):
+    """Reference ``GNN`` (ViT_face.py:228-334): residual gated graph conv
+    with edge state, per-edge/per-node BatchNorm1d quirks, softmax-over-
+    source gates, relu-after-residual. Eval mode with randomized BN
+    running stats; weights mapped by hand (bias-free linears + 2 BNs)."""
+    torch.manual_seed(3)
+    N, C = 5, 8
+    tm = ref.GNN(in_channels=C, num_classes=N).eval()
+    with torch.no_grad():
+        for bn in (tm.bne1, tm.bnv1):
+            bn.weight.copy_(1.0 + 0.2 * torch.randn_like(bn.weight))
+            bn.bias.copy_(0.1 * torch.randn_like(bn.bias))
+            bn.running_mean.copy_(0.3 * torch.randn_like(bn.running_mean))
+            bn.running_var.copy_(
+                (1.0 + 0.2 * torch.randn_like(bn.running_var)).abs()
+            )
+    x_t = torch.randn(2, N, C)
+    e_t = torch.randn(2, N * N, C)
+    # the reference forward is GPU-only by accident: `start`/`end` are only
+    # bound inside `if x.get_device() >= 0:` (ViT_face.py:294-297), so CPU
+    # hits UnboundLocalError. Pretend device 0 and make `.to(0)` a no-op so
+    # the reference's OWN code path runs unmodified on CPU torch.
+    orig_to = torch.Tensor.to
+    orig_get_device = torch.Tensor.get_device
+
+    def fake_to(self, *a, **kw):
+        if a and isinstance(a[0], int):
+            return self
+        return orig_to(self, *a, **kw)
+
+    torch.Tensor.to = fake_to
+    torch.Tensor.get_device = lambda self: 0
+    try:
+        with torch.no_grad():
+            y_t, edge_t = tm(x_t, e_t)
+    finally:
+        torch.Tensor.to = orig_to
+        torch.Tensor.get_device = orig_get_device
+
+    from lafs_cvpr2024_tpu.models.gnn import GatedGraphConv
+
+    m = GatedGraphConv(C)
+    x = jnp.asarray(x_t.numpy())
+    e = jnp.asarray(e_t.numpy().reshape(2, N, N, C))
+
+    def k(lin):
+        return jnp.asarray(lin.weight.detach().numpy().T)
+
+    params = {
+        "A1": {"kernel": k(tm.A1)}, "B1": {"kernel": k(tm.B1)},
+        "E1": {"kernel": k(tm.E1)}, "U1": {"kernel": k(tm.U1)},
+        "V1": {"kernel": k(tm.V1)},
+        "bne1": {"scale": jnp.asarray(tm.bne1.weight.detach().numpy()),
+                 "bias": jnp.asarray(tm.bne1.bias.detach().numpy())},
+        "bnv1": {"scale": jnp.asarray(tm.bnv1.weight.detach().numpy()),
+                 "bias": jnp.asarray(tm.bnv1.bias.detach().numpy())},
+    }
+    stats = {
+        "bne1": {"mean": jnp.asarray(tm.bne1.running_mean.numpy()),
+                 "var": jnp.asarray(tm.bne1.running_var.numpy())},
+        "bnv1": {"mean": jnp.asarray(tm.bnv1.running_mean.numpy()),
+                 "var": jnp.asarray(tm.bnv1.running_var.numpy())},
+    }
+    y, edge = m.apply(
+        {"params": params, "batch_stats": stats}, x, e, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), y_t.numpy(), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(edge).reshape(2, N * N, C), edge_t.numpy(),
+        atol=2e-5, rtol=2e-5,
+    )
