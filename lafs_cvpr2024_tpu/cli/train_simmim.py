@@ -152,17 +152,17 @@ def main(argv=None):
         args.lr, args.min_lr, args.epochs, steps_per_epoch, args.warmup_epochs
     )
 
-    from ..train.checkpoint import restore_checkpoint_flex
+    # restore (tolerating a --zero1 layout flip), async writer (ALL ranks —
+    # orbax multi-process saves need every rank), SIGTERM guard: one shared
+    # wiring (train/checkpoint.py::make_training_checkpointer)
+    from ..train.checkpoint import make_training_checkpointer
     from ..train.optim import adapt_moment_layout
 
     _cur_shards = mesh.shape["data"] if cfg.zero1 else 0
-    restored, restored_step = restore_checkpoint_flex(
-        os.path.join(args.output_dir, "ckpt"),
-        jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
-        ),
+    restored, restored_step, writer, guard = make_training_checkpointer(
+        os.path.join(args.output_dir, "ckpt"), state,
         # the OTHER moment layout (dense <-> ZeRO-1 flat-chunked)
-        jax.eval_shape(
+        lambda: jax.eval_shape(
             lambda r: create_simmim_state(
                 cfg, r,
                 zero1_shards=0 if cfg.zero1 else mesh.shape["data"],
@@ -173,20 +173,19 @@ def main(argv=None):
             st.opt_state, st.params, _cur_shards)),
     )
     start_epoch = 0
+    start_it = 0
     if restored is not None:
         state = restored
         start_epoch = restored_step // max(steps_per_epoch, 1)
+        start_it = restored_step % max(steps_per_epoch, 1)
+        if start_it:
+            # EXACT mid-epoch resume (like the SSL CLI): batches are
+            # skipped before decode, so a preemption save mid-epoch does
+            # not rewind — checkpoint steps stay monotone (orbax skips
+            # saves at steps <= the latest existing one)
+            print(f"[resume] mid-epoch: epoch {start_epoch} step {start_it}")
 
     step_fn = make_simmim_train_step(cfg, mesh, donate=True)
-    # async writer: serialization/IO overlap training (train/checkpoint.py)
-    from ..train.checkpoint import CheckpointWriter
-
-    writer = (CheckpointWriter(os.path.join(args.output_dir, "ckpt"))
-              if is_main_process() else None)
-    # SIGTERM (TPU-VM preemption grace window) → save + clean exit
-    from ..train.checkpoint import PreemptionGuard
-
-    guard = PreemptionGuard()
     logger = MetricLogger()
     jsonl = JSONLLogger(
         os.path.join(args.output_dir, "log.txt"), enabled=is_main_process()
@@ -201,13 +200,15 @@ def main(argv=None):
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
+        skip = start_it if epoch == start_epoch else 0
         for it, (images, _) in enumerate(
             logger.log_every(
-                pipe.epoch(epoch), 100,
-                f"Epoch [{epoch}/{args.epochs}]", total=steps_per_epoch,
+                pipe.epoch(epoch, start_step=skip), 100,
+                f"Epoch [{epoch}/{args.epochs}]",
+                total=steps_per_epoch - skip,
             )
         ):
-            gstep = epoch * steps_per_epoch + it
+            gstep = epoch * steps_per_epoch + skip + it
             state, metrics = step_fn(
                 state, land_vars, images,
                 jnp.float32(lr_sched[gstep]), jnp.float32(args.weight_decay),
@@ -215,27 +216,25 @@ def main(argv=None):
             losses.append(gstep, metrics["loss"])
             logger.update(lr=lr_sched[gstep])
             losses.maybe_flush(it)
-            if guard.requested:
+            if guard.should_exit(gstep):
                 losses.flush()
-                if writer is not None:
-                    writer.save(gstep + 1, state)
-                    writer.close()
-                print(f"[preempt] SIGTERM: saved step {gstep + 1}; exiting "
-                      "cleanly — resume restarts this epoch (epoch-granular "
-                      "restore)")
+                writer.save(gstep + 1, state)
+                writer.close()
+                if is_main_process():
+                    print(f"[preempt] SIGTERM: saved step {gstep + 1}; "
+                          "exiting cleanly — rerun the same command to "
+                          "resume exactly")
                 return
         losses.flush()
         logger.synchronize_between_processes()
-        if writer is not None:
-            writer.save((epoch + 1) * steps_per_epoch, state)
+        writer.save((epoch + 1) * steps_per_epoch, state)
         if is_main_process():
             jsonl.write({
                 "epoch": epoch,
                 "train_loss": logger.meters["loss"].global_avg,
                 "epoch_time_s": time.time() - t0,
             })
-    if writer is not None:
-        writer.close()  # drain pending async writes before exit
+    writer.close()  # drain pending async writes before exit
 
 
 def _ssl_cfg_for_provider(cfg):

@@ -244,18 +244,18 @@ def main():
         args.warmup_teacher_temp_epochs, args.epochs,
     )
 
-    from ..train.checkpoint import restore_checkpoint_flex
+    # restore (tolerating a --zero1 layout flip), async writer (ALL ranks —
+    # orbax multi-process saves need every rank), SIGTERM guard: one shared
+    # wiring (train/checkpoint.py::make_training_checkpointer)
+    from ..train.checkpoint import make_training_checkpointer
     from ..train.optim import adapt_moment_layout
 
     _cur_shards = mesh.shape["data"] if cfg.zero1 else 0
-    restored, restored_step = restore_checkpoint_flex(
-        os.path.join(args.output_dir, "ckpt"),
-        jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
-        ),
+    restored, restored_step, writer, guard = make_training_checkpointer(
+        os.path.join(args.output_dir, "ckpt"), state,
         # the OTHER moment layout (dense <-> ZeRO-1 flat-chunked): lets a
         # checkpoint saved with --zero1 flipped restore, then convert
-        jax.eval_shape(
+        lambda: jax.eval_shape(
             lambda r: create_ssl_state(
                 cfg, r,
                 zero1_shards=0 if cfg.zero1 else mesh.shape["data"],
@@ -277,15 +277,6 @@ def main():
     from ..parallel.mesh import global_batch
 
     step_fn = make_ssl_train_step(cfg, mesh, donate=True)
-    # async writer: serialization/IO overlap training (train/checkpoint.py)
-    from ..train.checkpoint import CheckpointWriter
-
-    writer = (CheckpointWriter(os.path.join(args.output_dir, "ckpt"))
-              if is_main_process() else None)
-    # SIGTERM (TPU-VM preemption grace window) → save + clean exit
-    from ..train.checkpoint import PreemptionGuard
-
-    guard = PreemptionGuard()
     crop_spec = P(None, "data")
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
@@ -350,22 +341,21 @@ def main():
                 # flush on EVERY process (nan_exit must abort all ranks at
                 # the same step), save on main only
                 losses.flush()
-                if writer is not None:
-                    writer.save(gstep + 1, state)
-            if guard.requested:
+                writer.save(gstep + 1, state)
+            if guard.should_exit(gstep):
                 losses.flush()
-                if writer is not None:
-                    writer.save(gstep + 1, state)
-                    writer.close()
+                writer.save(gstep + 1, state)
+                writer.close()
                 if tracing:
                     jax.profiler.stop_trace()
-                print(f"[preempt] SIGTERM: saved step {gstep + 1}; exiting "
-                      "cleanly — rerun the same command to resume exactly")
+                if is_main_process():
+                    print(f"[preempt] SIGTERM: saved step {gstep + 1}; "
+                          "exiting cleanly — rerun the same command to "
+                          "resume exactly")
                 return
         losses.flush()
         logger.synchronize_between_processes()
-        if writer is not None:
-            writer.save((epoch + 1) * steps_per_epoch, state)
+        writer.save((epoch + 1) * steps_per_epoch, state)
         if is_main_process():
             jsonl.write({
                 "epoch": epoch,
@@ -374,8 +364,7 @@ def main():
             })
     if tracing:  # run shorter than 2 + profile_steps: still flush the trace
         jax.profiler.stop_trace()
-    if writer is not None:
-        writer.close()  # drain pending async writes before exit
+    writer.close()  # drain pending async writes before exit
 
 
 if __name__ == "__main__":

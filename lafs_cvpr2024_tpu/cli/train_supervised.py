@@ -332,19 +332,19 @@ def main():
             payload["cls_w"], payload["cls_opt"] = cls_w, cls_opt
         return payload
 
-    start_step = 0
-    if args.resume:
-        from ..train.checkpoint import restore_checkpoint_flex
-        from ..train.optim import adapt_moment_layout
+    # restore (tolerating a --zero1 layout flip), async writer (ALL ranks),
+    # SIGTERM preemption guard — one shared wiring (train/checkpoint.py)
+    from ..train.checkpoint import make_training_checkpointer
+    from ..train.optim import adapt_moment_layout
 
-        cur_shards = mesh.shape["data"] if cfg.zero1 else 0
+    cur_shards = mesh.shape["data"] if cfg.zero1 else 0
+
+    def _alt_abstract():
+        # the OTHER moment layout's template (dense <-> ZeRO-1 flat-
+        # chunked), built only when the primary restore fails
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            ckpt_payload(),
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), ckpt_payload()
         )
-        # the OTHER moment layout's template (dense <-> ZeRO-1
-        # flat-chunked), so a checkpoint saved with --zero1 flipped
-        # still restores (then adapt_moment_layout converts it)
         alt_state = jax.eval_shape(
             lambda r: create_state(
                 cfg, r, sharded_classifier=ext_head,
@@ -352,32 +352,25 @@ def main():
             ),
             rng,
         )
+        return {**abstract, "state": alt_state}
 
-        def adapt(payload):
-            st = payload["state"]
-            st = st._replace(opt_state=adapt_moment_layout(
-                st.opt_state, st.params, cur_shards))
-            return {**payload, "state": st}
+    def adapt(payload):
+        st = payload["state"]
+        st = st._replace(opt_state=adapt_moment_layout(
+            st.opt_state, st.params, cur_shards))
+        return {**payload, "state": st}
 
-        restored, start_step = restore_checkpoint_flex(
-            os.path.join(args.work_path, "ckpt"),
-            abstract, {**abstract, "state": alt_state}, adapt,
-        )
-        if restored is not None:
-            state = restored["state"]
-            if ext_head:
-                cls_w, cls_opt = restored["cls_w"], restored["cls_opt"]
-        else:
-            start_step = 0
+    restored, start_step, writer, guard = make_training_checkpointer(
+        os.path.join(args.work_path, "ckpt"), ckpt_payload(),
+        _alt_abstract, adapt, resume=args.resume,
+    )
+    if restored is not None:
+        state = restored["state"]
+        if ext_head:
+            cls_w, cls_opt = restored["cls_w"], restored["cls_opt"]
+    else:
+        start_step = 0
 
-    # async writer: serialization/IO overlap training (train/checkpoint.py)
-    from ..train.checkpoint import CheckpointWriter
-
-    writer = CheckpointWriter(os.path.join(args.work_path, "ckpt"))
-    # SIGTERM (TPU-VM preemption grace window) → save + clean exit
-    from ..train.checkpoint import PreemptionGuard
-
-    guard = PreemptionGuard()
     step_fn = make_train_step(cfg, mesh, donate=True)
     embed_fn = make_embed_fn(cfg, mesh, input_scale="half")
     # eval-time landmark/patch visualization (with_land models only)
@@ -387,6 +380,7 @@ def main():
     vers = get_val_data(args.eval_path, args.targets) if args.eval_path else []
     highest_acc = [0.0 for _ in args.targets]
 
+    tracing = False
     logger = MetricLogger()
     tb = TensorBoardWriter(args.work_path, enabled=is_main_process())
     jsonl = JSONLLogger(os.path.join(args.work_path, "log.txt"), enabled=is_main_process())
@@ -429,17 +423,23 @@ def main():
                     jax.profiler.start_trace(
                         os.path.join(args.work_path, "profile")
                     )
-                elif gstep == start_step + 2 + args.profile_steps:
+                    tracing = True
+                elif tracing and gstep >= start_step + 2 + args.profile_steps:
                     jax.profiler.stop_trace()
+                    tracing = False
             losses.append(gstep, metrics["loss"])
             logger.update(lr=lr)
             losses.maybe_flush(gstep)
-            if guard.requested:
+            if guard.should_exit(gstep):
                 losses.flush()
+                if tracing:
+                    jax.profiler.stop_trace()
                 writer.save(gstep + 1, ckpt_payload())
                 writer.close()
-                print(f"[preempt] SIGTERM: saved step {gstep + 1}; exiting "
-                      "cleanly — rerun with --resume to continue exactly")
+                if is_main_process():
+                    print(f"[preempt] SIGTERM: saved step {gstep + 1}; "
+                          "exiting cleanly — rerun with --resume to "
+                          "continue exactly")
                 return
             if gstep % args.disp_freq == 0 and is_main_process():
                 losses.flush()
@@ -498,11 +498,16 @@ def main():
                             denorm=False,
                         )
                 if need_save(accs, highest_acc):
-                    writer.save(gstep, ckpt_payload())
+                    # gstep's update is already in the state -> exact
+                    # resume restarts at gstep + 1 (same convention as the
+                    # preempt/periodic saves; gstep would re-apply a step)
+                    writer.save(gstep + 1, ckpt_payload())
             gstep += 1
         losses.flush()
         jsonl.write({"epoch": epoch, "loss": logger.meters["loss"].global_avg,
                      "epoch_time_s": time.time() - t_epoch})
+    if tracing:  # run shorter than 2 + profile_steps: still flush the trace
+        jax.profiler.stop_trace()
     writer.save(gstep, ckpt_payload())
     writer.close()  # drain pending async writes before exit
 

@@ -71,8 +71,18 @@ class CheckpointWriter:
             ),
         )
 
-    def save(self, step: int, state: Any) -> None:
-        self._mgr.save(step, args=self._ocp.args.StandardSave(state))
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        """Queue an async save. Returns orbax's saved-flag: ``False`` means
+        the manager SKIPPED the save (its ``should_save`` declines steps ≤
+        the latest existing one) — callers must not report a skipped save
+        as saved. ``force=True`` overrides the skip logic."""
+        saved = self._mgr.save(
+            step, args=self._ocp.args.StandardSave(state), force=force
+        )
+        if saved is False:
+            print(f"[ckpt] save({step}) SKIPPED by orbax (a checkpoint at "
+                  f"step ≥ {step} already exists)")
+        return bool(saved) if saved is not None else True
 
     def wait(self) -> None:
         """Block until all pending async saves are committed."""
@@ -118,10 +128,64 @@ class PreemptionGuard:
     def requested(self) -> bool:
         return self._requested
 
+    def should_exit(self, step: int, every: int = 8) -> bool:
+        """Cross-process-SAFE exit poll for the train loops.
+
+        Single-process: the local flag. Multi-process: ranks receive
+        SIGTERM milliseconds apart, so acting on the local flag alone
+        would strand the other ranks in the next step's collectives
+        (the hazard ``DeferredLossFetcher`` documents). Every ``every``
+        steps — an identical cadence on every rank since ``step`` is the
+        global step — ALL ranks enter one tiny host allgather and exit
+        together iff any rank was signaled. Between sync points the
+        answer is False even if locally signaled (bounded by
+        ``every × step_time``, well inside the preemption grace window).
+        """
+        if jax.process_count() <= 1:
+            return self._requested
+        if step % every:
+            return False
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            _np.asarray([self._requested])
+        )
+        return bool(_np.any(flags))
+
     def uninstall(self) -> None:
         for s, prev in self._prev.items():
             self._signal.signal(s, prev)
         self._prev = {}
+
+
+def make_training_checkpointer(path: str, payload: Any, alt_abstract_thunk,
+                               adapt, keep: int = 3, resume: bool = True):
+    """One-stop training-checkpoint wiring shared by the three train CLIs
+    (one definition so the policy cannot diverge between them):
+
+    - restore the latest checkpoint, tolerating a ``--zero1`` moment-layout
+      flip (``alt_abstract_thunk`` builds the alternate template ONLY in
+      that rare path — no eager second model trace at startup);
+    - construct the ASYNC :class:`CheckpointWriter` on EVERY process —
+      orbax multi-process saves require all ranks to participate (each
+      writes its addressable shards); rank-gating the writer deadlocks
+      multi-host saves. Gate PRINTS on the main process, never the save;
+    - install the SIGTERM :class:`PreemptionGuard` (poll
+      ``guard.should_exit(gstep)`` at step boundaries).
+
+    Returns ``(restored, step, writer, guard)``; ``resume=False`` skips the
+    restore (fresh run) but still builds the writer + guard.
+    """
+    restored, step = None, None
+    if resume:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), payload
+        )
+        restored, step = restore_checkpoint_flex(
+            path, abstract, alt_abstract_thunk, adapt
+        )
+    return restored, step, CheckpointWriter(path, keep=keep), PreemptionGuard()
 
 
 def restore_checkpoint(path: str, abstract_state: Any, step: Optional[int] = None):
@@ -147,8 +211,9 @@ def restore_checkpoint_flex(path: str, abstract_state: Any,
     """:func:`restore_checkpoint` that tolerates a dense ↔ ZeRO-1 optimizer
     moment-layout difference between the checkpoint and the current run
     (``--zero1`` flipped between save and resume): on a template mismatch
-    it retries with ``alt_abstract_state`` (the other layout's template)
-    and runs ``adapt`` — typically ``optim.adapt_moment_layout`` glue — on
+    it retries with ``alt_abstract_state`` (the other layout's template —
+    pass a zero-arg CALLABLE to defer building it to this rare path) and
+    runs ``adapt`` — typically ``optim.adapt_moment_layout`` glue — on
     the restored payload. Layout conversion across DIFFERENT mesh
     data-axis sizes only round-trips when the alternate template's chunk
     count matches the checkpoint's; otherwise resume once without
@@ -161,9 +226,17 @@ def restore_checkpoint_flex(path: str, abstract_state: Any,
     try:
         restored, st = restore_checkpoint(path, abstract_state, step)
     except Exception as e:  # orbax raises backend-specific mismatch types
-        print(f"[restore] template mismatch ({type(e).__name__}) — "
+        print(f"[restore] primary template failed ({type(e).__name__}) — "
               "retrying with the alternate optimizer-moment layout")
-        restored, st = restore_checkpoint(path, alt_abstract_state, step)
+        alt = alt_abstract_state() if callable(alt_abstract_state) \
+            else alt_abstract_state
+        try:
+            restored, st = restore_checkpoint(path, alt, step)
+        except Exception as e2:
+            # BOTH layouts failed: the checkpoint is likely corrupt or
+            # structurally different — surface the ORIGINAL error (the
+            # alternate's shape noise would mask the real cause)
+            raise e from e2
         if restored is None:
             raise e
     if restored is None:

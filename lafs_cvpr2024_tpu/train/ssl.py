@@ -27,7 +27,7 @@ dim) are preserved — see the module docstrings where each lives.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -135,10 +135,13 @@ def _cast(tree, dtype):
     )
 
 
-def _backbone(cfg: SSLConfig) -> PartFViT:
-    return PartFViT(
-        PartFViTConfig(**{**cfg.model.__dict__, "with_land": False, "loss_type": "None"})
-    )
+def _backbone(cfg: SSLConfig, mlp_impl: Optional[str] = None) -> PartFViT:
+    """SSL backbone config overrides in ONE place (``mlp_impl`` lets the
+    inference-only teacher graph pick a different lowering)."""
+    over = {"with_land": False, "loss_type": "None"}
+    if mlp_impl is not None:
+        over["mlp_impl"] = mlp_impl
+    return PartFViT(PartFViTConfig(**{**cfg.model.__dict__, **over}))
 
 
 def _head(cfg: SSLConfig) -> DINOHead:
@@ -205,12 +208,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     """
     backbone = _backbone(cfg)
     if cfg.teacher_mlp_impl not in ("same", cfg.model.mlp_impl):
-        t_backbone = PartFViT(
-            PartFViTConfig(**{
-                **cfg.model.__dict__, "with_land": False, "loss_type": "None",
-                "mlp_impl": cfg.teacher_mlp_impl,
-            })
-        )
+        t_backbone = _backbone(cfg, mlp_impl=cfg.teacher_mlp_impl)
     else:
         t_backbone = backbone
     head = _head(cfg)
