@@ -43,7 +43,7 @@ def main():
 
     # flagship SSL config: ViT-B-ish dim 768 / depth 12 / heads 11, 2 global
     # + 8 local crops (lafs_train.py:302-333)
-    batch = 32 * n_dev  # per-chip batch 64 (multi-crop: 10 crops/sample)
+    batch = 32 * n_dev  # per-chip batch 32 samples (x10 crops each)
     cfg = SSLConfig(
         model=PartFViTConfig(
             dim=768, depth=12, heads=11, dim_head=64, mlp_dim=2048,

@@ -73,8 +73,14 @@ def _mlp_kernel(seed_ref, x_ref, w1_ref, w2_ref, o_ref, *, rate: float):
 @functools.partial(jax.jit, static_argnames=("rate",))
 def pallas_mlp(seed, x, w1, w2, rate=0.0):
     n = x.shape[0]
-    grid = (n // TILE,)
-    return pl.pallas_call(
+    # pad to the tile like the production kernel (a floor-grid would leave
+    # the last n % TILE output rows UNWRITTEN — garbage that feeds the
+    # chained timing loop while FLOPs are counted for all n)
+    np_tokens = pl.cdiv(n, TILE) * TILE
+    if np_tokens != n:
+        x = jnp.pad(x, ((0, np_tokens - n), (0, 0)))
+    grid = (np_tokens // TILE,)
+    out = pl.pallas_call(
         functools.partial(_mlp_kernel, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -86,11 +92,12 @@ def pallas_mlp(seed, x, w1, w2, rate=0.0):
             ],
             out_specs=pl.BlockSpec((TILE, D), lambda i, s: (i, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, D), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((np_tokens, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(seed, x, w1, w2)
+    return out[:n]
 
 
 def _fast_dropout(key, x, rate):

@@ -80,7 +80,7 @@ def main():
         cfg, r, sharded_classifier=cfg.factored_head))(jax.random.PRNGKey(0))
     w, w_opt = create_classifier(
         cfg, jax.random.PRNGKey(1), enabled=cfg.factored_head)
-    step = make_train_step(cfg, mesh)
+    step = make_train_step(cfg, mesh, donate=True)  # in-place update like every steady-state bench
     rows = cfg.acc_step * B_local * n_dev
     images = jax.random.uniform(jax.random.PRNGKey(2), (rows, 112, 112, 3)) * 2 - 1
     labels = jnp.arange(rows) % cfg.model.num_classes

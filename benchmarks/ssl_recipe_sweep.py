@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig, LandmarkProvider
+from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
 from lafs_cvpr2024_tpu.train.ssl import (
     SSLConfig, create_landmark_provider, create_ssl_state, make_ssl_train_step,
 )
@@ -34,16 +34,7 @@ train_u8 = (train_imgs * 255).astype(np.uint8)
 vr = np.random.default_rng(1)
 v_imgs, v_labels = S.samples(vr, bases, 6)
 
-def hard_crop(img):
-    s = vr.uniform(0.4, 0.7)
-    side = max(8, int(SIZE * np.sqrt(s)))
-    y = vr.integers(0, SIZE - side + 1); x = vr.integers(0, SIZE - side + 1)
-    crop = img[y:y+side, x:x+side]
-    if vr.random() < 0.5: crop = crop[:, ::-1]
-    from PIL import Image
-    return np.asarray(Image.fromarray((crop*255).astype(np.uint8)).resize((SIZE,SIZE), Image.BILINEAR))
-
-v_u8 = np.stack([hard_crop(im) for im in v_imgs])
+v_u8 = np.stack([S.hard_crop(vr, im) for im in v_imgs])
 
 cfg = SSLConfig(
     model=PartFViTConfig(
@@ -59,38 +50,14 @@ cfg = SSLConfig(
 )
 mesh = Mesh(np.array(jax.devices()[:1]).reshape(1,1), ("data","model"))
 land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
-# STABLE landmarks: the real pipeline freezes a PRETRAINED landmark CNN; a
-# random-init one min-max-amplifies noise so patch positions jump chaotically
-# between crops (views share nothing learnable). Pin output_layer to a fixed
-# grid (kernel=0, bias=grid) — the use_standcoord analogue.
-from lafs_cvpr2024_tpu.ops.patchify import standard_grid_landmarks
-import jax.numpy as _jnp
-grid = standard_grid_landmarks(36, 8).reshape(-1)  # (72,) in [4,44]
-land["params"]["landmark"]["output_layer"]["kernel"] = _jnp.zeros_like(
-    land["params"]["landmark"]["output_layer"]["kernel"])
-land["params"]["landmark"]["output_layer"]["bias"] = _jnp.asarray(grid)
+# STABLE landmarks (recipe piece 1) — shared with ssl_sanity
+S.pin_fixed_grid(land, 36, 8)
 step = make_ssl_train_step(cfg, mesh)
-backbone = PartFViT(PartFViTConfig(**{**cfg.model.__dict__, "with_land": False, "loss_type": "None"}))
-provider = LandmarkProvider(num_landmarks=36, patch_size=8, stn_mode="small", coord_scale=float(SIZE-1))
-
-@jax.jit
-def embed(params, images):
-    _, toks = provider.apply(land, images)
-    return backbone.apply({"params": params["backbone"]}, toks)
-
-def embed_u8(params, u8):
-    out = []
-    for s0 in range(0, len(u8), 128):
-        x = jnp.asarray(u8[s0:s0+128], jnp.float32)/255.0*2-1
-        out.append(np.asarray(embed(params, x)))
-    e = np.concatenate(out)
-    return e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+embed, embed_u8 = S.make_embed_fns(cfg, land)
 
 def knn(state):
-    gal = embed_u8(state.teacher, train_u8); probe = embed_u8(state.teacher, v_u8)
-    top = np.argsort(-(probe @ gal.T), axis=1)[:, :5]
-    pred = np.array([np.bincount(train_labels[t], minlength=N_IDS).argmax() for t in top])
-    return float((pred == v_labels).mean())
+    return S.knn_accuracy(embed_u8, state.teacher, train_u8, train_labels,
+                          v_u8, v_labels, N_IDS)
 
 CONFIGS = [
     # (tag, lr, mom, ttemp, steps, warmup)  ttemp<0 => warmup 0.01->|ttemp| over 3k

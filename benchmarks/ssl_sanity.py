@@ -128,6 +128,77 @@ def samples(rng, bases, per):
     return np.stack(imgs).astype(np.float32), np.asarray(labels)
 
 
+def hard_crop(vr, img, size=SIZE):
+    """Random 40-70%-area crop + flip, resized back (the probe transform —
+    shared with benchmarks/ssl_recipe_sweep.py; the draw ORDER from ``vr``
+    is part of the seeded construction, do not reorder)."""
+    s = vr.uniform(0.4, 0.7)
+    side = max(8, int(size * np.sqrt(s)))
+    y = vr.integers(0, size - side + 1)
+    x = vr.integers(0, size - side + 1)
+    crop = img[y:y + side, x:x + side]
+    if vr.random() < 0.5:
+        crop = crop[:, ::-1]
+    from PIL import Image
+
+    pil = Image.fromarray((crop * 255).astype(np.uint8))
+    return np.asarray(pil.resize((size, size), Image.BILINEAR))
+
+
+def pin_fixed_grid(land, num_patches, patch_size):
+    """Stable-landmark analogue of the production pipeline's PRETRAINED
+    frozen landmark CNN: pin the provider's output layer to the standard
+    grid (kernel=0, bias=grid — the use_standcoord analogue)."""
+    from lafs_cvpr2024_tpu.ops.patchify import standard_grid_landmarks
+
+    grid = standard_grid_landmarks(num_patches, patch_size).reshape(-1)
+    out_layer = land["params"]["landmark"]["output_layer"]
+    out_layer["kernel"] = jnp.zeros_like(out_layer["kernel"])
+    out_layer["bias"] = jnp.asarray(grid)
+
+
+def make_embed_fns(cfg, land, size=SIZE):
+    """(jitted token-path embed, batched uint8 embed with L2 norm)."""
+    from lafs_cvpr2024_tpu.models.partfvit import LandmarkProvider
+
+    backbone = PartFViT(
+        PartFViTConfig(**{**cfg.model.__dict__, "with_land": False,
+                          "loss_type": "None"})
+    )
+    provider = LandmarkProvider(
+        num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
+        stn_mode=cfg.model.stn_mode, coord_scale=float(size - 1),
+    )
+
+    @jax.jit
+    def embed(params, images):
+        _, toks = provider.apply(land, images)
+        return backbone.apply({"params": params["backbone"]}, toks)
+
+    def embed_u8(params, u8):
+        out = []
+        for s in range(0, len(u8), 128):
+            x = jnp.asarray(u8[s:s + 128], jnp.float32) / 255.0 * 2 - 1
+            out.append(np.asarray(embed(params, x)))
+        e = np.concatenate(out)
+        return e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+
+    return embed, embed_u8
+
+
+def knn_accuracy(embed_u8, teacher, train_u8, train_labels, v_u8, v_labels,
+                 n_ids):
+    """Teacher k-NN (k=5, cosine) identity accuracy: held-out probes vs the
+    train gallery — the standard DINO eval at toy scale."""
+    gal = embed_u8(teacher, train_u8)
+    probe = embed_u8(teacher, v_u8)
+    sims = probe @ gal.T
+    top = np.argsort(-sims, axis=1)[:, :5]
+    votes = train_labels[top]
+    pred = np.array([np.bincount(v, minlength=n_ids).argmax() for v in votes])
+    return float((pred == v_labels).mean())
+
+
 def main():
     rng = np.random.default_rng(0)
     cfg = SSLConfig(
@@ -147,16 +218,8 @@ def main():
     state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
     land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
     if FIXED_GRID:
-        # stable landmark analogue of the production pipeline's PRETRAINED
-        # frozen landmark CNN (see module docstring, recipe piece 1): pin
-        # the provider's output layer to the standard grid
-        from lafs_cvpr2024_tpu.ops.patchify import standard_grid_landmarks
-
-        grid = standard_grid_landmarks(cfg.model.num_patches,
-                                       cfg.model.patch_size).reshape(-1)
-        out_layer = land["params"]["landmark"]["output_layer"]
-        out_layer["kernel"] = jnp.zeros_like(out_layer["kernel"])
-        out_layer["bias"] = jnp.asarray(grid)
+        # recipe piece 1 (see module docstring): stable landmarks
+        pin_fixed_grid(land, cfg.model.num_patches, cfg.model.patch_size)
     step = make_ssl_train_step(cfg, mesh)
 
     bases = make_bases(rng, N_IDS)
@@ -171,21 +234,7 @@ def main():
     vr = np.random.default_rng(1)
     v_imgs, v_labels = samples(vr, bases, 6)
 
-    def hard_crop(img):
-        s = vr.uniform(0.4, 0.7)
-        side = max(8, int(SIZE * np.sqrt(s)))
-        y = vr.integers(0, SIZE - side + 1)
-        x = vr.integers(0, SIZE - side + 1)
-        crop = img[y:y + side, x:x + side]
-        if vr.random() < 0.5:
-            crop = crop[:, ::-1]
-        # bilinear resize back to SIZE via PIL
-        from PIL import Image
-
-        pil = Image.fromarray((crop * 255).astype(np.uint8))
-        return np.asarray(pil.resize((SIZE, SIZE), Image.BILINEAR))
-
-    v_u8 = np.stack([hard_crop(im) for im in v_imgs])
+    v_u8 = np.stack([hard_crop(vr, im) for im in v_imgs])
     n_pairs = 48
     val = np.zeros((2, n_pairs * 2, SIZE, SIZE, 3), np.uint8)
     issame = np.zeros(n_pairs, bool)
@@ -201,40 +250,11 @@ def main():
         val[0, 2 * p + 1] = v_u8[j]
     val[1] = val[0, :, :, ::-1]
 
-    backbone = PartFViT(
-        PartFViTConfig(**{**cfg.model.__dict__, "with_land": False, "loss_type": "None"})
-    )
-
-    from lafs_cvpr2024_tpu.models.partfvit import LandmarkProvider
-
-    provider = LandmarkProvider(
-        num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
-        stn_mode=cfg.model.stn_mode, coord_scale=float(SIZE - 1),
-    )
-
-    @jax.jit
-    def embed(params, images):
-        _, toks = provider.apply(land, images)
-        return backbone.apply({"params": params["backbone"]}, toks)
-
-    def embed_u8(params, u8):
-        out = []
-        for s in range(0, len(u8), 128):
-            x = jnp.asarray(u8[s:s + 128], jnp.float32) / 255.0 * 2 - 1
-            out.append(np.asarray(embed(params, x)))
-        e = np.concatenate(out)
-        return e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+    embed, embed_u8 = make_embed_fns(cfg, land)
 
     def knn_acc():
-        """Teacher k-NN (k=5, cosine) identity accuracy: held-out probes vs
-        the train gallery — the standard DINO eval at toy scale."""
-        gal = embed_u8(state.teacher, train_u8)
-        probe = embed_u8(state.teacher, v_u8)
-        sims = probe @ gal.T
-        top = np.argsort(-sims, axis=1)[:, :5]
-        votes = train_labels[top]
-        pred = np.array([np.bincount(v, minlength=N_IDS).argmax() for v in votes])
-        return float((pred == v_labels).mean())
+        return knn_accuracy(embed_u8, state.teacher, train_u8, train_labels,
+                            v_u8, v_labels, N_IDS)
 
     def ver_acc():
         res = perform_val(

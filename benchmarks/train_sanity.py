@@ -29,7 +29,7 @@ from lafs_cvpr2024_tpu.train.supervised import (
 )
 
 N_IDS = 16
-STEPS = 80
+STEPS = 400
 
 
 def make_bases(rng, n_ids, size=48):
@@ -75,16 +75,20 @@ def main():
     imgs_t = jnp.asarray(imgs * 2 - 1)
     labels_t = jnp.asarray(labels, jnp.int32)
 
-    # verification pairs: HELD-OUT samples of the SAME identities
-    val = np.zeros((2, 40, 48, 48, 3), np.uint8)
-    issame = np.zeros(20, bool)
+    # verification pairs: HELD-OUT samples of the SAME identities. 60
+    # pairs (20 had too much variance once the self-pair freebies were
+    # removed: each identical-image pair contributed a guaranteed hit)
+    n_pairs = 60
+    val = np.zeros((2, n_pairs * 2, 48, 48, 3), np.uint8)
+    issame = np.zeros(n_pairs, bool)
     vr = np.random.default_rng(1)
     v_imgs, v_labels = sample_from_bases(vr, bases, per_id=4)
-    for p in range(20):
+    for p in range(n_pairs):
         issame[p] = p % 2 == 0
         i = vr.integers(0, len(v_imgs))
         if issame[p]:
             cands = np.where(v_labels == v_labels[i])[0]
+            cands = cands[cands != i]  # never pair an image with itself
         else:
             cands = np.where(v_labels != v_labels[i])[0]
         j = vr.choice(cands)
@@ -98,7 +102,7 @@ def main():
             variables["batch_stats"] = state.batch_stats
         res = perform_val(
             lambda b: embed(variables, jnp.asarray((b + 0.5) * 2 - 1)),
-            val, issame, batch_size=40, input_scale="half",
+            val, issame, batch_size=40, input_scale="half", nrof_folds=5,
         )
         return res.accuracy
 
