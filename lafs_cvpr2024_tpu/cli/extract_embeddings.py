@@ -100,7 +100,7 @@ def main(argv=None):
         import_torch_state_dict,
         load_torch_file,
         merge_params,
-        restore_checkpoint,
+        restore_eval_variables,
     )
 
     cfg = PartFViTConfig(
@@ -126,10 +126,9 @@ def main(argv=None):
             ),
         }
     else:
-        restored, step = restore_checkpoint(args.checkpoint, variables)
-        if restored is None:
-            raise FileNotFoundError(f"no checkpoint under {args.checkpoint}")
-        variables = restored
+        # layout-agnostic: raw variables, a train-CLI payload, or a bare
+        # TrainState/SSLTrainState (evaluate_bin does the same)
+        variables, step = restore_eval_variables(args.checkpoint)
         print(f"[restore] step {step} from {args.checkpoint}")
 
     @jax.jit

@@ -676,3 +676,69 @@ def test_supervised_cli_preemption_sigterm(tmp_path, monkeypatch):
     argv2[argv2.index("--epochs") + 1] = "1"
     monkeypatch.setattr(sys, "argv", argv2 + ["--resume"])
     train_supervised.main()
+
+
+def test_serve_embeddings_cli(tmp_path):
+    """Embedding server over a unix socket: warm-compiled fixed batch,
+    padding/chunking for arbitrary request sizes, flip-fusion + L2 norm
+    matching extract_embeddings, protocol errors surfaced to the client."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from lafs_cvpr2024_tpu.cli import serve_embeddings
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    cfg = PartFViTConfig(
+        dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64, num_patches=36,
+        image_size=48, stn_mode="small", with_land=True, loss_type="None",
+        num_classes=0,
+    )
+    model = PartFViT(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3))
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables, step=0)
+
+    sock = str(tmp_path / "lafs.sock")
+    argv = [
+        "--checkpoint", str(ckpt), "--socket", sock, "--batch-size", "4",
+        "--embedding-size", "32", "--depth", "1", "--heads", "2",
+        "--dim-head", "16", "--mlp-dim", "64", "--num-patches", "36",
+        "--image-size", "48", "--stn-mode", "small", "--max-requests", "2",
+    ]
+    t = threading.Thread(
+        target=serve_embeddings.main, args=(argv,), daemon=True
+    )
+    t.start()
+    deadline = time.time() + 120
+    while not os.path.exists(sock):
+        assert time.time() < deadline, "server did not come up"
+        time.sleep(0.2)
+
+    client = serve_embeddings.EmbeddingClient(sock)
+    rng = np.random.default_rng(0)
+    # 6 images > batch-size 4: exercises chunking AND padding
+    imgs = rng.integers(0, 255, (6, 48, 48, 3), dtype=np.uint8)
+    emb = client.embed(imgs)
+    assert emb.shape == (6, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+
+    # must match the direct flip-fused embed exactly
+    x = jnp.asarray(imgs, jnp.float32) / 255.0 - 0.5
+    direct = np.asarray(model.apply(variables, x, train=False))
+    flipped = np.asarray(model.apply(variables, x[:, :, ::-1], train=False))
+    ref = direct + flipped
+    ref = ref / np.maximum(np.linalg.norm(ref, axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(emb, ref, atol=2e-5, rtol=1e-4)
+
+    # protocol error: wrong image size is reported, not a hang
+    bad = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    with pytest.raises(RuntimeError, match="expected 48x48"):
+        client.embed(bad)
+
+    t.join(timeout=60)
+    assert not t.is_alive()
