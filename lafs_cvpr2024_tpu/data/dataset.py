@@ -313,15 +313,21 @@ class ContrastivePairSampler:
         # restrict_to_keys/subset so this reflects the live seq)
         self._key_to_pos = {k: i for i, k in enumerate(self.dataset.seq)}
 
-    def _draw_position(self, draw_key) -> int:
-        """Re-draw until the candidate key is actually in the (possibly
-        subsetted) dataset — never silently pair the anchor with itself."""
+    def _draw_position(self, draw_key, avoid: int = -1) -> int:
+        """Re-draw until the candidate key is in the (possibly subsetted)
+        dataset AND is not ``avoid`` (the anchor's position) — a self-pair
+        is a degenerate trivially-positive example that contaminates the
+        contrastive objective."""
         for _ in range(64):
             pos = self._key_to_pos.get(draw_key())
-            if pos is not None:
+            if pos is not None and pos != avoid:
                 return pos
-        # identity/range too sparse in this subset: any subset entry
-        return self._rng.randrange(len(self.dataset.seq))
+        # identity/range too sparse in this subset: any OTHER subset entry
+        n = len(self.dataset.seq)
+        pos = self._rng.randrange(n)
+        while pos == avoid and n > 1:
+            pos = self._rng.randrange(n)
+        return pos
 
     def sample_pair(self, index: int):
         """Returns ((img1, img2), same: int)."""
@@ -330,13 +336,15 @@ class ContrastivePairSampler:
         want_pos = self._rng.random() < self.pos_prob
         if want_pos and ident is not None:
             a, b = self.dataset.id2range[ident]
-            i2 = self._draw_position(lambda: self._rng.randrange(a, b))
+            i2 = self._draw_position(
+                lambda: self._rng.randrange(a, b), avoid=index
+            )
         else:
             def _neg():
                 lo, hi = self._rng.choice(self._ranges)
                 return self._rng.randrange(lo, hi)
 
-            i2 = self._draw_position(_neg)
+            i2 = self._draw_position(_neg, avoid=index)
         other = self.dataset.seq[i2]
         # label from the ACTUAL partner (a fallback draw may flip intent)
         same = int(ident is not None and self._key_to_ident.get(other) == ident)

@@ -155,34 +155,12 @@ def test_patch_grid_and_heatmap(tmp_path):
 
 
 def test_kshot_keys_restrict(tmp_path):
-    import io as _io
+    from helpers import make_identity_rec
 
-    from PIL import Image as _Image
-
-    from lafs_cvpr2024_tpu.data.recordio import IRHeader, IndexedRecordIOWriter, pack
     from lafs_cvpr2024_tpu.data import FaceRecordDataset
 
-    rng = np.random.default_rng(8)
-    rec = str(tmp_path / "k.rec")
-    w = IndexedRecordIOWriter(str(tmp_path / "k.idx"), rec)
-    key = 1
-    ranges = []
-    for ident in range(3):
-        start = key
-        for _ in range(5):
-            buf = _io.BytesIO()
-            _Image.fromarray(rng.integers(0, 255, (16, 16, 3), np.uint8)).save(
-                buf, format="JPEG"
-            )
-            w.write_idx(key, pack(IRHeader(0, float(ident), key, 0), buf.getvalue()))
-            key += 1
-        ranges.append((start, key))
-    ident_start = key
-    for a, b in ranges:
-        w.write_idx(key, pack(IRHeader(2, np.array([a, b], np.float32), key, 0), b""))
-        key += 1
-    w.write_idx(0, pack(IRHeader(2, np.array([ident_start, key], np.float32), 0, 0), b""))
-    w.close()
+    rec = make_identity_rec(tmp_path, n_ids=3, per_id=5, size=16, name="k",
+                            seed=8)
 
     ds = FaceRecordDataset(rec)
     assert len(ds) == 15

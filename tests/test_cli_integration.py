@@ -198,13 +198,15 @@ def test_supervised_cli_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", argv)
     train_supervised.main()
     ckpt = os.path.join(work, "ckpt")
-    first = set(os.listdir(ckpt))
+    first = {int(d) for d in os.listdir(ckpt) if d.isdigit()}
     assert first
 
-    # resume: restores and trains one more epoch without error
-    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    # resume: restores, trains one more epoch, and the checkpoint steps
+    # ADVANCE past the first run's latest
+    monkeypatch.setattr(sys, "argv", argv + ["--epochs", "2", "--resume"])
     train_supervised.main()
-    assert set(os.listdir(ckpt)) >= first or len(os.listdir(ckpt)) > 0
+    after = {int(d) for d in os.listdir(ckpt) if d.isdigit()}
+    assert max(after) > max(first), (first, after)
 
 
 def test_supervised_cli_with_eval(tmp_path, monkeypatch):
@@ -663,9 +665,13 @@ def test_supervised_cli_preemption_sigterm(tmp_path, monkeypatch):
     timer.start()
     t0 = time.time()
     monkeypatch.setattr(sys, "argv", argv)
-    train_supervised.main()
+    try:
+        train_supervised.main()
+    finally:
+        # an armed timer would SIGTERM the whole pytest process later,
+        # masking whatever failed here
+        timer.cancel()
     elapsed = time.time() - t0
-    timer.cancel()
     assert elapsed < 300, "SIGTERM did not stop the run early"
     ckpt = os.path.join(work, "ckpt")
     steps = [int(d) for d in os.listdir(ckpt) if d.isdigit()]

@@ -32,32 +32,10 @@ def _jpeg(arr) -> bytes:
 
 
 def _build_identity_rec(tmp_path, n_ids=4, per_id=3, size=32):
-    """Build an insightface-style rec with identity ranges."""
-    rng = np.random.default_rng(0)
-    rec = str(tmp_path / "train.rec")
-    idx = str(tmp_path / "train.idx")
-    w = IndexedRecordIOWriter(idx, rec)
-    n_imgs = n_ids * per_id
-    # image records occupy keys 1..n_imgs
-    key = 1
-    ranges = []
-    for ident in range(n_ids):
-        start = key
-        for _ in range(per_id):
-            img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
-            w.write_idx(key, pack(IRHeader(0, float(ident), key, 0), _jpeg(img)))
-            key += 1
-        ranges.append((start, key))
-    # identity header records: keys n_imgs+1 .. n_imgs+n_ids
-    ident_start = key
-    for a, b in ranges:
-        w.write_idx(key, pack(IRHeader(2, np.array([a, b], np.float32), key, 0), b""))
-        key += 1
-    ident_end = key
-    # header 0 last: flag>0, label = (ident_start, ident_end)
-    w.write_idx(0, pack(IRHeader(2, np.array([ident_start, ident_end], np.float32), 0, 0), b""))
-    w.close()
-    return rec
+    """Build an insightface-style rec with identity ranges (shared impl)."""
+    from helpers import make_identity_rec
+
+    return make_identity_rec(tmp_path, n_ids=n_ids, per_id=per_id, size=size)
 
 
 def test_recordio_roundtrip(tmp_path):
@@ -87,7 +65,8 @@ def test_recordio_multilabel():
 
 
 @pytest.mark.skipif(
-    not pytest.importorskip("importlib").util.find_spec("mxnet"),
+    __import__("importlib.util", fromlist=["util"]).find_spec("mxnet")
+    is None,
     reason="mxnet not installed",
 )
 def test_recordio_mxnet_golden(tmp_path):

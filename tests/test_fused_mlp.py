@@ -125,7 +125,7 @@ def test_feedforward_fused_loads_dense_params():
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_dense), atol=2e-5, rtol=1e-5
     )
-    jax.tree_util.tree_all(
+    assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(
             lambda a, b: a.shape == b.shape,
             variables, fused.init(jax.random.PRNGKey(0), x),

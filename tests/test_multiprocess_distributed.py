@@ -38,10 +38,21 @@ print(f"RESULT {pid} {val}", flush=True)
 """
 
 
+def _free_port() -> str:
+    """OS-assigned free port: hardcoded ports collide with concurrent or
+    stale runs (a zombie coordinator from a timed-out run rendezvouses with
+    the new workers)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_psum(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
-    port = "12431"
+    port = _free_port()
     env = dict(os.environ)
     procs = [
         subprocess.Popen(
@@ -126,7 +137,7 @@ def test_two_process_train_step(tmp_path):
     # (cold ~100 s each with the persistent /tmp/jax_cache warming them)
     script = tmp_path / "train_worker.py"
     script.write_text(TRAIN_WORKER)
-    port = "12433"
+    port = _free_port()
     env = dict(os.environ)
     procs = []
     for i in range(2):

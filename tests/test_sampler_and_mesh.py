@@ -49,28 +49,10 @@ def test_shard_batch_and_shardings():
 
 
 def _identity_rec(tmp_path, n_ids=3, per=4):
-    rng = np.random.default_rng(0)
-    rec = str(tmp_path / "c.rec")
-    w = IndexedRecordIOWriter(str(tmp_path / "c.idx"), rec)
-    key = 1
-    ranges = []
-    for ident in range(n_ids):
-        start = key
-        for _ in range(per):
-            buf = io.BytesIO()
-            Image.fromarray(
-                rng.integers(0, 255, (16, 16, 3), np.uint8)
-            ).save(buf, format="JPEG")
-            w.write_idx(key, pack(IRHeader(0, float(ident), key, 0), buf.getvalue()))
-            key += 1
-        ranges.append((start, key))
-    ident_start = key
-    for a, b in ranges:
-        w.write_idx(key, pack(IRHeader(2, np.array([a, b], np.float32), key, 0), b""))
-        key += 1
-    w.write_idx(0, pack(IRHeader(2, np.array([ident_start, key], np.float32), 0, 0), b""))
-    w.close()
-    return rec
+    from helpers import make_identity_rec
+
+    return make_identity_rec(tmp_path, n_ids=n_ids, per_id=per, size=16,
+                             name="c")
 
 
 def test_contrastive_pair_sampler(tmp_path):
@@ -160,21 +142,34 @@ def test_contrastive_pair_sampler_subset_no_self_pairs(tmp_path):
     """Subsetted dataset: partners must come from the live subset with
     correct same/diff labels (never silent anchor self-pairing)."""
     ds = FaceRecordDataset(_identity_rec(tmp_path, n_ids=4, per=6))
-    key_to_ident = {}
-    for ident, (a, b) in ds.id2range.items():
-        for k in range(a, b):
-            key_to_ident[k] = ident
     # keep every other image only
     ds.restrict_to_keys(ds.seq[::2])
     sampler = ContrastivePairSampler(ds, pos_prob=0.5, seed=1)
     subset = set(ds.seq)
     pos_seen = neg_seen = 0
     for i in range(len(ds)):
+        ident = sampler._key_to_ident[ds.seq[i]]
         for _ in range(4):
+            # capture the partner position so the label can be verified
+            # against the ACTUAL drawn identity (the sibling labels test's
+            # probe), and the partner proven inside the live subset
+            captured = {}
+            orig = sampler._draw_position
+
+            def capture(fn, avoid=-1):
+                p = orig(fn, avoid=avoid)
+                captured["pos"] = p
+                return p
+
+            sampler._draw_position = capture
             (img1, img2), same = sampler.sample_pair(i)
-            # reconstruct which partner position was drawn via its identity
-            # invariant: label must equal identity equality of the ACTUAL pair
-            assert same in (0, 1)
+            sampler._draw_position = orig
+            other_key = ds.seq[captured["pos"]]
+            assert other_key in subset
+            assert other_key != ds.seq[i], "anchor self-pair"
+            assert same == int(
+                sampler._key_to_ident[other_key] == ident
+            )
             pos_seen += same
             neg_seen += 1 - same
     assert pos_seen and neg_seen
@@ -195,8 +190,8 @@ def test_contrastive_pair_labels_match_identities(tmp_path):
         captured = {}
         orig = sampler._draw_position
 
-        def capture(fn):
-            p = orig(fn)
+        def capture(fn, avoid=-1):
+            p = orig(fn, avoid=avoid)
             captured["pos"] = p
             return p
 

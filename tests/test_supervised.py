@@ -42,6 +42,24 @@ def setup():
     return mesh, state, w, w_opt, step
 
 
+
+def _own_class_cos(embed, images, labels, state, w):
+    """Deterministic learning probe: mean cosine between each image's
+    eval-mode embedding and its class's margin-weight row. Per-step train
+    losses are NOT comparable under pfc — each step scores a different
+    negative sample (and a different PRNG impl reorders the draws), so a
+    loss-trend assert is sampling noise; this dense, sample-free quantity
+    is what CosFace actually optimizes."""
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    emb = np.asarray(embed(variables, images))
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    wn = np.asarray(w, np.float32)
+    wn = wn / np.linalg.norm(wn, axis=1, keepdims=True)
+    cos = emb @ wn.T
+    return float(cos[np.arange(labels.shape[0]), np.asarray(labels)].mean())
+
 def test_train_step_runs_and_loss_decreases(setup):
     _, state, w, w_opt, step = setup
     rng = jax.random.PRNGKey(2)
@@ -425,21 +443,7 @@ def test_pfc_trains_on_mesh(sampler, ratio, row_bound):
     embed = make_embed_fn(cfg)
 
     def own_class_cos(state, w):
-        """Deterministic learning probe: mean cosine between each image's
-        eval-mode embedding and its class's margin-weight row. Per-step
-        train losses are NOT comparable under pfc — each step scores a
-        different negative sample (and a different PRNG impl reorders the
-        draws), so a loss-trend assert is sampling noise; this dense,
-        sample-free quantity is what CosFace actually optimizes."""
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        emb = np.asarray(embed(variables, images))
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        wn = np.asarray(w, np.float32)
-        wn = wn / np.linalg.norm(wn, axis=1, keepdims=True)
-        cos = emb @ wn.T
-        return float(cos[np.arange(labels.shape[0]), np.asarray(labels)].mean())
+        return _own_class_cos(embed, images, labels, state, w)
 
     cos0 = own_class_cos(state, w)
     prev_w = np.asarray(w)
@@ -615,15 +619,7 @@ def test_pfc_tp_trains_on_mesh():
     embed = make_embed_fn(cfg)
 
     def own_class_cos(state, w):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        emb = np.asarray(embed(variables, images))
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        wn = np.asarray(w, np.float32)
-        wn = wn / np.linalg.norm(wn, axis=1, keepdims=True)
-        cos = emb @ wn.T
-        return float(cos[np.arange(labels.shape[0]), np.asarray(labels)].mean())
+        return _own_class_cos(embed, images, labels, state, w)
 
     cos0 = own_class_cos(state, w)
     prev_w = np.asarray(w)
@@ -740,15 +736,7 @@ def test_zero1_with_pfc_tp_trains():
     embed = make_embed_fn(cfg)
 
     def own_class_cos(state, w):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        emb = np.asarray(embed(variables, images))
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        wn = np.asarray(w, np.float32)
-        wn = wn / np.linalg.norm(wn, axis=1, keepdims=True)
-        cos = emb @ wn.T
-        return float(cos[np.arange(labels.shape[0]), np.asarray(labels)].mean())
+        return _own_class_cos(embed, images, labels, state, w)
 
     cos0 = own_class_cos(state, w)
     losses = []
