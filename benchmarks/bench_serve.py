@@ -28,6 +28,7 @@ import numpy as np
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
     from lafs_cvpr2024_tpu.cli.serve_embeddings import (
         EmbeddingClient,
@@ -46,7 +47,8 @@ def main():
 
     sock = "/tmp/lafs_serve_bench.sock"
     argv = ["--checkpoint", ckpt, "--socket", sock,
-            "--batch-size", str(batch), "--max-requests", "1"]
+            "--batch-size", str(batch), "--max-requests", "1",
+            "--eval-dtype", dtype]
     t = threading.Thread(target=serve_main, args=(argv,), daemon=True)
     t.start()
     deadline = time.time() + 900
@@ -82,7 +84,7 @@ def main():
     assert np.isfinite(emb).all()
     print(json.dumps({
         "metric": "serving faces/s (unix socket, flip-fused, incl. framing)",
-        "batch": batch,
+        "batch": batch, "dtype": dtype,
         "ms_per_request": round(dt * 1e3, 1),
         "faces_per_sec": round(batch / dt, 1),
     }))

@@ -28,6 +28,11 @@ def get_args():
     p.add_argument("--meta-path", required=True)
     p.add_argument("--target", default="IJBC", choices=["IJBB", "IJBC"])
     p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--eval-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="forward compute dtype; bf16 ≈ 2x MXU throughput "
+                        "(embeddings agree with fp32 to cosine >~ 1-1e-3); "
+                        "the documented 1,328 faces/s IJB ceiling is bf16")
     p.add_argument("--embedding-size", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
@@ -93,12 +98,18 @@ def main():
             "batch_stats": merge_params(variables.get("batch_stats", {}), stats),
         }
 
+    cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
+
     @jax.jit
     def _embed(v, batch):
         # eval convention: x/255 - 0.5 (IJB_evaluation.py:235)
         # params are an argument, not a closure constant (closure constants
         # get baked into the HLO and can exceed remote-compile size limits)
-        return model.apply(v, batch / 255.0 - 0.5, train=False)
+        v = jax.tree_util.tree_map(
+            lambda q: q.astype(cdtype)
+            if jnp.issubdtype(q.dtype, jnp.floating) else q, v)
+        x = (batch / 255.0 - 0.5).astype(cdtype)
+        return model.apply(v, x, train=False).astype(jnp.float32)
 
     # scale the extraction sweep over all local devices (data-axis sharding)
     from ..parallel.mesh import create_mesh, sharded_batch_apply

@@ -27,6 +27,11 @@ def get_args(argv=None):
                    help="image folder (recursive) or dir with train.rec")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--eval-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="forward compute dtype; bf16 ≈ 2x MXU throughput "
+                        "(embeddings agree with fp32 to cosine >~ 1-1e-3); "
+                        "the documented 1,328 faces/s IJB ceiling is bf16")
     p.add_argument("--embedding-size", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
@@ -131,10 +136,15 @@ def main(argv=None):
         variables, step = restore_eval_variables(args.checkpoint)
         print(f"[restore] step {step} from {args.checkpoint}")
 
+    cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
+
     @jax.jit
     def _embed(v, batch):
-        x = batch.astype(jnp.float32) / 255.0 - 0.5  # eval convention
-        return model.apply(v, x, train=False)
+        v = jax.tree_util.tree_map(
+            lambda q: q.astype(cdtype)
+            if jnp.issubdtype(q.dtype, jnp.floating) else q, v)
+        x = (batch.astype(jnp.float32) / 255.0 - 0.5).astype(cdtype)
+        return model.apply(v, x, train=False).astype(jnp.float32)
 
     mesh = create_mesh(model=1)
     embed = sharded_batch_apply(_embed, mesh) if mesh.size > 1 else _embed

@@ -43,6 +43,11 @@ def get_args(argv=None):
     p.add_argument("--batch-size", type=int, default=256,
                    help="compiled batch shape; requests are padded up and "
                         "chunked down to it (no steady-state recompiles)")
+    p.add_argument("--eval-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="forward compute dtype; bf16 ≈ 2x MXU throughput "
+                        "(embeddings agree with fp32 to cosine >~ 1-1e-3); "
+                        "the documented 1,328 faces/s IJB ceiling is bf16")
     p.add_argument("--embedding-size", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
@@ -115,10 +120,16 @@ class EmbeddingServer:
             print(f"[serve] restored step {step}")
         self._variables = variables
 
+        cdtype = (jnp.bfloat16 if args.eval_dtype == "bfloat16"
+                  else jnp.float32)
+
         @jax.jit
         def _embed(v, batch):
-            x = batch.astype(jnp.float32) / 255.0 - 0.5  # eval convention
-            return model.apply(v, x, train=False)
+            v = jax.tree_util.tree_map(
+                lambda q: q.astype(cdtype)
+                if jnp.issubdtype(q.dtype, jnp.floating) else q, v)
+            x = (batch.astype(jnp.float32) / 255.0 - 0.5).astype(cdtype)
+            return model.apply(v, x, train=False).astype(jnp.float32)
 
         mesh = create_mesh(model=1)
         self._fn = (

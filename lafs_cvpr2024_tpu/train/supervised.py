@@ -760,6 +760,7 @@ def make_embed_fn(
     cfg: SupervisedConfig,
     mesh: Optional[Mesh] = None,
     input_scale: Optional[str] = None,
+    compute_dtype: Any = None,
 ):
     """Jitted eval-time embedding fn for perform_val / IJB sweeps.
 
@@ -774,7 +775,14 @@ def make_embed_fn(
     Always uses the DENSE MLP path: the fused pallas kernel is a training
     win but measured slower in inference-only graphs (custom-call layout
     constraints, docs/PERF.md); the param trees are identical so the same
-    weights apply."""
+    weights apply.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``): cast params + inputs for
+    the forward and return fp32 — ~2× MXU throughput on eval sweeps (the
+    documented 1,328 faces/s IJB ceiling is the bf16 number; embeddings
+    agree with fp32 to cosine ≳ 1−1e-3). ``None`` keeps fp32 — the
+    in-training `perform_val`/need_save gate default, so checkpoint
+    selection stays bit-stable."""
     model_cfg = PartFViTConfig(
         **{**cfg.model.__dict__, "loss_type": "None", "mlp_impl": "dense"}
     )
@@ -784,7 +792,16 @@ def make_embed_fn(
     def embed(variables, images):
         if input_scale is not None:
             images = scale_uint8(images, input_scale)
-        return model.apply(variables, images, train=False)
+        if compute_dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                variables,
+            )
+            images = images.astype(compute_dtype)
+        return model.apply(variables, images, train=False).astype(
+            jnp.float32
+        )
 
     if mesh is not None and mesh.size > 1:
         from ..parallel.mesh import sharded_batch_apply

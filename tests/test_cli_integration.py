@@ -715,6 +715,7 @@ def test_serve_embeddings_cli(tmp_path):
         "--embedding-size", "32", "--depth", "1", "--heads", "2",
         "--dim-head", "16", "--mlp-dim", "64", "--num-patches", "36",
         "--image-size", "48", "--stn-mode", "small", "--max-requests", "2",
+        "--eval-dtype", "float32",  # exact-parity check below
     ]
     t = threading.Thread(
         target=serve_embeddings.main, args=(argv,), daemon=True

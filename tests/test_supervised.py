@@ -756,3 +756,45 @@ def test_zero1_single_data_shard_rejected():
     mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "model"))
     with pytest.raises(ValueError, match="zero1"):
         make_train_step(cfg, mesh)
+
+
+def test_embed_fn_bf16_matches_fp32_to_cosine():
+    """make_embed_fn(compute_dtype=bf16): ~2x eval throughput must not
+    change embeddings beyond bf16 resolution. The pure transformer path
+    (with_land=False) holds cosine >= 1 - 1e-3; the with_land path is
+    looser UNDER RANDOM INIT ONLY — the untrained landmark CNN's min-max
+    rescale amplifies bf16 noise into sub-pixel patch-position shifts
+    (production landmark CNNs are trained/stable, and training itself
+    jitters landmarks by N(0, 5px), so the model is robust to far larger
+    coordinate noise)."""
+    import jax.numpy as jnp
+
+    def cos_min(with_land):
+        cfg = SupervisedConfig(
+            model=PartFViTConfig(
+                image_size=48, dim=64, depth=2, heads=2, dim_head=32,
+                mlp_dim=128, num_patches=36, num_classes=0,
+                loss_type="None", with_land=with_land, stn_mode="small",
+            ),
+            compute_dtype=jnp.float32,
+        )
+        from lafs_cvpr2024_tpu.models.partfvit import PartFViT
+
+        model = PartFViT(cfg.model)
+        shape = (1, 48, 48, 3) if with_land else (1, 36, 192)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros(shape)
+        )
+        xs = (4, 48, 48, 3) if with_land else (4, 36, 192)
+        x = jax.random.uniform(jax.random.PRNGKey(1), xs) * 2 - 1
+        f32 = make_embed_fn(cfg)
+        b16 = make_embed_fn(cfg, compute_dtype=jnp.bfloat16)
+        e32 = np.asarray(f32(variables, x))
+        e16 = np.asarray(b16(variables, x))
+        assert e16.dtype == np.float32
+        num = (e32 * e16).sum(-1)
+        den = np.linalg.norm(e32, axis=-1) * np.linalg.norm(e16, axis=-1)
+        return (num / np.maximum(den, 1e-12)).min()
+
+    assert cos_min(with_land=False) >= 1 - 1e-3
+    assert cos_min(with_land=True) >= 0.99
