@@ -7,7 +7,19 @@ recompiles in steady state — partial batches are padded up), and serves
 requests over a unix-domain socket with a minimal length-prefixed protocol:
 
   request:  header ``<u32 magic=0x4C414653> <u32 n> <u32 h> <u32 w>``
-            followed by ``n*h*w*3`` bytes of uint8 RGB
+            followed by ``n*h*w*3`` bytes of uint8 RGB (pre-aligned crops)
+  OR (JPEG ingestion — the production detector→embedder flow; ~10x fewer
+  wire bytes than raw pixels):
+  request:  header ``<u32 magic=0x4C414A50> <u32 n> <u32 total_bytes>``
+            followed by ``n`` u32 JPEG lengths, ``n*10`` float32 5-point
+            landmarks (x1,y1..x5,y5 in source-image pixels), then the
+            concatenated JPEG bytes. The server Umeyama-aligns each face
+            to the ArcFace template (reference ``IJB_evaluation.py:198-230``)
+            through the fused native decode+warp thread pool
+            (``native/lafs_dataplane.cc``; PIL fallback) and embeds the
+            aligned batch. Already-aligned S×S crops can be sent with the
+            template itself as landmarks (``eval.ijb.ARCFACE_SRC * S/112``)
+            — the estimated transform is then the identity.
   response: ``<u32 n> <u32 d>`` followed by ``n*d`` float32 embeddings
             (flip-fused + L2-normalized, same convention as
             ``cli/extract_embeddings``)
@@ -32,7 +44,8 @@ import struct
 
 import numpy as np
 
-MAGIC = 0x4C414653  # "LAFS"
+MAGIC = 0x4C414653  # "LAFS": raw uint8 pixels
+MAGIC_JPEG = 0x4C414A50  # "LAJP": JPEG crops + 5-pt landmarks
 ERR = 0xFFFFFFFF
 
 
@@ -143,9 +156,11 @@ class EmbeddingServer:
         print(f"[serve] warm-compiled batch {args.batch_size} "
               f"(flip={'on' if args.flip else 'off'})")
 
-    def embed(self, imgs: np.ndarray) -> np.ndarray:
-        """uint8 (N, S, S, 3) → L2-normalized float32 (N, D); any N (chunked
-        + padded to the compiled batch shape)."""
+    def _dispatch(self, imgs: np.ndarray):
+        """Chunk+pad and LAUNCH the device work without fetching results
+        (JAX dispatch is async): returns opaque handles for ``_collect``.
+        The split is what lets ``handle`` overlap the next request's host
+        decode with this one's device compute."""
         jnp = self._jnp
         bs = self.args.batch_size
         out = []
@@ -159,43 +174,145 @@ class EmbeddingServer:
             batch = jnp.asarray(chunk)
             if self.args.flip:
                 batch = jnp.concatenate([batch, batch[:, :, ::-1]], axis=0)
-            emb = np.asarray(self._fn(self._variables, batch), np.float32)
+            out.append((self._fn(self._variables, batch), n))
+        return out
+
+    def _collect(self, handles) -> np.ndarray:
+        """Fetch dispatched device work → L2-normalized (N, D) float32."""
+        bs = self.args.batch_size
+        out = []
+        for dev, n in handles:
+            emb = np.asarray(dev, np.float32)
             if self.args.flip:
                 emb = emb[:bs] + emb[bs:]
             out.append(emb[:n])
         e = np.concatenate(out)
         return e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
 
-    def handle(self, conn) -> None:
-        """Serve one connection (many requests) until the peer closes."""
+    def embed(self, imgs: np.ndarray) -> np.ndarray:
+        """uint8 (N, S, S, 3) → L2-normalized float32 (N, D); any N (chunked
+        + padded to the compiled batch shape)."""
+        return self._collect(self._dispatch(imgs))
+
+    def align_decode(
+        self, jpegs, landmarks: np.ndarray
+    ) -> np.ndarray:
+        """JPEG crops + (n, 5, 2) landmarks → aligned uint8 (n, S, S, 3).
+
+        Umeyama similarity to the ArcFace template (scaled to this model's
+        image size), decoded+warped in the native C++ thread pool
+        (``lafs_decode_warp_batch``) when available, per-face PIL +
+        ``warp_affine`` otherwise."""
+        from ..data.dataset import decode_jpeg
+        from ..data.native import decode_warp_batch, native_available
+        from ..eval.ijb import ARCFACE_SRC, umeyama, warp_affine
+
         size = self.args.image_size
+        tmpl = ARCFACE_SRC * (size / 112.0)
+        mats = np.stack(
+            [umeyama(np.asarray(lm, np.float32), tmpl)[:2]
+             for lm in landmarks]
+        ).astype(np.float32)
+        if not np.isfinite(mats).all():
+            raise ValueError("degenerate landmarks (rank-0 alignment)")
+        if native_available():
+            return decode_warp_batch(
+                jpegs, mats, out_size=size,
+                threads=min(os.cpu_count() or 1, len(jpegs)),
+            )
+        out = np.empty((len(jpegs), size, size, 3), np.uint8)
+        for i, (data, mat) in enumerate(zip(jpegs, mats)):
+            out[i] = warp_affine(decode_jpeg(data), mat, (size, size))
+        return out
+
+    def _read_request(self, conn):
+        """Parse ONE request into a ready-to-embed uint8 batch (JPEG mode
+        decodes+aligns here, on purpose — see ``handle``). Returns None on
+        a clean peer close before any header byte; raises on protocol or
+        decode faults."""
+        size = self.args.image_size
+        try:
+            hdr = _recv_exact(conn, 8)
+        except ConnectionError:
+            return None
+        magic, n = struct.unpack("<II", hdr)
+        if not 0 < n <= 65536:
+            raise ValueError(f"bad batch size {n}")
+        if magic == MAGIC:
+            h, w = struct.unpack("<II", _recv_exact(conn, 8))
+            if h != size or w != size:
+                raise ValueError(
+                    f"expected {size}x{size} images, got {h}x{w}"
+                )
+            raw = _recv_exact(conn, n * h * w * 3)
+            return np.frombuffer(raw, np.uint8).reshape(n, h, w, 3)
+        if magic == MAGIC_JPEG:
+            (total,) = struct.unpack("<I", _recv_exact(conn, 4))
+            lens = np.frombuffer(
+                _recv_exact(conn, 4 * n), np.uint32
+            ).astype(np.int64)
+            lms = np.frombuffer(
+                _recv_exact(conn, 40 * n), np.float32
+            ).reshape(n, 5, 2)
+            if int(lens.sum()) != total:
+                raise ValueError(
+                    f"jpeg lengths sum to {int(lens.sum())}, "
+                    f"header says {total}"
+                )
+            blob = _recv_exact(conn, total)
+            offs = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            jpegs = [blob[o:o + ln] for o, ln in zip(offs, lens)]
+            return self.align_decode(jpegs, lms)
+        raise ValueError(f"bad magic 0x{magic:08x}")
+
+    def handle(self, conn) -> None:
+        """Serve one connection (many requests) until the peer closes.
+
+        Responses always return in request order, but the device work for
+        request i overlaps the PARSE + JPEG DECODE of request i+1 whenever
+        the client pipelines (sends i+1 before reading response i): after
+        dispatching i the loop polls the socket, and any queued request is
+        decoded BEFORE i's embeddings are fetched — the chip computes
+        while the host's libjpeg threads run. Serial request→response
+        clients see exactly the old behavior (the poll just comes back
+        empty)."""
+        import select
+
+        def _send(emb):
+            conn.sendall(struct.pack("<II", *emb.shape) + emb.tobytes())
+
+        pending = None  # dispatched-but-unfetched device work
         while True:
+            nxt, err = False, None
             try:
-                hdr = _recv_exact(conn, 16)
-            except ConnectionError:
-                return
-            magic, n, h, w = struct.unpack("<IIII", hdr)
-            try:
-                if magic != MAGIC:
-                    raise ValueError(f"bad magic 0x{magic:08x}")
-                if h != size or w != size:
-                    raise ValueError(
-                        f"expected {size}x{size} images, got {h}x{w}"
-                    )
-                if not 0 < n <= 65536:
-                    raise ValueError(f"bad batch size {n}")
-                raw = _recv_exact(conn, n * h * w * 3)
-                imgs = np.frombuffer(raw, np.uint8).reshape(n, h, w, 3)
-                emb = self.embed(imgs)
-                conn.sendall(struct.pack("<II", *emb.shape))
-                conn.sendall(emb.tobytes())
-            except (ValueError, ConnectionError) as e:
-                msg = str(e).encode()
+                if pending is None:
+                    nxt = self._read_request(conn)
+                elif select.select([conn], [], [], 0)[0]:
+                    nxt = self._read_request(conn)
+            # OSError covers PIL's UnidentifiedImageError; RuntimeError is
+            # the native decoder's failure signal — request-level faults
+            # the client must hear about, not server crashes
+            except (ValueError, RuntimeError, OSError) as e:
+                err = e
+            if pending is not None:
+                emb = self._collect(pending)
+                pending = None
+                try:
+                    _send(emb)
+                except OSError:
+                    return
+            if err is not None:
+                msg = str(err).encode()
                 try:
                     conn.sendall(struct.pack("<II", ERR, len(msg)) + msg)
                 except OSError:
                     pass
                 return
+            if nxt is None:
+                return
+            if nxt is not False:
+                pending = self._dispatch(nxt)
 
 
 class EmbeddingClient:
@@ -204,20 +321,72 @@ class EmbeddingClient:
     def __init__(self, path: str):
         self._path = path
 
-    def embed(self, imgs: np.ndarray) -> np.ndarray:
-        imgs = np.ascontiguousarray(imgs, np.uint8)
+    @staticmethod
+    def _read_response(s) -> np.ndarray:
+        a, b = struct.unpack("<II", _recv_exact(s, 8))
+        if a == ERR:
+            raise RuntimeError(_recv_exact(s, b).decode())
+        return np.frombuffer(
+            _recv_exact(s, a * b * 4), np.float32
+        ).reshape(a, b)
+
+    @staticmethod
+    def _payload(item) -> bytes:
+        """One request's wire bytes. ``item`` is either a uint8
+        (n, h, w, 3) array (raw mode) or a ``(jpegs, landmarks)`` tuple
+        (JPEG mode: byte strings + (n, 5, 2) 5-pt landmarks)."""
+        if isinstance(item, tuple):
+            jpegs, landmarks = item
+            n = len(jpegs)
+            lms = np.ascontiguousarray(
+                landmarks, np.float32
+            ).reshape(n, 5, 2)
+            lens = np.asarray([len(j) for j in jpegs], np.uint32)
+            blob = b"".join(jpegs)
+            return (
+                struct.pack("<III", MAGIC_JPEG, n, len(blob))
+                + lens.tobytes() + lms.tobytes() + blob
+            )
+        imgs = np.ascontiguousarray(item, np.uint8)
         n, h, w, c = imgs.shape
         assert c == 3
+        return struct.pack("<IIII", MAGIC, n, h, w) + imgs.tobytes()
+
+    def embed(self, imgs: np.ndarray) -> np.ndarray:
         with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
             s.connect(self._path)
-            s.sendall(struct.pack("<IIII", MAGIC, n, h, w) + imgs.tobytes())
-            hdr = _recv_exact(s, 8)
-            a, b = struct.unpack("<II", hdr)
-            if a == ERR:
-                raise RuntimeError(_recv_exact(s, b).decode())
-            return np.frombuffer(
-                _recv_exact(s, a * b * 4), np.float32
-            ).reshape(a, b)
+            s.sendall(self._payload(imgs))
+            return self._read_response(s)
+
+    def embed_jpegs(self, jpegs, landmarks) -> np.ndarray:
+        """JPEG byte strings + (n, 5, 2) source-pixel landmarks →
+        (n, D) embeddings; the server aligns to the ArcFace template.
+        For already-aligned S×S crops pass
+        ``eval.ijb.ARCFACE_SRC * (S / 112)`` as every face's landmarks."""
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(self._path)
+            s.sendall(self._payload((jpegs, landmarks)))
+            return self._read_response(s)
+
+    def embed_stream(self, items):
+        """Stream many requests over ONE connection, keeping one request
+        in flight ahead of the reads — this is what lets the server
+        overlap request i+1's host-side JPEG decode with request i's
+        device compute (see ``EmbeddingServer.handle``). Yields one
+        (n, D) embedding array per item, in order. Each item is a uint8
+        image batch or a ``(jpegs, landmarks)`` tuple."""
+        it = iter(items)
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(self._path)
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+            s.sendall(self._payload(first))
+            for item in it:
+                s.sendall(self._payload(item))
+                yield self._read_response(s)
+            yield self._read_response(s)
 
 
 def main(argv=None):

@@ -749,3 +749,113 @@ def test_serve_embeddings_cli(tmp_path):
 
     t.join(timeout=60)
     assert not t.is_alive()
+
+
+def test_serve_embeddings_jpeg_mode(tmp_path):
+    """JPEG ingestion mode: the server Umeyama-aligns + decodes on its
+    side of the socket. Aligned crops sent with the template itself as
+    landmarks must embed identically to the same aligned pixels sent raw
+    (the estimated warp is the identity), and corrupt JPEG bytes are a
+    protocol error frame, not a server crash."""
+    import io
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from lafs_cvpr2024_tpu.cli import serve_embeddings
+    from lafs_cvpr2024_tpu.data.native import (
+        decode_warp_batch,
+        native_available,
+    )
+    from lafs_cvpr2024_tpu.eval.ijb import ARCFACE_SRC, umeyama, warp_affine
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    cfg = PartFViTConfig(
+        dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64, num_patches=36,
+        image_size=48, stn_mode="small", with_land=True, loss_type="None",
+        num_classes=0,
+    )
+    model = PartFViT(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3))
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables, step=0)
+
+    sock = str(tmp_path / "lafs_jpeg.sock")
+    argv = [
+        "--checkpoint", str(ckpt), "--socket", sock, "--batch-size", "4",
+        "--embedding-size", "32", "--depth", "1", "--heads", "2",
+        "--dim-head", "16", "--mlp-dim", "64", "--num-patches", "36",
+        "--image-size", "48", "--stn-mode", "small", "--max-requests", "4",
+        "--eval-dtype", "float32",  # exact jpeg-vs-raw parity below
+    ]
+    t = threading.Thread(
+        target=serve_embeddings.main, args=(argv,), daemon=True
+    )
+    t.start()
+    deadline = time.time() + 120
+    while not os.path.exists(sock):
+        assert time.time() < deadline, "server did not come up"
+        time.sleep(0.2)
+
+    rng = np.random.default_rng(1)
+    # 5 images > batch-size 4: chunking exercised in JPEG mode too
+    imgs = rng.integers(0, 255, (5, 48, 48, 3), dtype=np.uint8)
+    jpegs = []
+    for im in imgs:
+        buf = io.BytesIO()
+        Image.fromarray(im).save(buf, "JPEG", quality=95)
+        jpegs.append(buf.getvalue())
+    decoded = np.stack(
+        [np.asarray(Image.open(io.BytesIO(j)).convert("RGB"))
+         for j in jpegs]
+    )
+    tmpl = ARCFACE_SRC * (48 / 112.0)
+    lms = np.tile(tmpl, (5, 1, 1))
+
+    # the server-side alignment, reproduced locally (same code path)
+    mats = np.stack(
+        [umeyama(tmpl, tmpl)[:2]] * 5
+    ).astype(np.float32)
+    if native_available():
+        aligned = decode_warp_batch(jpegs, mats, out_size=48)
+    else:
+        aligned = np.stack(
+            [warp_affine(d, mats[i], (48, 48))
+             for i, d in enumerate(decoded)]
+        )
+    # template→template is the identity warp: decode survives alignment
+    assert np.abs(
+        aligned.astype(np.int32) - decoded.astype(np.int32)
+    ).max() <= 1
+
+    client = serve_embeddings.EmbeddingClient(sock)
+    emb_jpeg = client.embed_jpegs(jpegs, lms)
+    emb_raw = client.embed(aligned)
+    assert emb_jpeg.shape == (5, 32)
+    np.testing.assert_allclose(emb_jpeg, emb_raw, atol=2e-5, rtol=1e-4)
+
+    # pipelined streaming (one request in flight ahead of the reads —
+    # the server's decode/compute overlap path), mixing raw and JPEG
+    # requests on ONE connection; responses must come back in order
+    stream = list(client.embed_stream(
+        [aligned, (jpegs, lms), aligned[:3]]
+    ))
+    assert [e.shape for e in stream] == [(5, 32), (5, 32), (3, 32)]
+    np.testing.assert_allclose(stream[0], emb_raw, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(stream[1], emb_jpeg, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        stream[2], emb_raw[:3], atol=2e-5, rtol=1e-4
+    )
+
+    # corrupt JPEG → loud error frame, and the server survives to exit
+    # cleanly at its --max-requests budget
+    with pytest.raises(RuntimeError):
+        client.embed_jpegs([b"not a jpeg"], tmpl[None])
+
+    t.join(timeout=60)
+    assert not t.is_alive()
