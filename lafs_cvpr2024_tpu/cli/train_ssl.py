@@ -264,6 +264,11 @@ def main():
         ),
         lambda st: st._replace(opt_state=adapt_moment_layout(
             st.opt_state, st.student, _cur_shards)),
+        # permanent snapshot every saveckp_freq epochs (the reference's
+        # checkpoint{epoch:04}.pth, lafs_train.py:459-463) on top of the
+        # rolling latest-3 retention
+        keep_period=(args.saveckp_freq * steps_per_epoch
+                     if args.saveckp_freq else None),
     )
     start_epoch = 0
     start_it = 0
@@ -339,7 +344,8 @@ def main():
             losses.maybe_flush(it)
             if args.saveckp_steps and (gstep + 1) % args.saveckp_steps == 0:
                 # flush on EVERY process (nan_exit must abort all ranks at
-                # the same step), save on main only
+                # the same step); the save also runs on every process
+                # (orbax multi-process saves need all ranks)
                 losses.flush()
                 writer.save(gstep + 1, state)
             if guard.should_exit(gstep):

@@ -60,16 +60,32 @@ class CheckpointWriter:
     until everything pending is durably on disk — always close before
     reading the directory back or exiting the process."""
 
-    def __init__(self, path: str, keep: int = 3):
+    def __init__(self, path: str, keep: int = 3,
+                 keep_period: Optional[int] = None):
+        """``keep``: rolling retention (latest N checkpoints).
+        ``keep_period``: additionally preserve every checkpoint whose step
+        is a multiple of this FOREVER — the reference's permanent
+        ``checkpoint{epoch:04}.pth`` snapshots every ``saveckp_freq``
+        epochs (``lafs_train.py:459-463``); pass
+        ``saveckp_freq * steps_per_epoch``."""
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
-        self._mgr = ocp.CheckpointManager(
-            os.path.abspath(path),
-            options=ocp.CheckpointManagerOptions(
+        if keep_period:
+            from orbax.checkpoint import checkpoint_managers as cms
+
+            opts = ocp.CheckpointManagerOptions(
+                enable_async_checkpointing=True,
+                preservation_policy=cms.AnyPreservationPolicy([
+                    cms.LatestN(n=keep),
+                    cms.EveryNSteps(interval_steps=keep_period),
+                ]),
+            )
+        else:
+            opts = ocp.CheckpointManagerOptions(
                 max_to_keep=keep, enable_async_checkpointing=True,
-            ),
-        )
+            )
+        self._mgr = ocp.CheckpointManager(os.path.abspath(path), options=opts)
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         """Queue an async save. Returns orbax's saved-flag: ``False`` means
@@ -160,7 +176,8 @@ class PreemptionGuard:
 
 
 def make_training_checkpointer(path: str, payload: Any, alt_abstract_thunk,
-                               adapt, keep: int = 3, resume: bool = True):
+                               adapt, keep: int = 3, resume: bool = True,
+                               keep_period: Optional[int] = None):
     """One-stop training-checkpoint wiring shared by the three train CLIs
     (one definition so the policy cannot diverge between them):
 
@@ -185,7 +202,9 @@ def make_training_checkpointer(path: str, payload: Any, alt_abstract_thunk,
         restored, step = restore_checkpoint_flex(
             path, abstract, alt_abstract_thunk, adapt
         )
-    return restored, step, CheckpointWriter(path, keep=keep), PreemptionGuard()
+    return (restored, step,
+            CheckpointWriter(path, keep=keep, keep_period=keep_period),
+            PreemptionGuard())
 
 
 def restore_checkpoint(path: str, abstract_state: Any, step: Optional[int] = None):

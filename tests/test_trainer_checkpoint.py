@@ -218,6 +218,26 @@ def test_checkpoint_writer_async_roundtrip(tmp_path):
         restore_checkpoint(str(tmp_path / "ck"), abstract, step=1)
 
 
+def test_checkpoint_writer_keep_period(tmp_path):
+    """keep_period: steps on the period survive FOREVER alongside the
+    rolling latest-N retention (the reference's permanent
+    checkpoint{epoch:04}.pth every saveckp_freq epochs,
+    lafs_train.py:459-463 — wired as --saveckp-freq in cli/train_ssl)."""
+    from lafs_cvpr2024_tpu.train.checkpoint import CheckpointWriter
+
+    with CheckpointWriter(str(tmp_path / "ck"), keep=2, keep_period=10) as w:
+        for step in (5, 10, 15, 20, 25, 30):
+            w.save(step, {"a": jnp.full((2,), float(step))})
+    abstract = {"a": jax.ShapeDtypeStruct((2,), jnp.float32)}
+    surviving = sorted(
+        int(d) for d in os.listdir(tmp_path / "ck") if d.isdigit()
+    )
+    # 10, 20, 30 are on the period (permanent); 25, 30 are the latest 2
+    assert surviving == [10, 20, 25, 30], surviving
+    restored, _ = restore_checkpoint(str(tmp_path / "ck"), abstract, step=10)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), [10.0, 10.0])
+
+
 def test_preemption_guard_chains_and_restores():
     import signal
 
