@@ -92,8 +92,10 @@ def main(argv=None):
     )
     from ..train.ssl import create_landmark_provider
     from ..utils.config import resolve_mlp_impl
-    from ..utils.logging import JSONLLogger, MetricLogger
+    from ..utils.logging import JSONLLogger, MetricLogger, dump_config
 
+    os.makedirs(args.output_dir, exist_ok=True)
+    dump_config(os.path.join(args.output_dir, "config.txt"), args)
     mesh = create_multislice_mesh(model=1, slices=args.slices)
     n_dev = mesh.shape["data"]
 
@@ -104,6 +106,9 @@ def main(argv=None):
         dataset = FaceFolderDataset(args.data_path)
     batch = args.batch_size_per_chip * n_dev
     n_proc = jax.process_count()
+    assert batch % n_proc == 0, (
+        f"global batch {batch} must divide process count {n_proc}"
+    )
     sampler = EpochSampler(
         len(dataset), batch // n_proc, seed=args.seed
     )
