@@ -28,6 +28,9 @@ def get_args():
     p.add_argument("--meta-path", required=True)
     p.add_argument("--target", default="IJBC", choices=["IJBB", "IJBC"])
     p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="decode-ahead depth: host decode+align of the next "
+                        "batches overlaps the device embed (0 = serial)")
     p.add_argument("--eval-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="forward compute dtype; bf16 ≈ 2x MXU throughput "
@@ -171,11 +174,21 @@ def main():
                   f"({e}) — PIL fallback for this batch")
             return np.stack(list(pool.map(load_and_align, idx)))
 
+    from ..data.pipeline import prefetch_iter
+
     with ThreadPoolExecutor(args.workers) as pool:
         bs = args.batch_size
-        for start in range(0, len(names), bs):
-            idx = range(start, min(start + bs, len(names)))
-            batch = load_batch(pool, idx)
+
+        def batches():
+            for start in range(0, len(names), bs):
+                idx = range(start, min(start + bs, len(names)))
+                yield start, load_batch(pool, idx)
+
+        # host decode+align of batch i+1 overlaps the device embed of
+        # batch i (the sweep is otherwise serial: host + device instead
+        # of max(host, device) — on a multi-core host the sweep becomes
+        # device-bound at the documented 1,328 faces/s)
+        for start, batch in prefetch_iter(batches(), depth=args.prefetch):
             both = np.concatenate([batch, batch[:, :, ::-1]], axis=0)
             emb = np.asarray(embed(jnp.asarray(both)))
             n = len(batch)

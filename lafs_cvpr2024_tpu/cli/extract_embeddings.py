@@ -27,6 +27,9 @@ def get_args(argv=None):
                    help="image folder (recursive) or dir with train.rec")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="decode-ahead depth: host decode of the next "
+                        "batches overlaps the device embed (0 = serial)")
     p.add_argument("--eval-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="forward compute dtype; bf16 ≈ 2x MXU throughput "
@@ -150,8 +153,12 @@ def main(argv=None):
     embed = sharded_batch_apply(_embed, mesh) if mesh.size > 1 else _embed
 
     os.makedirs(args.output, exist_ok=True)
+    from ..data.pipeline import prefetch_iter
+
     all_names, chunks = [], []
-    for names, imgs in _iter_batches(args):
+    # host decode of batch i+1 overlaps the device embed of batch i
+    for names, imgs in prefetch_iter(_iter_batches(args),
+                                     depth=args.prefetch):
         batch = jnp.asarray(imgs)
         if args.flip:
             batch = jnp.concatenate([batch, batch[:, :, ::-1]], axis=0)

@@ -82,6 +82,43 @@ def _collate(samples):
     return np.stack(items), labels
 
 
+def prefetch_iter(it, depth: int = 2):
+    """Run an iterator on a background thread with a bounded queue.
+
+    The eval-sweep analogue of ``DataPipeline``'s producer thread: host
+    decode/alignment of batch i+1 overlaps the device embed + fetch of
+    batch i (the loops in ``cli/evaluate_ijb`` / ``cli/extract_embeddings``
+    are otherwise strictly serial — throughput becomes
+    ``max(host, device)`` instead of their sum). ``depth=0`` returns the
+    iterator unchanged (the serial A/B control). Exceptions raised by the
+    producer re-raise at the consumer's next pull."""
+    if depth <= 0:
+        return it
+
+    def gen():
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        done = object()
+
+        def run():
+            try:
+                for x in it:
+                    q.put(x)
+                q.put(done)
+            except BaseException as e:  # surface to the consumer
+                q.put(e)
+
+        threading.Thread(target=run, daemon=True).start()
+        while True:
+            x = q.get()
+            if x is done:
+                return
+            if isinstance(x, BaseException):
+                raise x
+            yield x
+
+    return gen()
+
+
 class DataPipeline:
     """Iterable over device-resident batches for one epoch.
 

@@ -252,3 +252,27 @@ def test_pipeline_mid_epoch_resume_alignment():
     resumed = [labels.tolist() for _, labels in pipe.epoch(3, start_step=6)]
     assert resumed == full[6:]
     assert len(full) == sampler.steps_per_epoch()
+
+
+def test_prefetch_iter():
+    """prefetch_iter: order-preserving, exception-propagating, depth=0
+    passthrough — the decode/compute overlap helper behind the
+    evaluate_ijb / extract_embeddings sweeps."""
+    import pytest
+
+    from lafs_cvpr2024_tpu.data.pipeline import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(50)), depth=2)) == list(range(50))
+    it = iter(range(5))
+    assert prefetch_iter(it, depth=0) is it  # serial control: no thread
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    out = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for x in prefetch_iter(boom(), depth=1):
+            out.append(x)
+    assert out == [1, 2]
