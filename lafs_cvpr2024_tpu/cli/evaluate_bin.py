@@ -26,6 +26,13 @@ def get_args(argv=None):
                    default=["lfw", "cfp_fp", "agedb_30"])
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--nrof-folds", type=int, default=10)
+    p.add_argument("--eval-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="forward compute dtype. Default fp32 — this is the "
+                        "accuracy-protocol tool, keep it bit-comparable to "
+                        "published numbers; bf16 ≈ 2x throughput "
+                        "(embeddings agree to cosine >~ 1-1e-3) for quick "
+                        "sweeps")
     p.add_argument("--embedding-size", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
@@ -83,12 +90,16 @@ def main(argv=None):
         variables, step = restore_eval_variables(args.checkpoint)
         print(f"[restore] step {step} from {args.checkpoint}")
 
+    cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
+
     @jax.jit
     def _embed(v, batch):
         # device-side scaling: uint8 ships, x/255 - 0.5 on chip
-        return model.apply(
-            v, batch.astype(jnp.float32) / 255.0 - 0.5, train=False
-        )
+        v = jax.tree_util.tree_map(
+            lambda q: q.astype(cdtype)
+            if jnp.issubdtype(q.dtype, jnp.floating) else q, v)
+        x = (batch.astype(jnp.float32) / 255.0 - 0.5).astype(cdtype)
+        return model.apply(v, x, train=False).astype(jnp.float32)
 
     mesh = create_mesh(model=1)
     embed = sharded_batch_apply(_embed, mesh) if mesh.size > 1 else _embed
