@@ -33,18 +33,11 @@ def get_args(argv=None):
                         "published numbers; bf16 ≈ 2x throughput "
                         "(embeddings agree to cosine >~ 1-1e-3) for quick "
                         "sweeps")
-    p.add_argument("--embedding-size", type=int, default=768)
-    p.add_argument("--depth", type=int, default=12)
-    p.add_argument("--heads", type=int, default=11)
-    p.add_argument("--dim-head", type=int, default=64)
-    p.add_argument("--mlp-dim", type=int, default=2048)
-    p.add_argument("--num-patches", type=int, default=196)
-    p.add_argument("--image-size", type=int, default=112)
-    p.add_argument("--stn-mode", default="large", choices=["large", "small"])
-    p.add_argument("--no-land", dest="with_land", action="store_false",
-                   default=True)
     p.add_argument("--json", dest="json_out", default=None,
                    help="also write results to this JSON file")
+    from ..eval.loading import add_arch_flags
+
+    add_arch_flags(p)
     return p.parse_args(argv)
 
 
@@ -53,42 +46,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..eval.loading import arch_overrides_from_args, load_eval_model
     from ..eval.verification import get_val_data, perform_val
-    from ..models.partfvit import PartFViT, PartFViTConfig
     from ..parallel.mesh import create_mesh, sharded_batch_apply
-    from ..train.checkpoint import (
-        import_torch_state_dict,
-        load_torch_file,
-        merge_params,
-        restore_eval_variables,
-    )
 
-    cfg = PartFViTConfig(
-        dim=args.embedding_size, depth=args.depth, heads=args.heads,
-        dim_head=args.dim_head, mlp_dim=args.mlp_dim,
-        num_patches=args.num_patches, image_size=args.image_size,
-        stn_mode=args.stn_mode, with_land=args.with_land,
-        loss_type="None", num_classes=0,
-    )
-    model = PartFViT(cfg)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, args.image_size, args.image_size, 3)),
-    )
-    if args.checkpoint.endswith(".pth"):
-        sd = load_torch_file(args.checkpoint)
-        imp = import_torch_state_dict(sd)
-        print(f"[import] {imp.summary()}")
-        params, stats = imp
-        variables = {
-            "params": merge_params(variables["params"], params),
-            "batch_stats": merge_params(
-                variables.get("batch_stats", {}), stats
-            ),
-        }
-    else:
-        variables, step = restore_eval_variables(args.checkpoint)
-        print(f"[restore] step {step} from {args.checkpoint}")
+    loaded = load_eval_model(args.checkpoint, arch_overrides_from_args(args))
+    model, variables = loaded.model, loaded.variables
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
 

@@ -36,10 +36,6 @@ def get_args():
                    help="forward compute dtype; bf16 ≈ 2x MXU throughput "
                         "(embeddings agree with fp32 to cosine >~ 1-1e-3); "
                         "the documented 1,328 faces/s IJB ceiling is bf16")
-    p.add_argument("--embedding-size", type=int, default=768)
-    p.add_argument("--depth", type=int, default=12)
-    p.add_argument("--heads", type=int, default=11)
-    p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--no-norm-score", dest="use_norm_score", action="store_false")
     p.add_argument("--no-detector-score", dest="use_detector_score", action="store_false")
     p.add_argument("--no-flip-test", dest="use_flip_test", action="store_false")
@@ -47,6 +43,9 @@ def get_args():
     p.add_argument("--no-native", action="store_true",
                    help="skip the fused C++ decode+align batch path and "
                         "use the PIL + numpy warp per face")
+    from ..eval.loading import add_arch_flags
+
+    add_arch_flags(p)
     return p.parse_args()
 
 
@@ -77,29 +76,13 @@ def main():
         read_template_pair_list,
         run_ijb_protocol,
     )
-    from ..models.partfvit import PartFViT, PartFViTConfig
-    from ..train.checkpoint import (
-        import_torch_state_dict,
-        load_torch_file,
-        merge_params,
-    )
+    from ..eval.loading import arch_overrides_from_args, load_eval_model
 
     target = args.target
-    cfg = PartFViTConfig(
-        dim=args.embedding_size, depth=args.depth, heads=args.heads,
-        mlp_dim=args.mlp_dim, with_land=True, loss_type="None", num_classes=0,
+    loaded = load_eval_model(
+        args.model_checkpoint, arch_overrides_from_args(args)
     )
-    model = PartFViT(cfg)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
-    )
-    if args.model_checkpoint.endswith(".pth"):
-        sd = load_torch_file(args.model_checkpoint)
-        params, stats = import_torch_state_dict(sd)
-        variables = {
-            "params": merge_params(variables["params"], params),
-            "batch_stats": merge_params(variables.get("batch_stats", {}), stats),
-        }
+    model, variables = loaded.model, loaded.variables
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
 
@@ -132,7 +115,7 @@ def main():
     names, landmarks, faceness = load_image_list(args.meta_path, target)
 
     t0 = time.time()
-    dim = args.embedding_size
+    dim = loaded.cfg.dim
     feats = np.zeros((len(names), 2 * dim), np.float32)
 
     def load_and_align(i):
@@ -211,6 +194,7 @@ def main():
     print(f"\n{target} 1:1 verification TPR@FPR:")
     for fpr_t, tpr in sorted(table.items()):
         print(f"  FPR={fpr_t:.0e}: TPR={tpr * 100:.2f}%")
+    return table
 
 
 if __name__ == "__main__":

@@ -35,16 +35,6 @@ def get_args(argv=None):
                    help="forward compute dtype; bf16 ≈ 2x MXU throughput "
                         "(embeddings agree with fp32 to cosine >~ 1-1e-3); "
                         "the documented 1,328 faces/s IJB ceiling is bf16")
-    p.add_argument("--embedding-size", type=int, default=768)
-    p.add_argument("--depth", type=int, default=12)
-    p.add_argument("--heads", type=int, default=11)
-    p.add_argument("--dim-head", type=int, default=64)
-    p.add_argument("--mlp-dim", type=int, default=2048)
-    p.add_argument("--num-patches", type=int, default=196)
-    p.add_argument("--image-size", type=int, default=112)
-    p.add_argument("--stn-mode", default="large", choices=["large", "small"])
-    p.add_argument("--no-land", dest="with_land", action="store_false",
-                   default=True)
     p.add_argument("--no-flip", dest="flip", action="store_false",
                    default=True, help="disable flip-test fusion")
     p.add_argument("--no-normalize", dest="normalize", action="store_false",
@@ -52,6 +42,9 @@ def get_args(argv=None):
     p.add_argument("--bgr", action="store_true",
                    help="packed recs keep BGR order (ms1m-style)")
     p.add_argument("--workers", type=int, default=8)
+    from ..eval.loading import add_arch_flags
+
+    add_arch_flags(p)
     return p.parse_args(argv)
 
 
@@ -102,42 +95,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..models.partfvit import PartFViT, PartFViTConfig
+    from ..eval.loading import arch_overrides_from_args, load_eval_model
     from ..parallel.mesh import create_mesh, sharded_batch_apply
-    from ..train.checkpoint import (
-        import_torch_state_dict,
-        load_torch_file,
-        merge_params,
-        restore_eval_variables,
-    )
 
-    cfg = PartFViTConfig(
-        dim=args.embedding_size, depth=args.depth, heads=args.heads,
-        dim_head=args.dim_head, mlp_dim=args.mlp_dim, num_patches=args.num_patches,
-        image_size=args.image_size, stn_mode=args.stn_mode,
-        with_land=args.with_land, loss_type="None", num_classes=0,
-    )
-    model = PartFViT(cfg)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, args.image_size, args.image_size, 3)),
-    )
-    if args.checkpoint.endswith(".pth"):
-        sd = load_torch_file(args.checkpoint)
-        imp = import_torch_state_dict(sd)
-        print(f"[import] {imp.summary()}")
-        params, stats = imp
-        variables = {
-            "params": merge_params(variables["params"], params),
-            "batch_stats": merge_params(
-                variables.get("batch_stats", {}), stats
-            ),
-        }
-    else:
-        # layout-agnostic: raw variables, a train-CLI payload, or a bare
-        # TrainState/SSLTrainState (evaluate_bin does the same)
-        variables, step = restore_eval_variables(args.checkpoint)
-        print(f"[restore] step {step} from {args.checkpoint}")
+    loaded = load_eval_model(args.checkpoint, arch_overrides_from_args(args))
+    model, variables = loaded.model, loaded.variables
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
 

@@ -1,0 +1,260 @@
+"""One checkpoint-loading path for every eval/serving CLI.
+
+The reference requires the user to re-state the full architecture on every
+evaluation invocation (its IJB script hard-codes
+``ViT_face_landmark_patch8(...)`` with ~10 constructor args that must match
+the checkpoint — ``IJB_evaluation.py:200-230``); passing a wrong ``--depth``
+there fails deep inside ``load_state_dict``. Here the architecture is
+INFERRED from the checkpoint's parameter tree itself — every eval CLI works
+with just ``--checkpoint``, for any PartFViT variant we can build, from any
+supported payload:
+
+  * torch ``.pth`` state dicts (reference training output),
+  * raw orbax variables,
+  * any of our train CLIs' payloads (TrainState / SSLTrainState / SimMIM —
+    via :func:`~lafs_cvpr2024_tpu.train.checkpoint.restore_eval_variables`).
+
+Explicit CLI flags still win over inference (pass ``--depth 6`` to force a
+layout); only genuinely non-inferable fields (``image_size``, ``pool`` —
+they leave no trace in the parameter shapes) rely on defaults.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, fields
+from typing import Any, Callable, Dict, Optional
+
+__all__ = [
+    "add_arch_flags",
+    "arch_overrides_from_args",
+    "infer_partfvit_config",
+    "load_eval_model",
+    "LoadedEvalModel",
+]
+
+# PartFViTConfig fields a CLI may force explicitly. Everything else the
+# inference either derives from the tree or leaves at the config default.
+_OVERRIDABLE = (
+    "dim", "depth", "heads", "dim_head", "mlp_dim", "num_patches",
+    "image_size", "patch_size", "stn_mode", "with_land", "pool",
+)
+
+
+def add_arch_flags(parser) -> None:
+    """Attach the standard architecture flag set (shared by all eval CLIs).
+
+    Every flag defaults to ``None`` = "infer from the checkpoint"; passing a
+    value forces it. ``--image-size`` keeps a real default (112, the
+    reference's fixed input size) because no parameter shape records it.
+    """
+    g = parser.add_argument_group(
+        "architecture (inferred from the checkpoint; flags force a value)"
+    )
+    g.add_argument("--embedding-size", type=int, default=None, dest="dim")
+    g.add_argument("--depth", type=int, default=None)
+    g.add_argument("--heads", type=int, default=None)
+    g.add_argument("--dim-head", type=int, default=None)
+    g.add_argument("--mlp-dim", type=int, default=None)
+    g.add_argument("--num-patches", type=int, default=None)
+    g.add_argument("--image-size", type=int, default=112)
+    g.add_argument("--stn-mode", default=None, choices=["large", "small"])
+    g.add_argument("--pool", default=None, choices=["cls", "mean"])
+    g.add_argument("--no-land", dest="with_land", action="store_false",
+                   default=None,
+                   help="force the no-landmark (raw-patchify) forward; "
+                        "normally inferred from the tree")
+
+
+def arch_overrides_from_args(args) -> Dict[str, Any]:
+    """Collect the non-``None`` architecture overrides from parsed args."""
+    out = {}
+    for name in _OVERRIDABLE:
+        if hasattr(args, name) and getattr(args, name) is not None:
+            out[name] = getattr(args, name)
+    return out
+
+
+def infer_partfvit_config(params, **overrides):
+    """Derive a :class:`PartFViTConfig` from a flax param tree.
+
+    ``params`` is the ``variables["params"]`` dict of any PartFViT variant
+    (native init, orbax restore, or a torch import — the importers emit the
+    same tree names). Keyword overrides win over inference. Raises
+    ``ValueError`` with an actionable message when a field is ambiguous.
+    """
+    from ..models.mobilenet import LARGE_SETTING, SMALL_SETTING
+    from ..models.partfvit import PartFViTConfig
+
+    def need(*path):
+        node = params
+        for k in path:
+            if not isinstance(node, dict) or k not in node:
+                raise ValueError(
+                    "infer_partfvit_config: checkpoint tree has no "
+                    f"'{'/'.join(path)}' — not a PartFViT-family payload? "
+                    "Pass the architecture flags explicitly."
+                )
+            node = node[k]
+        return node
+
+    ov = dict(overrides)
+    cfg: Dict[str, Any] = {}
+
+    cfg["dim"] = ov.pop("dim", None) or int(need("cls_token").shape[-1])
+    cfg["num_patches"] = (
+        ov.pop("num_patches", None)
+        or int(need("pos_embedding").shape[1]) - 1
+    )
+
+    patch_in = int(need("patch_to_embedding", "kernel").shape[0])
+    if "patch_size" in ov:
+        cfg["patch_size"] = ov.pop("patch_size")
+    else:
+        ps = math.isqrt(patch_in // 3)
+        if ps * ps * 3 != patch_in:
+            raise ValueError(
+                f"infer_partfvit_config: patch_to_embedding input dim "
+                f"{patch_in} is not (p*p*3) — non-RGB input? Pass "
+                "patch_size explicitly."
+            )
+        cfg["patch_size"] = ps
+
+    layers = [k for k in need("transformer") if k.startswith("layers_")]
+    cfg["depth"] = ov.pop("depth", None) or len(layers)
+
+    inner = int(
+        need("transformer", "layers_0", "attn", "to_qkv", "kernel").shape[1]
+    ) // 3
+    heads, dim_head = ov.pop("heads", None), ov.pop("dim_head", None)
+    if heads and dim_head:
+        if heads * dim_head != inner:
+            raise ValueError(
+                f"--heads {heads} x --dim-head {dim_head} != checkpoint's "
+                f"qkv inner dim {inner}"
+            )
+    elif heads:
+        if inner % heads:
+            raise ValueError(
+                f"checkpoint qkv inner dim {inner} not divisible by "
+                f"--heads {heads}"
+            )
+        dim_head = inner // heads
+    else:
+        dim_head = dim_head or 64  # the reference's only head width
+        if inner % dim_head:
+            raise ValueError(
+                f"checkpoint qkv inner dim {inner} not divisible by head "
+                f"width {dim_head}; pass --heads/--dim-head explicitly"
+            )
+        heads = inner // dim_head
+    cfg["heads"], cfg["dim_head"] = int(heads), int(dim_head)
+
+    cfg["mlp_dim"] = (
+        ov.pop("mlp_dim", None)
+        or int(need("transformer", "layers_0", "mlp", "fc1", "kernel").shape[1])
+    )
+
+    with_land = ov.pop("with_land", None)
+    if with_land is None:
+        with_land = "landmark" in params
+    cfg["with_land"] = bool(with_land)
+
+    stn_mode = ov.pop("stn_mode", None)
+    if cfg["with_land"] and stn_mode is None:
+        nblocks = len(
+            [k for k in need("landmark", "stn") if k.startswith("block_")]
+        )
+        if nblocks == len(LARGE_SETTING):
+            stn_mode = "large"
+        elif nblocks == len(SMALL_SETTING):
+            stn_mode = "small"
+        else:
+            raise ValueError(
+                f"landmark stem has {nblocks} blocks — neither MobileNetV3-"
+                f"large ({len(LARGE_SETTING)}) nor -small "
+                f"({len(SMALL_SETTING)}); pass --stn-mode"
+            )
+    cfg["stn_mode"] = stn_mode or "large"
+
+    cfg["use_global_token"] = "global_token" in params
+    cfg["simmim"] = "mask_token" in params
+    for key in ("image_size", "pool"):
+        if key in ov and ov[key] is not None:
+            cfg[key] = ov.pop(key)
+        else:
+            ov.pop(key, None)
+    if ov:
+        raise TypeError(f"unknown config overrides: {sorted(ov)}")
+
+    return PartFViTConfig(loss_type="None", num_classes=0, **cfg)
+
+
+@dataclass
+class LoadedEvalModel:
+    model: Any          # PartFViT (flax module)
+    variables: dict     # ready for model.apply
+    cfg: Any            # the PartFViTConfig actually built
+    step: Optional[int]  # train step for orbax payloads, None for .pth
+
+
+def _describe(cfg) -> str:
+    from ..models.partfvit import PartFViTConfig
+
+    defaults = PartFViTConfig(loss_type="None", num_classes=0)
+    bits = []
+    for f in fields(cfg):
+        if f.name in ("loss_type", "num_classes"):
+            continue
+        v = getattr(cfg, f.name)
+        if v != getattr(defaults, f.name):
+            bits.append(f"{f.name}={v}")
+    return ", ".join(bits) or "reference defaults"
+
+
+def load_eval_model(
+    checkpoint: str,
+    overrides: Optional[Dict[str, Any]] = None,
+    log: Callable[[str], None] = print,
+) -> LoadedEvalModel:
+    """Load ``checkpoint`` (torch ``.pth`` or any orbax layout), infer the
+    architecture from its tree, build the model, and return apply-ready
+    variables. The single loading path behind all eval/serving CLIs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.partfvit import PartFViT
+    from ..train.checkpoint import (
+        import_torch_state_dict,
+        load_torch_file,
+        merge_params,
+        restore_eval_variables,
+    )
+
+    if checkpoint.endswith(".pth"):
+        sd = load_torch_file(checkpoint)
+        imp = import_torch_state_dict(sd)
+        log(f"[load] import {imp.summary()}")
+        params, stats = imp
+        cfg = infer_partfvit_config(params, **(overrides or {}))
+        model = PartFViT(cfg)
+        template = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        )
+        variables = {
+            "params": merge_params(template["params"], params),
+            "batch_stats": merge_params(
+                template.get("batch_stats", {}), stats
+            ),
+        }
+        step = None
+    else:
+        variables, step = restore_eval_variables(checkpoint)
+        log(f"[load] restored step {step} from {checkpoint}")
+        cfg = infer_partfvit_config(
+            variables["params"], **(overrides or {})
+        )
+        model = PartFViT(cfg)  # no init: the restored tree is complete
+    log(f"[load] architecture: {_describe(cfg)}")
+    return LoadedEvalModel(model=model, variables=variables, cfg=cfg, step=step)

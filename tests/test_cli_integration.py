@@ -501,11 +501,13 @@ def test_evaluate_bin_cli(tmp_path):
     save_checkpoint(str(ckpt), {"state": state}, step=7)
 
     out_json = tmp_path / "res.json"
+    # architecture flags deliberately OMITTED (except the two genuinely
+    # non-inferable ones): dim/depth/heads/mlp-dim/num-patches/stn-mode are
+    # inferred from the restored tree — including with the margin head's
+    # extra 'loss' params present in the train payload
     results = evaluate_bin.main([
         "--checkpoint", str(ckpt), "--eval-path", str(eval_dir),
-        "--targets", "lfw", "--embedding-size", "32", "--depth", "1",
-        "--heads", "2", "--dim-head", "16", "--mlp-dim", "64",
-        "--num-patches", "36", "--image-size", "48", "--stn-mode", "small",
+        "--targets", "lfw", "--dim-head", "16", "--image-size", "48",
         "--batch-size", "8", "--nrof-folds", "3", "--json", str(out_json),
     ])
     assert 0.0 <= results["lfw"]["accuracy"] <= 1.0
@@ -859,3 +861,71 @@ def test_serve_embeddings_jpeg_mode(tmp_path):
 
     t.join(timeout=60)
     assert not t.is_alive()
+
+
+def test_evaluate_ijb_cli(tmp_path, monkeypatch):
+    """evaluate_ijb end-to-end on a synthetic 12-image / 6-template
+    protocol: orbax checkpoint (architecture INFERRED from the tree —
+    orbax support in this CLI is new; it previously read only .pth),
+    native-or-PIL decode+align, flip fusion, template aggregation,
+    TPR@FPR table."""
+    import jax
+    import jax.numpy as jnp
+
+    from lafs_cvpr2024_tpu.cli import evaluate_ijb
+    from lafs_cvpr2024_tpu.eval.ijb import ARCFACE_SRC
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(7)
+    img_dir = tmp_path / "loose_crop"
+    meta_dir = tmp_path / "meta"
+    img_dir.mkdir()
+    meta_dir.mkdir()
+
+    n_img = 12
+    names = [f"f{i}.jpg" for i in range(n_img)]
+    for name in names:
+        Image.fromarray(
+            rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+        ).save(img_dir / name, format="JPEG")
+
+    # 5-pt landmarks near the ArcFace template (near-identity warp)
+    with open(meta_dir / "ijbc_name_5pts_score.txt", "w") as f:
+        for name in names:
+            pts = np.asarray(ARCFACE_SRC) + rng.normal(0, 0.5, (5, 2))
+            f.write(
+                name + " " + " ".join(f"{v:.3f}" for v in pts.ravel())
+                + f" {rng.uniform(0.5, 1.0):.3f}\n"
+            )
+    # 6 templates x 2 media (one image per media here)
+    with open(meta_dir / "ijbc_face_tid_mid.txt", "w") as f:
+        for i, name in enumerate(names):
+            f.write(f"{name} {i // 2} {i}\n")
+    with open(meta_dir / "ijbc_template_pair_label.txt", "w") as f:
+        for a in range(6):
+            for b in range(a + 1, 6):
+                f.write(f"{a} {b} {int((a + b) % 2 == 0)}\n")
+
+    cfg = PartFViTConfig(
+        dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64, num_patches=36,
+        image_size=112, stn_mode="small", with_land=True, loss_type="None",
+        num_classes=0,
+    )
+    model = PartFViT(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), variables, step=0)
+
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_ijb", "--model-checkpoint", str(ckpt),
+        "--image-path", str(img_dir), "--meta-path", str(meta_dir),
+        "--target", "IJBC", "--batch-size", "4", "--prefetch", "1",
+        "--eval-dtype", "float32", "--dim-head", "16",
+    ])
+    table = evaluate_ijb.main()
+    assert table, "empty TPR@FPR table"
+    for fpr_t, tpr in table.items():
+        assert 0.0 < fpr_t < 1.0 and 0.0 <= tpr <= 1.0

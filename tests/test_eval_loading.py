@@ -1,0 +1,211 @@
+"""Architecture inference from checkpoint trees (eval/loading.py).
+
+Every eval/serving CLI builds its model through ``load_eval_model``; these
+tests pin the inference rules: round-trip on inferable fields, override
+precedence, ambiguity errors, and the orbax/.pth loading paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lafs_cvpr2024_tpu.eval.loading import (
+    infer_partfvit_config,
+    load_eval_model,
+)
+from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig
+
+INFERABLE = (
+    "dim", "depth", "heads", "dim_head", "mlp_dim", "num_patches",
+    "patch_size", "with_land", "stn_mode", "use_global_token", "simmim",
+)
+
+
+def _params(cfg):
+    model = PartFViT(cfg)
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+    )
+    return v["params"]
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        # production-shaped (dim_head=64 is the inferable default), small stn
+        PartFViTConfig(dim=128, depth=2, heads=2, dim_head=64, mlp_dim=256,
+                       num_patches=16, image_size=32, stn_mode="small",
+                       loss_type="None", num_classes=0),
+        # landmark stem large + global token
+        PartFViTConfig(dim=64, depth=1, heads=1, dim_head=64, mlp_dim=128,
+                       num_patches=16, image_size=32, stn_mode="large",
+                       use_global_token=True, loss_type="None",
+                       num_classes=0),
+        # SSL-style: no landmark branch, simmim mask token
+        PartFViTConfig(dim=64, depth=2, heads=1, dim_head=64, mlp_dim=128,
+                       num_patches=16, image_size=32, with_land=False,
+                       simmim=True, loss_type="None", num_classes=0),
+    ],
+)
+def test_infer_round_trip(cfg):
+    inferred = infer_partfvit_config(_params(cfg))
+    for name in INFERABLE:
+        if name == "stn_mode" and not cfg.with_land:
+            continue  # stem absent from the tree; default applies
+        assert getattr(inferred, name) == getattr(cfg, name), name
+    assert inferred.loss_type == "None" and inferred.num_classes == 0
+
+
+def test_infer_nondefault_head_width_needs_a_hint():
+    """inner=32 is not divisible by the default 64-wide heads: inference
+    must refuse loudly, and either --heads or --dim-head resolves it."""
+    cfg = PartFViTConfig(dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+                         num_patches=16, image_size=32, stn_mode="small",
+                         loss_type="None", num_classes=0)
+    params = _params(cfg)
+    with pytest.raises(ValueError, match="head"):
+        infer_partfvit_config(params)
+    assert infer_partfvit_config(params, dim_head=16).heads == 2
+    assert infer_partfvit_config(params, heads=2).dim_head == 16
+    with pytest.raises(ValueError, match="!="):
+        infer_partfvit_config(params, heads=2, dim_head=64)
+
+
+def test_infer_overrides_win_and_unknown_keys_raise():
+    cfg = PartFViTConfig(dim=64, depth=2, heads=1, dim_head=64, mlp_dim=128,
+                         num_patches=16, image_size=32, stn_mode="small",
+                         loss_type="None", num_classes=0)
+    params = _params(cfg)
+    forced = infer_partfvit_config(params, depth=1, image_size=48,
+                                   pool="mean")
+    assert forced.depth == 1          # explicit flag beats the tree
+    assert forced.image_size == 48    # non-inferable, passed through
+    assert forced.pool == "mean"
+    with pytest.raises(TypeError, match="unknown"):
+        infer_partfvit_config(params, bogus=3)
+
+
+def test_infer_rejects_foreign_tree():
+    with pytest.raises(ValueError, match="cls_token"):
+        infer_partfvit_config({"something": np.zeros((2, 2))})
+
+
+def test_load_eval_model_orbax_train_payload(tmp_path):
+    """orbax path: infer from a train-CLI payload (TrainState + margin
+    head) and apply without any init."""
+    from lafs_cvpr2024_tpu.ops.mixup import MixupConfig
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+    from lafs_cvpr2024_tpu.train.supervised import (
+        SupervisedConfig,
+        create_state,
+    )
+
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            image_size=32, dim=64, depth=1, heads=1, dim_head=64,
+            mlp_dim=128, num_patches=16, num_classes=4, with_land=True,
+            stn_mode="small",
+        ),
+        mixup=MixupConfig(num_classes=4),
+        shard_classifier=False,
+    )
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), {"state": state}, step=3)
+
+    logs = []
+    loaded = load_eval_model(str(ckpt), {"image_size": 32}, log=logs.append)
+    assert loaded.step == 3
+    assert loaded.cfg.depth == 1 and loaded.cfg.dim == 64
+    assert loaded.cfg.stn_mode == "small"
+    emb = loaded.model.apply(
+        loaded.variables, jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    assert emb.shape == (2, 64) and bool(jnp.isfinite(emb).all())
+    assert any("architecture" in m for m in logs)
+
+
+def test_load_eval_model_pth(tmp_path):
+    """.pth path: the torch importer's tree drives the same inference."""
+    torch = pytest.importorskip("torch")
+
+    cfg = PartFViTConfig(dim=64, depth=1, heads=1, dim_head=64, mlp_dim=128,
+                         num_patches=16, image_size=32, with_land=False,
+                         loss_type="None", num_classes=0)
+    params = _params(cfg)
+
+    # build a torch-dialect state dict from the flax tree (transformer
+    # naming as the importer expects, kernels transposed)
+    sd = {
+        "cls_token": torch.from_numpy(np.asarray(params["cls_token"])),
+        "pos_embedding": torch.from_numpy(
+            np.asarray(params["pos_embedding"])
+        ),
+        "patch_to_embedding.weight": torch.from_numpy(
+            np.asarray(params["patch_to_embedding"]["kernel"]).T.copy()
+        ),
+        "patch_to_embedding.bias": torch.from_numpy(
+            np.asarray(params["patch_to_embedding"]["bias"])
+        ),
+        "mlp_head.0.weight": torch.from_numpy(
+            np.asarray(params["mlp_head"]["scale"])
+        ),
+        "mlp_head.0.bias": torch.from_numpy(
+            np.asarray(params["mlp_head"]["bias"])
+        ),
+    }
+    blk = params["transformer"]["layers_0"]
+    prefix = "transformer.layers.0"
+    sd.update({
+        f"{prefix}.0.fn.fn.to_qkv.weight": torch.from_numpy(
+            np.asarray(blk["attn"]["to_qkv"]["kernel"]).T.copy()
+        ),
+        f"{prefix}.0.fn.fn.to_out.0.weight": torch.from_numpy(
+            np.asarray(blk["attn"]["to_out"]["kernel"]).T.copy()
+        ),
+        f"{prefix}.0.fn.fn.to_out.0.bias": torch.from_numpy(
+            np.asarray(blk["attn"]["to_out"]["bias"])
+        ),
+        f"{prefix}.0.fn.norm.weight": torch.from_numpy(
+            np.asarray(blk["norm1"]["scale"])
+        ),
+        f"{prefix}.0.fn.norm.bias": torch.from_numpy(
+            np.asarray(blk["norm1"]["bias"])
+        ),
+        f"{prefix}.1.fn.norm.weight": torch.from_numpy(
+            np.asarray(blk["norm2"]["scale"])
+        ),
+        f"{prefix}.1.fn.norm.bias": torch.from_numpy(
+            np.asarray(blk["norm2"]["bias"])
+        ),
+        f"{prefix}.1.fn.fn.net.0.weight": torch.from_numpy(
+            np.asarray(blk["mlp"]["fc1"]["kernel"]).T.copy()
+        ),
+        f"{prefix}.1.fn.fn.net.0.bias": torch.from_numpy(
+            np.asarray(blk["mlp"]["fc1"]["bias"])
+        ),
+        f"{prefix}.1.fn.fn.net.3.weight": torch.from_numpy(
+            np.asarray(blk["mlp"]["fc2"]["kernel"]).T.copy()
+        ),
+        f"{prefix}.1.fn.fn.net.3.bias": torch.from_numpy(
+            np.asarray(blk["mlp"]["fc2"]["bias"])
+        ),
+    })
+    pth = tmp_path / "model.pth"
+    torch.save(sd, str(pth))
+
+    loaded = load_eval_model(str(pth), {"image_size": 32}, log=lambda m: None)
+    assert loaded.step is None
+    assert loaded.cfg.dim == 64 and loaded.cfg.depth == 1
+    assert loaded.cfg.with_land is False
+    # imported weights actually landed: apply matches the source params
+    want = PartFViT(cfg).apply(
+        {"params": params}, jnp.ones((1, 32, 32, 3)) * 0.5, train=False
+    )
+    got = loaded.model.apply(
+        loaded.variables, jnp.ones((1, 32, 32, 3)) * 0.5, train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
