@@ -38,6 +38,7 @@ __all__ = [
 _OVERRIDABLE = (
     "dim", "depth", "heads", "dim_head", "mlp_dim", "num_patches",
     "image_size", "patch_size", "stn_mode", "with_land", "pool",
+    "use_standcoord",
 )
 
 
@@ -64,6 +65,12 @@ def add_arch_flags(parser) -> None:
                    default=None,
                    help="force the no-landmark (raw-patchify) forward; "
                         "normally inferred from the tree")
+    g.add_argument("--standcoord", dest="use_standcoord",
+                   action="store_true", default=None,
+                   help="fixed-grid landmark variant (use_standcoord): "
+                        "NOT inferable — its tree is identical to a "
+                        "no-landmark checkpoint's, but the forward gathers "
+                        "a transposed grid mosaic instead of raw patchify")
 
 
 def arch_overrides_from_args(args) -> Dict[str, Any]:
@@ -179,6 +186,10 @@ def infer_partfvit_config(params, **overrides):
 
     cfg["use_global_token"] = "global_token" in params
     cfg["simmim"] = "mask_token" in params
+    if ov.pop("use_standcoord", None):
+        # not inferable (same tree as with_land=False); PartFViT itself
+        # rejects the with_land+standcoord combination loudly
+        cfg["use_standcoord"] = True
     for key in ("image_size", "pool"):
         if key in ov and ov[key] is not None:
             cfg[key] = ov.pop(key)

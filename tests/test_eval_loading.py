@@ -209,3 +209,34 @@ def test_load_eval_model_pth(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_infer_standcoord_override():
+    """use_standcoord is NOT inferable (tree identical to with_land=False):
+    the explicit override must flip the forward to the grid-mosaic path,
+    and passing it against a landmark checkpoint fails loudly at apply."""
+    cfg = PartFViTConfig(dim=64, depth=1, heads=1, dim_head=64, mlp_dim=128,
+                         num_patches=16, image_size=32, with_land=False,
+                         use_standcoord=True, loss_type="None",
+                         num_classes=0)
+    params = _params(cfg)
+    plain = infer_partfvit_config(params)
+    assert plain.use_standcoord is False  # indistinguishable by design
+    forced = infer_partfvit_config(params, use_standcoord=True,
+                                   image_size=32)
+    assert forced.use_standcoord is True and forced.with_land is False
+    # the two forwards genuinely differ on the same weights
+    x = jnp.linspace(0, 1, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3)
+    e_grid = PartFViT(forced).apply({"params": params}, x, train=False)
+    e_plain = PartFViT(plain).apply({"params": params}, x, train=False)
+    assert not np.allclose(np.asarray(e_grid), np.asarray(e_plain))
+
+    land_params = _params(
+        PartFViTConfig(dim=64, depth=1, heads=1, dim_head=64, mlp_dim=128,
+                       num_patches=16, image_size=32, stn_mode="small",
+                       loss_type="None", num_classes=0)
+    )
+    bad = infer_partfvit_config(land_params, use_standcoord=True,
+                                image_size=32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PartFViT(bad).init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
