@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def get_args():
+def get_args(argv=None):
     p = argparse.ArgumentParser("lafs-tpu IJB evaluation")
     p.add_argument("--model-checkpoint", required=True, help=".pth or orbax dir")
     p.add_argument("--image-path", required=True, help="loose_crop dir")
@@ -46,7 +46,7 @@ def get_args():
     from ..eval.loading import add_arch_flags
 
     add_arch_flags(p)
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def load_image_list(meta_path: str, target: str):
@@ -63,8 +63,8 @@ def load_image_list(meta_path: str, target: str):
     return names, np.stack(landmarks), np.asarray(scores, np.float32)
 
 
-def main():
-    args = get_args()
+def main(argv=None):
+    args = get_args(argv)
     from concurrent.futures import ThreadPoolExecutor
 
     from PIL import Image

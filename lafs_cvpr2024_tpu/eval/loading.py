@@ -54,10 +54,18 @@ def add_arch_flags(parser) -> None:
     )
     g.add_argument("--embedding-size", type=int, default=None, dest="dim")
     g.add_argument("--depth", type=int, default=None)
-    g.add_argument("--heads", type=int, default=None)
+    g.add_argument("--heads", type=int, default=None,
+                   help="the qkv shape only fixes heads*dim_head; with "
+                        "neither flag, inference assumes the reference's "
+                        "64-wide heads — a checkpoint trained with a "
+                        "different head width NEEDS --heads or --dim-head "
+                        "(check the printed '[load] architecture' line)")
     g.add_argument("--dim-head", type=int, default=None)
     g.add_argument("--mlp-dim", type=int, default=None)
     g.add_argument("--num-patches", type=int, default=None)
+    g.add_argument("--patch-size", type=int, default=None,
+                   help="normally inferred from patch_to_embedding's input "
+                        "dim (p*p*3); needed only for non-RGB trees")
     g.add_argument("--image-size", type=int, default=112)
     g.add_argument("--stn-mode", default=None, choices=["large", "small"])
     g.add_argument("--pool", default=None, choices=["cls", "mean"])
@@ -213,14 +221,21 @@ def _describe(cfg) -> str:
     from ..models.partfvit import PartFViTConfig
 
     defaults = PartFViTConfig(loss_type="None", num_classes=0)
-    bits = []
+    # core geometry is ALWAYS printed — in particular heads×dim_head, which
+    # inference can only assume (the tree fixes just their product): a user
+    # who trained a non-64 head width must be able to SEE the wrong split
+    bits = [
+        f"{name}={getattr(cfg, name)}"
+        for name in ("dim", "depth", "heads", "dim_head", "mlp_dim")
+    ]
     for f in fields(cfg):
-        if f.name in ("loss_type", "num_classes"):
+        if f.name in ("loss_type", "num_classes", "dim", "depth", "heads",
+                      "dim_head", "mlp_dim"):
             continue
         v = getattr(cfg, f.name)
         if v != getattr(defaults, f.name):
             bits.append(f"{f.name}={v}")
-    return ", ".join(bits) or "reference defaults"
+    return ", ".join(bits)
 
 
 def load_eval_model(

@@ -275,6 +275,10 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
     - a bare ``SSLTrainState`` (6-list: [student, teacher, opt_state,
       center, step, rng]) — returns the TEACHER backbone (the SSL eval
       convention, ``lafs_train.py:451``: the teacher is the export model).
+    - a bare ``SimMIMTrainState`` (4-list: [params, opt_state, step, rng])
+      — returns the BACKBONE (the decoder is pretraining-only; the
+      reference likewise exports only the encoder from its external SimMIM
+      stage, ``train_largescale.py:198-315``).
     """
     import orbax.checkpoint as ocp
 
@@ -290,7 +294,14 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
     def extract(tree):
         if isinstance(tree, dict):
             if "params" in tree:
-                out = {"params": tree["params"]}
+                p = tree["params"]
+                if isinstance(p, dict) and "backbone" in p and "decoder" in p:
+                    # SimMIMTrainState (NamedTuples restore as field-name
+                    # dicts): export the ENCODER backbone; the decoder is
+                    # pretraining-only, matching the reference's
+                    # encoder-only export from its SimMIM stage
+                    return {"params": p["backbone"]}
+                out = {"params": p}
                 if tree.get("batch_stats"):
                     out["batch_stats"] = tree["batch_stats"]
                 return out
@@ -321,6 +332,14 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
                 and _scalar(tree[4])
             ):
                 return {"params": tree[1]["backbone"]}
+            if (
+                len(tree) == 4  # SimMIMTrainState — encoder backbone
+                and isinstance(tree[0], dict)
+                and "backbone" in tree[0]
+                and "decoder" in tree[0]
+                and _scalar(tree[2])
+            ):
+                return {"params": tree[0]["backbone"]}
         raise ValueError(
             f"unrecognized checkpoint layout under {path}: {type(tree)}"
         )

@@ -863,7 +863,7 @@ def test_serve_embeddings_jpeg_mode(tmp_path):
     assert not t.is_alive()
 
 
-def test_evaluate_ijb_cli(tmp_path, monkeypatch):
+def test_evaluate_ijb_cli(tmp_path):
     """evaluate_ijb end-to-end on a synthetic 12-image / 6-template
     protocol: orbax checkpoint (architecture INFERRED from the tree —
     orbax support in this CLI is new; it previously read only .pth),
@@ -919,13 +919,12 @@ def test_evaluate_ijb_cli(tmp_path, monkeypatch):
     ckpt = tmp_path / "ckpt"
     save_checkpoint(str(ckpt), variables, step=0)
 
-    monkeypatch.setattr(sys, "argv", [
-        "evaluate_ijb", "--model-checkpoint", str(ckpt),
+    table = evaluate_ijb.main([
+        "--model-checkpoint", str(ckpt),
         "--image-path", str(img_dir), "--meta-path", str(meta_dir),
         "--target", "IJBC", "--batch-size", "4", "--prefetch", "1",
         "--eval-dtype", "float32", "--dim-head", "16",
     ])
-    table = evaluate_ijb.main()
     assert table, "empty TPR@FPR table"
     for fpr_t, tpr in table.items():
         assert 0.0 < fpr_t < 1.0 and 0.0 <= tpr <= 1.0

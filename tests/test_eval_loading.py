@@ -240,3 +240,37 @@ def test_infer_standcoord_override():
                                 image_size=32)
     with pytest.raises(ValueError, match="mutually exclusive"):
         PartFViT(bad).init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+
+def test_load_eval_model_simmim_payload(tmp_path):
+    """A SimMIM train checkpoint (bare 4-field SimMIMTrainState) restores
+    to its ENCODER backbone: the decoder is pretraining-only, matching the
+    reference's export of only the encoder from its SimMIM stage
+    (train_largescale.py:198-315)."""
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+    from lafs_cvpr2024_tpu.train.simmim import (
+        SimMIMConfig,
+        create_simmim_state,
+    )
+
+    cfg = SimMIMConfig(
+        model=PartFViTConfig(
+            image_size=32, dim=64, depth=1, heads=1, dim_head=64,
+            mlp_dim=128, num_patches=16, with_land=False, simmim=True,
+            loss_type="None", num_classes=0,
+        ),
+    )
+    state = create_simmim_state(cfg, jax.random.PRNGKey(0))
+    assert set(state.params) == {"backbone", "decoder"}
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state, step=2)
+
+    loaded = load_eval_model(str(ckpt), {"image_size": 32},
+                             log=lambda m: None)
+    assert loaded.step == 2
+    assert loaded.cfg.simmim is True          # mask_token in the backbone
+    assert loaded.cfg.with_land is False
+    emb = loaded.model.apply(
+        loaded.variables, jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    assert emb.shape == (2, 64) and bool(jnp.isfinite(emb).all())
