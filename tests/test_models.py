@@ -101,3 +101,42 @@ def test_landmark_provider():
         var, x, x_aug=x, rng=jax.random.PRNGKey(1), jitter_std=5.0, ran_sample=36
     )
     assert theta.shape == (2, 36, 2) and toks.shape == (2, 36, 192)
+
+
+def test_remat_policy_equivalence():
+    """remat trades backward HBM for recompute FLOPs — it must NOT change
+    the math: forward outputs and parameter gradients are identical (up to
+    fp tolerance) across remat_policy none/dots/all, train and eval, with
+    identical dropout draws."""
+    import jax
+
+    def build(policy):
+        cfg = PartFViTConfig(
+            dim=32, depth=2, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=16, image_size=32, with_land=False,
+            loss_type="None", num_classes=0, remat_policy=policy,
+        )
+        return PartFViT(cfg)
+
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 192))
+    var = build("none").init(jax.random.PRNGKey(0), tokens)
+
+    def loss(params, model, train):
+        rngs = {"dropout": jax.random.PRNGKey(2)} if train else None
+        emb = model.apply({"params": params}, tokens, train=train, rngs=rngs)
+        return jnp.sum(emb ** 2)
+
+    for train in (False, True):
+        base, gbase = jax.value_and_grad(loss)(var["params"], build("none"),
+                                               train)
+        for policy in ("dots", "all"):
+            v, g = jax.value_and_grad(loss)(var["params"], build(policy),
+                                            train)
+            np.testing.assert_allclose(float(v), float(base), rtol=1e-5,
+                                       err_msg=f"{policy} train={train}")
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+                ),
+                g, gbase,
+            )
