@@ -856,3 +856,250 @@ def load_torch_file(path: str):
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Reverse interop: flax → reference torch state_dict
+# ---------------------------------------------------------------------------
+
+# inverse of _BOTTLENECK_MAP: our module name → torch Sequential index inside
+# MobileBottleneck.conv (reference mobilenet.py:96-109)
+_BOTTLENECK_INV = {
+    "pw": ("0", "conv"),
+    "pw_norm": ("1", "bn"),
+    "dw": ("3", "conv"),
+    "dw_norm": ("4", "bn"),
+    "pw_linear": ("7", "conv"),
+    "pw_linear_norm": ("8", "bn"),
+}
+
+
+def _np32(x) -> np.ndarray:
+    v = np.asarray(x)
+    # torch has no numpy-bfloat16 bridge; normalize all non-f32 floats
+    if v.dtype.name in ("bfloat16", "float16", "float64"):
+        v = v.astype(np.float32)
+    return v
+
+
+def _export_conv_kernel(arr: np.ndarray) -> np.ndarray:
+    # flax (H,W,I,O) → torch (O,I,H,W); depthwise (H,W,1,O) lands on
+    # (O,1,H,W) the same way — the exact inverse of _emit's transpose
+    return arr.transpose(3, 2, 0, 1)
+
+
+def _export_stn(path: Tuple[str, ...], arr: np.ndarray, out: Dict[str, np.ndarray]) -> bool:
+    """Inverse of ``_convert_stn``: (stn, stem/block_i, …) → stn.features.*"""
+    if path[0] != "stn":
+        return False
+    rest = path[1:]
+    if rest[0] == "stem":
+        # stem: features.0.0 conv / features.0.1 bn
+        if rest[1] == "conv" and rest[2] == "kernel":
+            out["stn.features.0.0.weight"] = _export_conv_kernel(arr)
+            return True
+        if rest[1] == "norm" and rest[2] == "bn":
+            leaf = {"scale": "weight", "bias": "bias",
+                    "mean": "running_mean", "var": "running_var"}.get(rest[3])
+            if leaf is None:
+                return False
+            out[f"stn.features.0.1.{leaf}"] = arr
+            return True
+        return False
+    m = re.match(r"block_(\d+)$", rest[0])
+    if not m:
+        return False
+    base = f"stn.features.{int(m.group(1)) + 1}.conv"
+    if rest[1] == "se":
+        # SEModule fc: Linear(bias=False) at fc.0 / fc.2 (mobilenet.py:47-53)
+        fc = {"fc1": "0", "fc2": "2"}.get(rest[2])
+        if fc is None or rest[3] != "kernel":
+            return False
+        out[f"{base}.5.fc.{fc}.weight"] = arr.T
+        return True
+    sub = _BOTTLENECK_INV.get(rest[1])
+    if sub is None:
+        return False
+    idx, kind = sub
+    if kind == "conv":
+        if rest[2] == "kernel":
+            out[f"{base}.{idx}.weight"] = _export_conv_kernel(arr)
+            return True
+        if rest[2] == "bias":
+            out[f"{base}.{idx}.bias"] = arr
+            return True
+        return False
+    if rest[2] != "bn":
+        return False
+    leaf = {"scale": "weight", "bias": "bias",
+            "mean": "running_mean", "var": "running_var"}.get(rest[3])
+    if leaf is None:
+        return False
+    out[f"{base}.{idx}.{leaf}"] = arr
+    return True
+
+
+def _export_transformer(path: Tuple[str, ...], arr: np.ndarray, out: Dict[str, np.ndarray]) -> bool:
+    """Inverse of ``_convert_transformer``: (transformer, layers_i, …) →
+    transformer.layers.{i}.{0|1}.fn.… (reference ViT_face.py:100-213
+    Residual(PreNorm(fn)) Sequential layout)."""
+    m = re.match(r"layers_(\d+)$", path[1])
+    if not m:
+        return False
+    i, rest = int(m.group(1)), path[2:]
+    pre = f"transformer.layers.{i}"
+    if rest[0] == "norm1" and rest[1] in ("scale", "bias"):
+        out[f"{pre}.0.fn.norm.{'weight' if rest[1] == 'scale' else 'bias'}"] = arr
+        return True
+    if rest[0] == "norm2" and rest[1] in ("scale", "bias"):
+        out[f"{pre}.1.fn.norm.{'weight' if rest[1] == 'scale' else 'bias'}"] = arr
+        return True
+    if rest[0] == "attn":
+        if rest[1] == "to_qkv" and rest[2] == "kernel":
+            out[f"{pre}.0.fn.fn.to_qkv.weight"] = arr.T
+            return True
+        if rest[1] == "to_out":
+            if rest[2] == "kernel":
+                out[f"{pre}.0.fn.fn.to_out.0.weight"] = arr.T
+                return True
+            if rest[2] == "bias":
+                out[f"{pre}.0.fn.fn.to_out.0.bias"] = arr
+                return True
+        return False
+    if rest[0] == "mlp":
+        idx = {"fc1": "0", "fc2": "3"}.get(rest[1])
+        if idx is None:
+            return False
+        if rest[2] == "kernel":
+            out[f"{pre}.1.fn.fn.net.{idx}.weight"] = arr.T
+            return True
+        if rest[2] == "bias":
+            out[f"{pre}.1.fn.fn.net.{idx}.bias"] = arr
+            return True
+    return False
+
+
+def _export_dino_head(path: Tuple[str, ...], arr: np.ndarray,
+                      out: Dict[str, np.ndarray], prefix: str = "") -> bool:
+    """Inverse of ``_convert_dino_head``: mlp_i → mlp.{2i} (Linear at 0/2/4
+    with GELUs between), last_layer_{g,v} → weight-norm ``weight_{g,v}``."""
+    m = re.match(r"mlp_(\d+)$", path[0])
+    if m and path[1] in ("kernel", "bias"):
+        idx = 2 * int(m.group(1))
+        leaf = "weight" if path[1] == "kernel" else "bias"
+        out[f"{prefix}mlp.{idx}.{leaf}"] = arr.T if leaf == "weight" else arr
+        return True
+    if path[0] == "last_layer_g":
+        out[f"{prefix}last_layer.weight_g"] = arr.reshape(-1, 1)
+        return True
+    if path[0] == "last_layer_v":
+        out[f"{prefix}last_layer.weight_v"] = arr
+        return True
+    return False
+
+
+def export_torch_state_dict(
+    params: Dict[str, Any],
+    batch_stats: Optional[Dict[str, Any]] = None,
+    landmark_scope: str = "landmark",
+    strict: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Convert a Part-fViT-family flax tree → a reference torch state_dict.
+
+    The exact inverse of ``import_torch_state_dict`` (round-trip is
+    bit-exact, tested): a user migrating back — or cross-checking with the
+    reference's own ``IJB_evaluation.py`` — gets a state_dict the reference
+    classes load with ``strict=True``. Emits the prefix-stripped dialect
+    (no ``module./backbone.``, the form every reference loader normalizes
+    to via its prefix surgery, ``train_largescale.py:639-648``); DINOHead
+    params under a ``head`` scope export as ``head.*`` (the
+    MultiCropWrapper layout, ``utils.py:594``). ``num_batches_tracked``
+    buffers (zeros) accompany every BatchNorm with exported running stats
+    so torch's strict load is satisfied.
+
+    Covers what the importer covers: stn (MobileNetV3), output_layer,
+    global_token, cls/pos/mask tokens, patch_to_embedding, transformer,
+    mlp_head (LayerNorm, or BatchNorm1d when running stats are present),
+    CosFace/margin ``loss.weight``, DINOHead. Unknown paths raise
+    (``strict=False`` drops them — only for deliberately partial exports).
+    """
+    out: Dict[str, np.ndarray] = {}
+    unmapped: list = []
+
+    def walk(flat, is_stats):
+        for path, val in sorted(flat.items()):
+            arr = _np32(val)
+            ok = False
+            if path[0] == landmark_scope and len(path) > 1:
+                sub = path[1:]
+                if sub[0] == "output_layer" and sub[1] in ("kernel", "bias"):
+                    leaf = "weight" if sub[1] == "kernel" else "bias"
+                    out[f"output_layer.{leaf}"] = arr.T if leaf == "weight" else arr
+                    ok = True
+                else:
+                    ok = _export_stn(sub, arr, out)
+            elif path[0] == "stn":
+                ok = _export_stn(path, arr, out)
+            elif path == ("cls_token",):
+                out["cls_token"] = arr
+                ok = True
+            elif path == ("pos_embedding",):
+                out["pos_embedding"] = arr
+                ok = True
+            elif path == ("mask_token",):
+                out["mask_token"] = arr
+                ok = True
+            elif path[0] == "global_token" and path[1] in ("kernel", "bias"):
+                leaf = "weight" if path[1] == "kernel" else "bias"
+                out[f"global_token.{leaf}"] = arr.T if leaf == "weight" else arr
+                ok = True
+            elif path[0] == "patch_to_embedding" and path[1] in ("kernel", "bias"):
+                leaf = "weight" if path[1] == "kernel" else "bias"
+                out[f"patch_to_embedding.{leaf}"] = arr.T if leaf == "weight" else arr
+                ok = True
+            elif path[0] == "transformer" and len(path) >= 3:
+                ok = _export_transformer(path, arr, out)
+            elif path[0] == "mlp_head":
+                leaf = {"scale": "weight", "bias": "bias",
+                        "mean": "running_mean", "var": "running_var"}.get(path[1])
+                if leaf is not None:
+                    out[f"mlp_head.0.{leaf}"] = arr
+                    ok = True
+            elif path == ("loss", "weight"):
+                out["loss.weight"] = arr
+                ok = True
+            elif path[0] == "head" and len(path) > 1:
+                ok = _export_dino_head(path[1:], arr, out, prefix="head.")
+            else:
+                ok = _export_dino_head(path, arr, out)
+            if not ok:
+                unmapped.append(("batch_stats/" if is_stats else "params/")
+                                + "/".join(path))
+
+    walk(_flatten(params), False)
+    if batch_stats:
+        walk(_flatten(batch_stats), True)
+    if unmapped and strict:
+        raise ValueError(
+            f"export_torch_state_dict: {len(unmapped)} paths have no "
+            f"reference mapping: {sorted(unmapped)[:12]}"
+            f"{'…' if len(unmapped) > 12 else ''}"
+        )
+    # torch strict loads require the num_batches_tracked buffer beside every
+    # BatchNorm that tracks running stats
+    for k in [k for k in out if k.endswith("running_mean")]:
+        out[k[: -len("running_mean")] + "num_batches_tracked"] = np.array(0, np.int64)
+    return out
+
+
+def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
+    """Write an exported state_dict as a ``.pth`` (torch available) or
+    ``.npz`` (fallback) file. The ``.pth`` form loads directly into the
+    reference classes; the ``.npz`` form holds the same key→array mapping."""
+    try:
+        import torch
+
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, path)
+    except ImportError:
+        np.savez(path if path.endswith(".npz") else path + ".npz", **sd)
