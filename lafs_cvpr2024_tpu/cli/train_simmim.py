@@ -22,7 +22,8 @@ def get_args(argv=None):
     p = argparse.ArgumentParser("lafs-tpu SimMIM pretraining")
     p.add_argument("--data-path", required=True, help="dir with train.rec (or an image folder)")
     p.add_argument("--landmark-path", default=None,
-                   help="pretrained landmark CNN (.pth); omit for grid patches")
+                   help="pretrained landmark CNN (.pth or orbax dir); "
+                        "omit for grid patches")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--batch-size-per-chip", type=int, default=128)
     p.add_argument("--epochs", type=int, default=20)
@@ -80,11 +81,7 @@ def main(argv=None):
     from ..models.partfvit import PartFViTConfig
     from ..ops.schedules import cosine_scheduler
     from ..parallel.mesh import create_multislice_mesh, is_main_process
-    from ..train.checkpoint import (
-        import_torch_state_dict,
-        load_torch_file,
-        merge_params,
-    )
+    from ..train.checkpoint import load_landmark_variables
     from ..train.simmim import (
         SimMIMConfig,
         create_simmim_state,
@@ -140,17 +137,10 @@ def main(argv=None):
     land_vars = create_landmark_provider(
         _ssl_cfg_for_provider(cfg), jax.random.fold_in(rng, 1)
     )
-    if args.landmark_path and args.landmark_path.endswith(".pth"):
-        sd = load_torch_file(args.landmark_path)
-        imp = import_torch_state_dict(sd)
-        print(f"[import landmark ckpt] {imp.summary()}")
-        params, stats = imp
-        land_vars = {
-            "params": merge_params(land_vars["params"], params, ["stn", "output"]),
-            "batch_stats": merge_params(
-                land_vars.get("batch_stats", {}), stats, ["stn"]
-            ),
-        }
+    if args.landmark_path:
+        # .pth OR any of our orbax layouts; an unloadable path RAISES — a
+        # silently random landmark CNN would poison the masked-patch recipe
+        land_vars = load_landmark_variables(args.landmark_path, land_vars)
 
     steps_per_epoch = sampler.steps_per_epoch()
     lr_sched = cosine_scheduler(

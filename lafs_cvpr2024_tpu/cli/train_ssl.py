@@ -127,11 +127,7 @@ def main():
     from ..ops.schedules import cosine_scheduler, dino_lr_scaling, teacher_temp_schedule
     from ..parallel.mesh import create_multislice_mesh, is_main_process
     from ..utils.config import resolve_mlp_impl
-    from ..train.checkpoint import (
-        import_torch_state_dict,
-        load_torch_file,
-        merge_params,
-    )
+    from ..train.checkpoint import load_landmark_variables
     from ..train.ssl import (
         SSLConfig,
         assemble_crop_batches,
@@ -216,17 +212,12 @@ def main():
         cfg, r, zero1_shards=mesh.shape["data"] if cfg.zero1 else 0
     ))(rng)
     landmark_vars = create_landmark_provider(cfg, jax.random.fold_in(rng, 1))
-    if args.landmark_path and args.landmark_path.endswith(".pth"):
-        sd = load_torch_file(args.landmark_path)
-        imp = import_torch_state_dict(sd)
-        print(f"[import landmark ckpt] {imp.summary()}")
-        params, stats = imp
-        landmark_vars = {
-            "params": merge_params(landmark_vars["params"], params, ["stn", "output"]),
-            "batch_stats": merge_params(
-                landmark_vars.get("batch_stats", {}), stats, ["stn"]
-            ),
-        }
+    if args.landmark_path:
+        # .pth OR any of our orbax layouts; an unloadable path RAISES — a
+        # silently random landmark CNN would poison the whole recipe
+        landmark_vars = load_landmark_variables(
+            args.landmark_path, landmark_vars
+        )
 
     steps_per_epoch = sampler.steps_per_epoch()
     lr_sched = cosine_scheduler(

@@ -235,6 +235,15 @@ class Attention(nn.Module):
             # einsums fuse better with the surrounding graph. End-to-end wins.
             logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
             attn = jax.nn.softmax(logits, axis=-1)
+            # visualization hook (reference stores ``attention_score`` on
+            # every Attention module, ViT_face.py:177): recorded ONLY when
+            # the caller makes "intermediates" mutable —
+            # ``apply(..., mutable=["intermediates"])`` — a no-op (and no
+            # extra compute: the probs already exist on this path) for
+            # every training/eval graph. The fused/flash impls never
+            # materialize the probs, so capture requires the default
+            # 'einsum' path.
+            self.sow("intermediates", "attn_probs", attn)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, name="to_out")(out)

@@ -807,6 +807,60 @@ def _convert_dino_head(key: str, arr: np.ndarray, params: dict, scope=()) -> boo
     return False
 
 
+def load_landmark_variables(path: str, landmark_vars: dict, log=print) -> dict:
+    """Load pretrained landmark-CNN weights into the frozen provider tree
+    (the SSL/SimMIM ``--landmark-path`` flag — reference
+    ``load_part_checkpoint_landmark``, ``lafs_train.py:124-154``).
+
+    ``.pth``: torch dialect, partial-loaded to the stn/output_layer scopes.
+    Orbax directory: any of our layouts via :func:`restore_eval_variables`;
+    the checkpoint's params must carry a ``landmark`` subtree (i.e. a
+    ``with_land`` Part-fViT training run — the reference's stage-1 model).
+    Anything else RAISES: a silently random-init landmark CNN poisons the
+    whole SSL recipe (patch positions jump chaotically between crops), so
+    an unloadable path must never be skipped quietly.
+    """
+    if path.endswith(".pth"):
+        sd = load_torch_file(path)
+        imp = import_torch_state_dict(sd)
+        log(f"[import landmark ckpt] {imp.summary()}")
+        params, stats = imp
+        return {
+            "params": merge_params(
+                landmark_vars["params"], params, ["stn", "output"]
+            ),
+            "batch_stats": merge_params(
+                landmark_vars.get("batch_stats", {}), stats, ["stn"]
+            ),
+        }
+    if os.path.isdir(path):
+        variables, step = restore_eval_variables(path)
+        if "landmark" not in variables.get("params", {}):
+            raise ValueError(
+                f"checkpoint {path} has no 'landmark' subtree — the frozen "
+                "landmark provider needs a with_land Part-fViT checkpoint "
+                "(train the supervised stage-1 model first, or pass the "
+                "reference's .pth)"
+            )
+        log(f"[import landmark ckpt] orbax step {step}: landmark subtree "
+            f"from {path}")
+        return {
+            "params": merge_params(
+                landmark_vars["params"],
+                {"landmark": variables["params"]["landmark"]},
+            ),
+            "batch_stats": merge_params(
+                landmark_vars.get("batch_stats", {}),
+                {"landmark": variables.get("batch_stats", {}).get(
+                    "landmark", {})},
+            ),
+        }
+    raise ValueError(
+        f"--landmark-path {path!r}: expected a torch .pth file or an orbax "
+        "checkpoint directory"
+    )
+
+
 def merge_params(base: dict, update: dict, filter_substrings=None,
                  unmatched: Optional[list] = None) -> dict:
     """Overlay ``update`` onto ``base``, optionally only for paths containing

@@ -184,7 +184,7 @@ def create_ssl_state(
 
 def create_landmark_provider(cfg: SSLConfig, rng: jax.Array):
     """Frozen landmark CNN variables (load real weights via
-    ``checkpoint.load_landmark_stem`` afterwards)."""
+    ``checkpoint.load_landmark_variables`` afterwards)."""
     provider = LandmarkProvider(
         num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
         stn_mode=cfg.model.stn_mode, coord_scale=float(cfg.model.image_size - 1),

@@ -177,6 +177,38 @@ def per_head_cls_attention(attn_layer: np.ndarray, out_size: int = 112) -> np.nd
     return np.kron(maps, np.ones((1, scale, scale)))
 
 
+def save_head_grid(
+    maps: np.ndarray,
+    save_path: str,
+    image: Optional[np.ndarray] = None,
+) -> None:
+    """Save a grid of per-head attention maps (one subplot per head),
+    optionally overlaid on the face image — the multi-panel per-head view of
+    ``visualize_attentionmap_DINO`` (``util/utils.py:808-858``).
+
+    maps: (heads, H, W) e.g. from :func:`per_head_cls_attention`;
+    image: optional uint8 (H, W, C) underlay."""
+    plt = _plt()
+    n = maps.shape[0]
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    axes = np.atleast_1d(np.asarray(axes)).ravel()
+    for i in range(rows * cols):
+        ax = axes[i]
+        ax.axis("off")
+        if i < n:
+            if image is not None:
+                ax.imshow(image)
+                ax.imshow(maps[i], alpha=0.5, cmap="jet")
+            else:
+                ax.imshow(maps[i], cmap="jet")
+            ax.set_title(f"head {i}", fontsize=8)
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    plt.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def attention_heatmap_landmark(
     image: np.ndarray,
     token_attn: np.ndarray,

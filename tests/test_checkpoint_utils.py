@@ -273,3 +273,67 @@ def test_import_head_scope_and_merge_unmatched():
     merged = merge_params(base, imp.params, unmatched=missing)
     assert missing == ["head/last_layer_g"]
     assert float(merged["head"]["mlp_0"]["kernel"].sum()) == 32.0
+
+
+def test_load_landmark_variables_orbax(tmp_path):
+    """--landmark-path with an orbax with_land checkpoint: the landmark
+    subtree (params + BN stats) lands in the frozen provider; a no-landmark
+    checkpoint and a bogus path RAISE (a silently random landmark CNN would
+    poison the SSL recipe — previously non-.pth paths were skipped quietly)."""
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViT, PartFViTConfig
+    from lafs_cvpr2024_tpu.train.checkpoint import load_landmark_variables
+    from lafs_cvpr2024_tpu.train.ssl import (
+        SSLConfig,
+        create_landmark_provider,
+    )
+
+    mcfg = PartFViTConfig(
+        dim=64, depth=1, heads=1, dim_head=64, mlp_dim=128, num_patches=16,
+        image_size=32, patch_size=8, stn_mode="small", with_land=True,
+        loss_type="None", num_classes=0,
+    )
+    model = PartFViT(mcfg)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3))
+    )
+    ckpt = tmp_path / "stage1"
+    save_checkpoint(str(ckpt), dict(variables), step=5)
+
+    scfg = SSLConfig(model=PartFViTConfig(
+        **{**mcfg.__dict__, "with_land": False}
+    ))
+    provider_vars = create_landmark_provider(scfg, jax.random.PRNGKey(2))
+    loaded = load_landmark_variables(str(ckpt), provider_vars, log=lambda s: None)
+    # every landmark leaf (params AND batch_stats) equals the checkpoint's
+    src_p = variables["params"]["landmark"]
+    dst_p = loaded["params"]["landmark"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        src_p, dst_p,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables["batch_stats"]["landmark"],
+        loaded["batch_stats"]["landmark"],
+    )
+    # and it actually CHANGED the provider (random init != trained tree)
+    assert not np.allclose(
+        np.asarray(provider_vars["params"]["landmark"]["output_layer"]["kernel"]),
+        np.asarray(dst_p["output_layer"]["kernel"]),
+    )
+
+    # no-landmark checkpoint: loud error
+    nl_cfg = PartFViTConfig(**{**mcfg.__dict__, "with_land": False})
+    nl_vars = PartFViT(nl_cfg).init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3))
+    )
+    nl_ckpt = tmp_path / "ssl_only"
+    save_checkpoint(str(nl_ckpt), dict(nl_vars), step=1)
+    with pytest.raises(ValueError, match="no 'landmark' subtree"):
+        load_landmark_variables(str(nl_ckpt), provider_vars, log=lambda s: None)
+
+    # neither .pth nor a directory: loud error
+    with pytest.raises(ValueError, match="expected a torch .pth"):
+        load_landmark_variables(
+            str(tmp_path / "nope.ckpt"), provider_vars, log=lambda s: None
+        )
