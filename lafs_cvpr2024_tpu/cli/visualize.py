@@ -57,6 +57,13 @@ def get_args(argv=None):
                         "before the rollout")
     p.add_argument("--layer", type=int, default=-1,
                    help="layer index for the per-head maps (default last)")
+    p.add_argument("--input-scale", default="half", choices=["half", "unit"],
+                   help="input scaling convention the checkpoint was trained/"
+                        "evaluated with: 'half' = x/255-0.5 (reference eval, "
+                        "IJB_evaluation.py:444), 'unit' = x/255*2-1 (train "
+                        "convention). A mismatch feeds the model inputs at "
+                        "half the trained dynamic range, skewing attention "
+                        "maps and landmarks")
     p.add_argument("--styles", nargs="+",
                    default=["rollout", "perhead", "landmarks", "patches"],
                    choices=["rollout", "perhead", "landmarks", "patches"])
@@ -89,6 +96,7 @@ def main(argv=None):
     from PIL import Image
 
     from ..eval.loading import arch_overrides_from_args, load_eval_model
+    from ..ops.augment_device import scale_uint8
     from ..ops.patch_gather import patch_gather
     from ..utils.visualize import (
         attention_heatmap,
@@ -103,6 +111,13 @@ def main(argv=None):
     loaded = load_eval_model(args.checkpoint, arch_overrides_from_args(args))
     model, variables, cfg = loaded.model, loaded.variables, loaded.cfg
 
+    if not (-cfg.depth <= args.layer < cfg.depth):
+        raise SystemExit(
+            f"error: --layer {args.layer} is out of range for this "
+            f"checkpoint: depth={cfg.depth} (valid: "
+            f"{-cfg.depth}..{cfg.depth - 1})"
+        )
+
     paths = _collect_images(args.images, args.num)
     size = cfg.image_size
     imgs = []
@@ -114,7 +129,7 @@ def main(argv=None):
 
     @jax.jit
     def forward(v, x8):
-        x = x8.astype(jax.numpy.float32) / 255.0 - 0.5  # eval convention
+        x = scale_uint8(x8, args.input_scale)
         (emb, _, theta), inter = model.apply(
             v, x, train=False, return_tokens=True, mutable=["intermediates"]
         )
@@ -166,7 +181,10 @@ def main(argv=None):
             written.append(dst)
         if "patches" in args.styles and has_land:
             dst = os.path.join(args.out, f"patches_{i}.png")
-            p8 = ((patches[i] + 0.5) * 255.0).clip(0, 255).astype(np.uint8)
+            # undo whichever input convention fed the gather
+            lo = 0.5 if args.input_scale == "half" else 1.0
+            sc = 255.0 if args.input_scale == "half" else 127.5
+            p8 = ((patches[i] + lo) * sc).clip(0, 255).astype(np.uint8)
             save_patch_grid(p8, dst, denorm=False)
             written.append(dst)
         print(f"[viz] {paths[i]} -> {args.out}/*_{i}.png")

@@ -825,7 +825,7 @@ def load_landmark_variables(path: str, landmark_vars: dict, log=print) -> dict:
         imp = import_torch_state_dict(sd)
         log(f"[import landmark ckpt] {imp.summary()}")
         params, stats = imp
-        return {
+        merged = {
             "params": merge_params(
                 landmark_vars["params"], params, ["stn", "output"]
             ),
@@ -833,6 +833,12 @@ def load_landmark_variables(path: str, landmark_vars: dict, log=print) -> dict:
                 landmark_vars.get("batch_stats", {}), stats, ["stn"]
             ),
         }
+        _check_landmark_coverage(
+            landmark_vars, merged, path,
+            # partial load: only the stn/output_layer scopes must be covered
+            keep=lambda p: any(s in "/".join(p) for s in ("stn", "output")),
+        )
+        return merged
     if os.path.isdir(path):
         variables, step = restore_eval_variables(path)
         if "landmark" not in variables.get("params", {}):
@@ -844,21 +850,66 @@ def load_landmark_variables(path: str, landmark_vars: dict, log=print) -> dict:
             )
         log(f"[import landmark ckpt] orbax step {step}: landmark subtree "
             f"from {path}")
-        return {
+        unmatched: list = []
+        merged = {
             "params": merge_params(
                 landmark_vars["params"],
                 {"landmark": variables["params"]["landmark"]},
+                unmatched=unmatched,
             ),
             "batch_stats": merge_params(
                 landmark_vars.get("batch_stats", {}),
                 {"landmark": variables.get("batch_stats", {}).get(
                     "landmark", {})},
+                unmatched=unmatched,
             ),
         }
+        if unmatched:
+            raise ValueError(
+                f"checkpoint {path}: {len(unmatched)} landmark leaves have "
+                "no counterpart in the provider tree (structural mismatch — "
+                "e.g. the checkpoint's stn_mode differs from the SSL "
+                f"config's). First few: {unmatched[:5]}"
+            )
+        _check_landmark_coverage(landmark_vars, merged, path)
+        return merged
     raise ValueError(
         f"--landmark-path {path!r}: expected a torch .pth file or an orbax "
         "checkpoint directory"
     )
+
+
+def _check_landmark_coverage(provider_vars: dict, merged: dict, path: str,
+                             keep=None) -> None:
+    """Verify every provider landmark leaf was OVERWRITTEN by the merge.
+
+    ``merge_params`` silently skips update paths absent from the base tree,
+    so a structurally mismatched checkpoint (different stn_mode, missing
+    batch_stats) could merge as a partial/total no-op and leave the frozen
+    provider at random init — the silent failure the reference avoids with
+    ``load_state_dict(strict=True)`` (``lafs_train.py:124-154``). We compare
+    merged values against the provider's inits: an unchanged leaf means the
+    checkpoint never supplied it. ``keep`` optionally restricts which
+    provider paths must be covered (the .pth partial load only promises the
+    stn/output_layer scopes)."""
+    stale = []
+    for col in ("params", "batch_stats"):
+        base = _flatten(provider_vars.get(col, {}) or {})
+        new = _flatten(merged.get(col, {}) or {})
+        for p, old in base.items():
+            if keep is not None and not keep(p):
+                continue
+            v = new.get(p)
+            if v is old:  # merge_params keeps the identical object on skip
+                stale.append(f"{col}/" + "/".join(p))
+    if stale:
+        raise ValueError(
+            f"checkpoint {path}: {len(stale)} provider landmark leaves were "
+            "NOT overwritten (checkpoint structurally incomplete for this "
+            "config — stn_mode mismatch or missing batch_stats?). The frozen "
+            "landmark CNN would keep random init, silently poisoning the SSL "
+            f"recipe. First few: {stale[:5]}"
+        )
 
 
 def merge_params(base: dict, update: dict, filter_substrings=None,
@@ -878,10 +929,11 @@ def merge_params(base: dict, update: dict, filter_substrings=None,
         ):
             continue
         if path in flat_b:
-            assert flat_b[path].shape == val.shape, (
-                f"shape mismatch at {'/'.join(path)}: "
-                f"{flat_b[path].shape} vs {val.shape}"
-            )
+            if flat_b[path].shape != val.shape:
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path)}: model has "
+                    f"{flat_b[path].shape}, checkpoint has {val.shape}"
+                )
             flat_b[path] = val
         elif unmatched is not None:
             unmatched.append("/".join(path))

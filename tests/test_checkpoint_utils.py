@@ -337,3 +337,23 @@ def test_load_landmark_variables_orbax(tmp_path):
         load_landmark_variables(
             str(tmp_path / "nope.ckpt"), provider_vars, log=lambda s: None
         )
+
+    # structurally mismatched landmark subtree (checkpoint stn_mode differs
+    # from the SSL config's): merge_params would silently skip every
+    # mismatched path, leaving the frozen provider at random init — the
+    # strict(=True)-style coverage check must raise instead.
+    mm_cfg = PartFViTConfig(**{**mcfg.__dict__, "stn_mode": "large"})
+    mm_vars = PartFViT(mm_cfg).init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 32, 32, 3))
+    )
+    mm_ckpt = tmp_path / "stn_large"
+    save_checkpoint(str(mm_ckpt), dict(mm_vars), step=2)
+    with pytest.raises(ValueError, match="landmark leaves|shape mismatch"):
+        load_landmark_variables(str(mm_ckpt), provider_vars, log=lambda s: None)
+
+    # checkpoint missing landmark batch_stats entirely: also loud
+    nb_vars = {"params": dict(variables["params"])}
+    nb_ckpt = tmp_path / "no_bn_stats"
+    save_checkpoint(str(nb_ckpt), nb_vars, step=3)
+    with pytest.raises(ValueError, match="NOT overwritten"):
+        load_landmark_variables(str(nb_ckpt), provider_vars, log=lambda s: None)

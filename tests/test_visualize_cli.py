@@ -89,3 +89,20 @@ def test_visualize_cli_end_to_end(tmp_path, with_land):
     # landmark-free models must not emit overlay files
     if not with_land:
         assert not (out / "landmarks_0.png").exists()
+
+    # --input-scale unit is accepted and renders (train-convention ckpts)
+    out2 = tmp_path / "viz_unit"
+    written2 = main([
+        "--checkpoint", str(ckpt), "--images", str(img_dir),
+        "--out", str(out2), "--num", "1", "--image-size", "32",
+        "--input-scale", "unit",
+    ])
+    assert len(written2) == len(expect)
+
+    # out-of-range --layer: actionable error naming the depth, not an
+    # IndexError after the model already ran
+    with pytest.raises(SystemExit, match="depth=2"):
+        main([
+            "--checkpoint", str(ckpt), "--images", str(img_dir),
+            "--out", str(out), "--image-size", "32", "--layer", "2",
+        ])
