@@ -131,32 +131,66 @@ def sharded_batch_apply(fn, mesh: Mesh):
     mesh's data axis: the host batch is padded to a multiple of the axis,
     sharded over it (GSPMD data parallelism — no shard_map needed for a pure
     forward), and the output unpadded. Replaces the reference's
-    single-process eval loop for pod-slice sweeps (perform_val / IJB
-    extraction). Single-device meshes and multi-process runs (where eval is
-    rank-0-gated host-local) pass through unchanged."""
+    single-process eval loop for pod-slice sweeps (perform_val / the 227k-
+    image IJB extraction, ``IJB_evaluation.py:408-495``). Single-device
+    meshes pass through unchanged.
+
+    Multi-process: EVERY process must call ``wrapped`` with the SAME full
+    batch (eval data is host-replicated — each rank reads the same bin/
+    protocol files). Each device computes only its global row slice, and the
+    output is all-gathered so every host returns the full result — the
+    collective rides the same mesh the train step uses."""
     n_data = int(mesh.shape.get("data", 1))
-    if mesh.size == 1 or jax.process_count() > 1:
+    if mesh.size == 1:
         return fn
+    multi = jax.process_count() > 1
     sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
     # (original tree, mesh-replicated copy) — keyed by identity with a
     # strong reference held, so a recycled id() can never alias a new tree
-    cache = [None, None]
+    cache = [None, None, None]
 
     def wrapped(variables, batch):
         # variables committed to a single device (e.g. an orbax restore)
         # conflict with the mesh-sharded batch — replicate them once
         if cache[0] is not variables:
             cache[0] = variables
-            cache[1] = jax.device_put(variables, replicated)
+            if multi:
+                # host values are identical per process (checkpoint restore):
+                # reinterpret them as replicated GLOBAL arrays (no transfer
+                # beyond the local device_put)
+                from jax.experimental import multihost_utils
+
+                cache[1] = multihost_utils.host_local_array_to_global_array(
+                    variables, mesh, P()
+                )
+            else:
+                cache[1] = jax.device_put(variables, replicated)
         variables = cache[1]
         batch = np.asarray(batch)
         n = batch.shape[0]
         pad = (-n) % n_data
         if pad:
             batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
-        out = fn(variables, jax.device_put(batch, sharding))
-        return np.asarray(out)[:n] if pad else out
+        if not multi:
+            out = fn(variables, jax.device_put(batch, sharding))
+            return np.asarray(out)[:n] if pad else out
+        # each device materializes ONLY its global row slice (the callback
+        # runs for addressable shards; `idx` is the device's global index
+        # into the padded batch — no cross-process concat-order pitfalls)
+        garr = jax.make_array_from_callback(
+            batch.shape, sharding, lambda idx: batch[idx]
+        )
+        out = fn(variables, garr)
+        if cache[2] is None:
+            # compiled all-gather to fully-replicated (so np.asarray works
+            # on every host); cached once — eval calls this per batch
+            cache[2] = jax.jit(
+                lambda t: t,
+                out_shardings=jax.tree_util.tree_map(lambda _: replicated, out),
+            )
+        out = jax.tree_util.tree_map(np.asarray, cache[2](out))
+        return jax.tree_util.tree_map(lambda o: o[:n], out) if pad else out
 
     return wrapped
 

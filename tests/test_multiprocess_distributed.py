@@ -131,6 +131,69 @@ print(f"RESULT {pid} {loss:.6f}", flush=True)
 """
 
 
+EVAL_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+pid = int(sys.argv[1]); port = sys.argv[2]
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+                           initialization_timeout=600)
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from lafs_cvpr2024_tpu.parallel.mesh import sharded_batch_apply
+
+mesh = Mesh(np.array(jax.devices()).reshape(4, 1), ("data", "model"))
+# a stand-in embed fn: variables @ batch rows (the perform_val/IJB shape)
+W = np.asarray(
+    np.random.default_rng(0).normal(size=(16, 8)), np.float32)
+fn = jax.jit(lambda w, b: jnp.tanh(b @ w))
+embed = sharded_batch_apply(fn, mesh)
+# batch NOT divisible by the 4-way data axis: exercises the pad path too
+batch = np.asarray(
+    np.random.default_rng(1).normal(size=(10, 16)), np.float32)
+out = embed({"w": jnp.asarray(W)}["w"], batch)
+ref = np.tanh(batch @ W)
+assert out.shape == ref.shape, (out.shape, ref.shape)
+err = float(np.abs(np.asarray(out) - ref).max())
+# second call reuses the cached replication + gather (the per-batch path)
+out2 = embed(jnp.asarray(W), batch[:7])
+err2 = float(np.abs(np.asarray(out2) - ref[:7]).max())
+print(f"RESULT {pid} {max(err, err2):.8f}", flush=True)
+"""
+
+
+def test_two_process_sharded_eval(tmp_path):
+    """Multi-host sharded eval (VERDICT r3 next #3): both processes feed the
+    SAME full batch; each device computes its row slice; the all-gathered
+    output on every host equals the single-process numpy reference."""
+    script = tmp_path / "eval_worker.py"
+    script.write_text(EVAL_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    procs = []
+    for i in range(2):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), port],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                text=True,
+            )
+        )
+        if i == 0:
+            time.sleep(2)
+    outs = [p.communicate(timeout=580)[0] for p in procs]
+    for p in procs:
+        assert p.returncode == 0, outs
+    for o in outs:
+        m = re.search(r"RESULT \d ([\d.e+-]+)", o)
+        assert m, o
+        assert float(m.group(1)) < 1e-5, o
+
+
 def test_two_process_train_step(tmp_path):
     # runs even on a 1-core host: the workers time-slice and the extended
     # initialization_timeout in TRAIN_WORKER covers the serialized compiles
