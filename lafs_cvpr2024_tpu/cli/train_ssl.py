@@ -24,6 +24,19 @@ import numpy as np
 
 def get_args():
     p = argparse.ArgumentParser("lafs-tpu SSL pretrain")
+    p.add_argument("--arch", default="partfvit",
+                   choices=["partfvit", "vit_tiny", "vit_small", "vit_base",
+                            "overlap", "mobile_dino"],
+                   help="SSL backbone (reference --arch, lafs_train.py:34-37"
+                        ",198-209). 'partfvit' = the LAFS landmark-token "
+                        "path; the others train on pixel crops with the "
+                        "vanilla DataAugmentationDINO transform (2 global + "
+                        "N local 48px crops, lafs_train.py:743-788). vit_* "
+                        "dims are fixed by the arch (192/384/768); --dim "
+                        "sets the embed width for overlap/mobile_dino")
+    p.add_argument("--local-crop-size", type=int, default=48,
+                   help="vanilla-arch local crop resolution "
+                        "(lafs_train.py:775)")
     p.add_argument("--data-path", required=True, help="dir with train.rec")
     p.add_argument("--landmark-path", default=None, help="pretrained landmark CNN (.pth or orbax)")
     p.add_argument("--output-dir", required=True)
@@ -131,6 +144,7 @@ def main():
     from ..train.ssl import (
         SSLConfig,
         assemble_crop_batches,
+        assemble_vanilla_crop_batches,
         create_landmark_provider,
         create_ssl_state,
         make_ssl_train_step,
@@ -144,12 +158,31 @@ def main():
     mesh = create_multislice_mesh(model=1, slices=args.slices)
     n_dev = len(jax.devices())
 
-    transform = None if args.device_aug else LAFSMultiCrop(
-        global_crops_scale=tuple(args.global_crops_scale),
-        local_crops_scale=tuple(args.local_crops_scale),
-        local_crops_number=args.local_crops_number,
-        size=args.image_size,
-    )
+    vanilla = args.arch != "partfvit"
+    if vanilla:
+        if args.device_aug:
+            raise SystemExit("--device-aug ships the LAFS paired 20-crop "
+                             "recipe only; vanilla archs use the host "
+                             "DataAugmentationDINO transform")
+        if args.landmark_path:
+            raise SystemExit(f"--landmark-path has no effect for --arch "
+                             f"{args.arch} (no landmark branch runs)")
+        from ..data.augment import DataAugmentationDINO
+
+        transform = DataAugmentationDINO(
+            global_crops_scale=tuple(args.global_crops_scale),
+            local_crops_scale=tuple(args.local_crops_scale),
+            local_crops_number=args.local_crops_number,
+            size=args.image_size,
+            local_size=args.local_crop_size,
+        )
+    else:
+        transform = None if args.device_aug else LAFSMultiCrop(
+            global_crops_scale=tuple(args.global_crops_scale),
+            local_crops_scale=tuple(args.local_crops_scale),
+            local_crops_number=args.local_crops_number,
+            size=args.image_size,
+        )
     dataset = FaceRecordDataset(
         os.path.join(args.data_path, "train.rec"),
         transform=transform,
@@ -173,15 +206,26 @@ def main():
         **({"mesh": mesh, "spec": P("data")} if args.device_aug else {}),
     )
 
+    # vit_* dims are fixed by the arch (the factory ignores cfg.model's
+    # dim/depth/heads — see train/ssl._backbone); cfg.model.dim still feeds
+    # the DINO head width bookkeeping, so pin it to the arch's embed dim
+    _vit_dims = {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}
+    model_dim = _vit_dims.get(args.arch, args.dim)
+    # BN archs need SyncBN on a multi-device mesh (stats must stay
+    # replicated under shard_map — train/ssl raises otherwise)
+    bn_axis = ("data" if args.arch in ("overlap", "mobile_dino")
+               and mesh.size > 1 else None)
     cfg = SSLConfig(
         model=PartFViTConfig(
-            dim=args.dim, depth=args.depth, heads=args.heads,
+            dim=model_dim, depth=args.depth, heads=args.heads,
             dim_head=args.dim_head, mlp_dim=args.mlp_dim,
             num_patches=args.num_patches, with_land=False, loss_type="None",
             num_classes=0, image_size=args.image_size, stn_mode=args.stn_mode,
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
-            attn_impl=args.attn_impl,
+            attn_impl=args.attn_impl, bn_axis_name=bn_axis,
         ),
+        arch=args.arch,
+        local_crop_size=args.local_crop_size,
         out_dim=args.out_dim,
         head_hidden_dim=args.head_hidden_dim,
         head_bottleneck_dim=args.head_bottleneck_dim,
@@ -197,7 +241,7 @@ def main():
         teacher_dtype=jnp.bfloat16 if args.teacher_dtype == "bfloat16" else jnp.float32,
         zero1=args.zero1,
     )
-    if tuple(args.local_crops_scale) != (0.05, 0.4):
+    if not vanilla and tuple(args.local_crops_scale) != (0.05, 0.4):
         # no silently-ignored argument: LAFS draws LOCAL crops from the
         # GLOBAL scale on every path (lafs_train.py:852-858) — the flag
         # exists for config parity with the reference parser only
@@ -211,7 +255,8 @@ def main():
     state = jax.jit(lambda r: create_ssl_state(
         cfg, r, zero1_shards=mesh.shape["data"] if cfg.zero1 else 0
     ))(rng)
-    landmark_vars = create_landmark_provider(cfg, jax.random.fold_in(rng, 1))
+    landmark_vars = ({} if vanilla else
+                     create_landmark_provider(cfg, jax.random.fold_in(rng, 1)))
     if args.landmark_path:
         # .pth OR any of our orbax layouts; an unloadable path RAISES — a
         # silently random landmark CNN would poison the whole recipe
@@ -303,6 +348,11 @@ def main():
                 # the mesh in its producer thread
                 gc = crops
                 ga = lc = la = jnp.zeros((1,), jnp.float32)
+            elif vanilla:
+                gc, lc = assemble_vanilla_crop_batches(crops)
+                gc = global_batch(mesh, gc, crop_spec)
+                lc = global_batch(mesh, lc, crop_spec)
+                ga = la = global_batch(mesh, np.zeros((1,), np.float32), P())
             else:
                 gc, ga, lc, la = assemble_crop_batches(crops)
                 gc, ga, lc, la = (

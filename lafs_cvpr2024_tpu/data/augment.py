@@ -208,6 +208,54 @@ class LAFSMultiCrop:
         return crops
 
 
+#: ImageNet statistics used by the reference's VANILLA DINO transform only
+#: (``lafs_train.py:754-756``); the LAFS transform normalizes to [-1, 1].
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclass
+class DataAugmentationDINO:
+    """Vanilla (pixel-patch) DINO multi-crop (``lafs_train.py:743-788``):
+    2 global ``size``-px crops + N local ``local_size``-px crops, UNPAIRED
+    (no clean/aug split — nothing consumes clean views without the landmark
+    CNN). ImageNet normalization, per the reference. Used by the
+    ``--arch vit_*`` / overlap / mobile_dino SSL paths; the landmark-token
+    path uses :class:`LAFSMultiCrop`.
+
+    Per sample emits ``2 + local_crops_number`` float32 HWC arrays:
+    ``[global1, global2, local1, ..., localN]``.
+    """
+
+    global_crops_scale: Tuple[float, float] = (0.4, 1.0)
+    local_crops_scale: Tuple[float, float] = (0.05, 0.4)
+    local_crops_number: int = 8
+    size: int = 112
+    local_size: int = 48
+
+    def _emit(self, img: Image.Image, size: int, scale, blur_p: float,
+              solarize_p: float) -> np.ndarray:
+        # reference order: RandomResizedCrop → flip → jitter/gray → blur
+        # [→ solarize] → normalize (lafs_train.py:743-780)
+        geo = random_horizontal_flip(random_resized_crop(img, size, scale))
+        aug = _jitter_gray(geo)
+        aug = GaussianBlur(blur_p)(aug)
+        if solarize_p > 0:
+            aug = Solarization(solarize_p)(aug)
+        return to_normalized_array(aug, IMAGENET_MEAN, IMAGENET_STD)
+
+    def __call__(self, img: Image.Image) -> List[np.ndarray]:
+        crops = [
+            self._emit(img, self.size, self.global_crops_scale, 1.0, 0.0),
+            self._emit(img, self.size, self.global_crops_scale, 0.1, 0.2),
+        ]
+        for _ in range(self.local_crops_number):
+            crops.append(
+                self._emit(img, self.local_size, self.local_crops_scale, 0.5, 0.0)
+            )
+        return crops
+
+
 @dataclass
 class SupervisedAugment:
     """Supervised train-time augmentation (``image_iter.py:187-362``):

@@ -163,9 +163,9 @@ class FaceRecordDataset:
 
 
 def _wants_pil(transform) -> bool:
-    from .augment import LAFSMultiCrop
+    from .augment import DataAugmentationDINO, LAFSMultiCrop
 
-    return isinstance(transform, LAFSMultiCrop)
+    return isinstance(transform, (LAFSMultiCrop, DataAugmentationDINO))
 
 
 class FaceFolderDataset:

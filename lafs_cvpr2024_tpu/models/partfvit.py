@@ -340,10 +340,11 @@ class OverlapViT(nn.Module):
         )(h, deterministic=not train)
         pooled = h.mean(axis=1) if cfg.pool == "mean" else h[:, 0]
         # the overlap variant's head is BatchNorm1d, NOT LayerNorm
-        # (ViT_face.py:1530-1532) — running stats matter for interop
+        # (ViT_face.py:1530-1532) — running stats matter for interop.
+        # bn_axis_name → SyncBN (stats stay replicated under shard_map)
         emb = nn.BatchNorm(
             use_running_average=not train, epsilon=1e-5, momentum=0.9,
-            name="mlp_head",
+            axis_name=cfg.bn_axis_name, name="mlp_head",
         )(pooled)
         if labels is not None and cfg.loss_type != "None":
             logits = CosFace(

@@ -308,7 +308,13 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
             if "state" in tree:
                 return extract(tree["state"])
             if "student" in tree and "teacher" in tree:
-                return {"params": tree["teacher"]["backbone"]}
+                out = {"params": tree["teacher"]["backbone"]}
+                # BN archs (overlap/mobile_dino) carry running stats; the
+                # teacher's are the eval stats (train/ssl.py::SSLTrainState)
+                stats = tree.get("stats")
+                if isinstance(stats, dict) and stats.get("teacher"):
+                    out["batch_stats"] = stats["teacher"]["backbone"]
+                return out
         def _scalar(x):
             return np.ndim(x) == 0 or (hasattr(x, "shape") and x.shape == ())
 
@@ -326,12 +332,17 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
                     out["batch_stats"] = tree[1]
                 return out
             if (
-                len(tree) == 6  # SSLTrainState — teacher backbone
+                len(tree) in (6, 7)  # SSLTrainState — teacher backbone
+                # (7 adds the round-4 BN `stats` field)
                 and isinstance(tree[1], dict)
                 and "backbone" in tree[1]
                 and _scalar(tree[4])
             ):
-                return {"params": tree[1]["backbone"]}
+                out = {"params": tree[1]["backbone"]}
+                if (len(tree) == 7 and isinstance(tree[6], dict)
+                        and tree[6].get("teacher")):
+                    out["batch_stats"] = tree[6]["teacher"]["backbone"]
+                return out
             if (
                 len(tree) == 4  # SimMIMTrainState — encoder backbone
                 and isinstance(tree[0], dict)

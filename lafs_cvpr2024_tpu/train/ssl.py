@@ -51,6 +51,17 @@ from .optim import (
 )
 
 
+#: vanilla pixel-patch DINO architectures (reference ``--arch``,
+#: ``lafs_train.py:34-37,198-209``) + the in-repo secondary SSL backbones.
+#: "partfvit" is the LAFS landmark-token path.
+SSL_ARCHS = ("partfvit", "vit_tiny", "vit_small", "vit_base", "overlap",
+             "mobile_dino")
+#: archs whose backbones carry BatchNorm running stats (tracked in
+#: ``SSLTrainState.stats``; the pure-ViT archs have none)
+_BN_ARCHS = ("overlap", "mobile_dino")
+_VIT_DIMS = {"vit_tiny": 192, "vit_small": 384, "vit_base": 768}
+
+
 @dataclass(frozen=True)
 class SSLConfig:
     model: PartFViTConfig = field(
@@ -58,6 +69,12 @@ class SSLConfig:
             with_land=False, loss_type="None", num_classes=0
         )
     )
+    arch: str = "partfvit"  # one of SSL_ARCHS. Vanilla archs consume PIXEL
+                            # crops (2 global at image_size + N local at
+                            # local_crop_size, DataAugmentationDINO) instead
+                            # of landmark tokens; no landmark provider runs.
+    local_crop_size: int = 48  # vanilla local-crop resolution
+                               # (lafs_train.py:775: RandomResizedCrop(48))
     out_dim: int = 100000
     head_hidden_dim: int = 2048
     head_bottleneck_dim: int = 256
@@ -126,6 +143,13 @@ class SSLTrainState(NamedTuple):
     center: jnp.ndarray
     step: jnp.ndarray
     rng: jnp.ndarray
+    # BatchNorm running stats for the BN archs (overlap/mobile_dino):
+    # {"student": {"backbone": ...}, "teacher": {"backbone": ...}}; the
+    # teacher's follow the student's by the same EMA momentum as the params
+    # (the reference never trains a BN arch under DINO — its teacher buffers
+    # are copied once at init, lafs_train.py:377 — EMA is the stable choice).
+    # () for the stat-less archs, keeping their checkpoint trees unchanged.
+    stats: Any = ()
 
 
 def _cast(tree, dtype):
@@ -135,18 +159,45 @@ def _cast(tree, dtype):
     )
 
 
-def _backbone(cfg: SSLConfig, mlp_impl: Optional[str] = None) -> PartFViT:
-    """SSL backbone config overrides in ONE place (``mlp_impl`` lets the
-    inference-only teacher graph pick a different lowering)."""
+def _backbone(cfg: SSLConfig, mlp_impl: Optional[str] = None):
+    """SSL backbone per ``cfg.arch``, config overrides in ONE place
+    (``mlp_impl`` lets the inference-only teacher graph pick a different
+    lowering — PartFViT/OverlapViT only; the DINO ViT keeps dense MLPs)."""
+    if cfg.arch not in SSL_ARCHS:
+        raise ValueError(f"unknown SSL arch {cfg.arch!r}; one of {SSL_ARCHS}")
     over = {"with_land": False, "loss_type": "None"}
     if mlp_impl is not None:
         over["mlp_impl"] = mlp_impl
-    return PartFViT(PartFViTConfig(**{**cfg.model.__dict__, **over}))
+    if cfg.arch == "partfvit":
+        return PartFViT(PartFViTConfig(**{**cfg.model.__dict__, **over}))
+    if cfg.arch in _VIT_DIMS:
+        from ..models import dino_vit
+
+        return getattr(dino_vit, cfg.arch)(
+            patch_size=cfg.model.patch_size,
+            img_size=cfg.model.image_size,
+            drop_rate=cfg.model.dropout,
+            drop_path_rate=cfg.model.drop_path_rate,
+        )
+    if cfg.arch == "overlap":
+        from ..models.partfvit import OverlapViT
+
+        return OverlapViT(PartFViTConfig(**{**cfg.model.__dict__, **over}))
+    # mobile_dino: MobileNetV3 stem + projector (ViT_face.py:1203-1217)
+    from ..models.mobilenet import MobileDINO
+
+    return MobileDINO(embd_dim=cfg.model.dim, mode=cfg.model.stn_mode,
+                      axis_name=cfg.model.bn_axis_name)
+
+
+def _embed_dim(cfg: SSLConfig) -> int:
+    """Backbone output width feeding the DINO head."""
+    return _VIT_DIMS.get(cfg.arch, cfg.model.dim)
 
 
 def _head(cfg: SSLConfig) -> DINOHead:
     return DINOHead(
-        in_dim=cfg.model.dim,
+        in_dim=_embed_dim(cfg),
         out_dim=cfg.out_dim,
         hidden_dim=cfg.head_hidden_dim,
         bottleneck_dim=cfg.head_bottleneck_dim,
@@ -164,14 +215,30 @@ def create_ssl_state(
     backbone = _backbone(cfg)
     head = _head(cfg)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
-    tokens = jnp.zeros((2, cfg.model.num_patches, 3 * cfg.model.patch_size ** 2))
-    bb = backbone.init({"params": k1, "dropout": k4}, tokens)["params"]
-    hd = head.init(k2, jnp.zeros((2, cfg.model.dim)))["params"]
+    if cfg.arch == "partfvit":
+        x = jnp.zeros((2, cfg.model.num_patches, 3 * cfg.model.patch_size ** 2))
+    else:
+        # vanilla archs consume pixels; one init at the global size creates
+        # every param (local sizes reuse them — pos-embed interpolation /
+        # truncation / global pooling)
+        x = jnp.zeros((2, cfg.model.image_size, cfg.model.image_size, 3))
+    variables = backbone.init({"params": k1, "dropout": k4}, x)
+    bb = variables["params"]
+    bb_stats = variables.get("batch_stats", {})
+    hd = head.init(k2, jnp.zeros((2, _embed_dim(cfg))))["params"]
     student = {"backbone": bb, "head": hd}
     if zero1_shards > 1:
         opt_state = zero1_init(student, zero1_shards, moment_dtype=cfg.moment_dtype)
     else:
         opt_state = adamw_init(student, moment_dtype=cfg.moment_dtype)
+    stats = ()
+    if bb_stats:
+        stats = {
+            "student": {"backbone": bb_stats},
+            "teacher": jax.tree_util.tree_map(
+                jnp.copy, {"backbone": bb_stats}
+            ),
+        }
     return SSLTrainState(
         student=student,
         teacher=_cast(jax.tree_util.tree_map(jnp.copy, student), cfg.teacher_dtype),
@@ -179,6 +246,7 @@ def create_ssl_state(
         center=jnp.zeros((1, cfg.out_dim)),
         step=jnp.zeros((), jnp.int32),
         rng=k3,
+        stats=stats,
     )
 
 
@@ -212,7 +280,14 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     else:
         t_backbone = backbone
     head = _head(cfg)
-    provider = LandmarkProvider(
+    vanilla = cfg.arch != "partfvit"
+    has_bn = cfg.arch in _BN_ARCHS
+    if vanilla and cfg.fused_device_aug:
+        raise ValueError(
+            "fused_device_aug ships the LAFS paired 20-crop recipe only; "
+            "vanilla archs use the host DataAugmentationDINO transform"
+        )
+    provider = None if vanilla else LandmarkProvider(
         num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
         gather_impl=cfg.model.gather_impl, stn_mode=cfg.model.stn_mode,
         coord_scale=float(cfg.model.image_size - 1),
@@ -232,6 +307,12 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     if zero1 and not cfg.fused_tail:
         raise ValueError("zero1=True requires fused_tail=True (the sharded "
                          "update ships only in the fused tail)")
+    if has_bn and multi and cfg.model.bn_axis_name is None:
+        raise ValueError(
+            f"arch {cfg.arch!r} has BatchNorm: on a multi-device mesh set "
+            "model.bn_axis_name='data' (SyncBN) so the running stats stay "
+            "replicated across shards"
+        )
 
     def make_tokens(landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, rng):
         """Frozen landmark branch (no gradients — lafs_train.py:381-382)."""
@@ -279,6 +360,48 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
         out = head.apply({"params": _cast(params["head"], cfg.head_dtype)}, emb)
         return out.astype(jnp.float32)
 
+    def forward_vanilla(params, stats, g_imgs, l_imgs, rng, train: bool):
+        """Pixel-crop forward for the vanilla archs: two static shapes
+        (global image_size², local local_crop_size²), BN running stats
+        threaded through when the backbone has them. Returns
+        (head_out_fp32, new_backbone_stats)."""
+        cparams = _cast(params, cfg.compute_dtype)
+        bb = backbone if train else t_backbone
+        new_stats = stats
+
+        def run(imgs, variables, key):
+            kw = dict(train=train)
+            if train:
+                kw["rngs"] = {"dropout": key}
+            if train and has_bn:
+                out, mut = bb.apply(imgs_vars(variables), imgs, mutable=["batch_stats"], **kw)
+                return out, mut["batch_stats"]
+            return bb.apply(imgs_vars(variables), imgs, **kw), variables[1]
+
+        def imgs_vars(variables):
+            v = {"params": variables[0]}
+            if has_bn:
+                v["batch_stats"] = variables[1]
+            return v
+
+        bb_stats = stats["backbone"] if has_bn else None
+        emb_g, bb_stats = run(
+            g_imgs.astype(cfg.compute_dtype), (cparams["backbone"], bb_stats), rng
+        )
+        outs = [emb_g]
+        if l_imgs is not None:
+            emb_l, bb_stats = run(
+                l_imgs.astype(cfg.compute_dtype),
+                (cparams["backbone"], bb_stats),
+                jax.random.fold_in(rng, 3),
+            )
+            outs.append(emb_l)
+        if has_bn:
+            new_stats = {"backbone": bb_stats}
+        emb = jnp.concatenate(outs, axis=0).astype(cfg.head_dtype)
+        out = head.apply({"params": _cast(params["head"], cfg.head_dtype)}, emb)
+        return out.astype(jnp.float32), new_stats
+
     def step_impl(state, landmark_vars, glob_clean, glob_aug, loc_clean,
                   loc_aug, lr, wd, momentum, teacher_temp, freeze_last):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -309,15 +432,33 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 out_size=cfg.model.image_size,
                 global_crops_scale=tuple(cfg.global_crops_scale),
             )
-        g_tokens, l_tokens = make_tokens(
-            landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, k_land
-        )
-
-        teacher_out = forward(state.teacher, g_tokens, None, k_rest, train=False)
+        if vanilla:
+            # pixel crops straight to the backbone — no landmark branch;
+            # glob_aug/loc_aug are unused dummies (the vanilla transform
+            # emits single crops, not clean/aug pairs)
+            b = glob_clean.shape[1]
+            g_in = glob_clean.reshape(2 * b, *glob_clean.shape[2:])
+            l_in = loc_clean.reshape(L * b, *loc_clean.shape[2:])
+            t_stats = state.stats["teacher"] if has_bn else None
+            s_stats = state.stats["student"] if has_bn else None
+            teacher_out, _ = forward_vanilla(
+                state.teacher, t_stats, g_in, None, k_rest, train=False
+            )
+        else:
+            g_in, l_in = make_tokens(
+                landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, k_land
+            )
+            teacher_out = forward(state.teacher, g_in, None, k_rest, train=False)
         teacher_out = jax.lax.stop_gradient(teacher_out)
 
         def loss_fn(params):
-            student_out = forward(params, g_tokens, l_tokens, k_student, train=True)
+            if vanilla:
+                student_out, new_sstats = forward_vanilla(
+                    params, s_stats, g_in, l_in, k_student, train=True
+                )
+            else:
+                student_out = forward(params, g_in, l_in, k_student, train=True)
+                new_sstats = None
             loss, new_center = dino_loss(
                 student_out,
                 teacher_out,
@@ -328,11 +469,11 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 center_momentum=cfg.center_momentum,
                 axis_name=data_axis,
             )
-            return loss, new_center
+            return loss, (new_center, new_sstats)
 
-        (loss, new_center), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.student
-        )
+        (loss, (new_center, new_sstats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.student)
         if not zero1:
             # under zero1 the grads stay LOCAL per-shard means — the
             # cross-shard mean folds into the psum_scatter inside the tail
@@ -388,6 +529,17 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             )
             new_teacher = ema_update(state.teacher, new_student, momentum,
                                      sr_rng=sr_rng)
+        new_stats = state.stats
+        if has_bn:
+            # teacher BN stats EMA-follow the student's at the param momentum
+            new_stats = {
+                "student": new_sstats,
+                "teacher": jax.tree_util.tree_map(
+                    lambda t, s: momentum * t + (1.0 - momentum)
+                    * s.astype(t.dtype),
+                    state.stats["teacher"], new_sstats,
+                ),
+            }
         new_state = SSLTrainState(
             student=new_student,
             teacher=new_teacher,
@@ -395,6 +547,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             center=new_center,
             step=state.step + 1,
             rng=state.rng,
+            stats=new_stats,
         )
         return new_state, {"loss": loss}
 
@@ -411,6 +564,10 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 if cfg.fused_device_aug:
                     # arg 2 is the raw (B, H, W, 3) batch; args 3-5 are dummies
                     crop_specs = (P("data"), P(), P(), P())
+                elif vanilla:
+                    # unpaired crops: glob_clean/loc_clean carry the pixel
+                    # crops; the *_aug slots are replicated dummies
+                    crop_specs = (P(None, "data"), P(), P(None, "data"), P())
                 else:
                     crop_specs = (P(None, "data"),) * 4
                 state_spec = rep(state)
@@ -459,6 +616,15 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                            freeze_last)
 
     return step_fn
+
+
+def assemble_vanilla_crop_batches(crops):
+    """Host-side: the DataAugmentationDINO output → (glob, loc) stacks.
+
+    crops: list of (B, H, W, 3) arrays ordered [g1, g2, l1, ..., lN]
+    (``lafs_train.py:783-788``). Returns ((2, B, S, S, 3), (N, B, s, s, 3)).
+    """
+    return np.stack(crops[:2]), np.stack(crops[2:])
 
 
 def assemble_crop_batches(crops):

@@ -265,3 +265,102 @@ def test_vma_autopsum_trap():
     np.testing.assert_allclose(got_false, mean, rtol=1e-6)  # true DDP mean
     got_true = np.asarray(mk(True)(params, x))[0]
     np.testing.assert_allclose(got_true, np.asarray(x).sum(0), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# vanilla (pixel-crop) SSL archs — reference --arch, lafs_train.py:34-37
+# ---------------------------------------------------------------------------
+
+def _vanilla_cfg(arch):
+    return SSLConfig(
+        model=PartFViTConfig(
+            dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=36, with_land=False, loss_type="None", num_classes=0,
+            image_size=48, stn_mode="small", patch_size=8,
+            dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+            bn_axis_name="data" if arch in ("overlap", "mobile_dino") else None,
+        ),
+        arch=arch, local_crop_size=24, out_dim=64, head_hidden_dim=32,
+        head_bottleneck_dim=16, local_crops_number=2,
+        compute_dtype=jnp.float32,
+    )
+
+
+def _vanilla_batches(cfg, b=4):
+    rng = np.random.default_rng(0)
+    gc = rng.uniform(-1, 1, (2, b, 48, 48, 3)).astype(np.float32)
+    lc = rng.uniform(
+        -1, 1, (cfg.local_crops_number, b, cfg.local_crop_size,
+                cfg.local_crop_size, 3)
+    ).astype(np.float32)
+    dummy = np.zeros((1,), np.float32)
+    return jnp.asarray(gc), jnp.asarray(dummy), jnp.asarray(lc), jnp.asarray(dummy)
+
+
+@pytest.mark.parametrize("arch", ["vit_tiny", "overlap", "mobile_dino"])
+def test_vanilla_arch_step(arch):
+    """One multi-device train step per vanilla arch: loss finite, teacher
+    EMA moves, BN stats (where present) update and stay replicated."""
+    cfg = _vanilla_cfg(arch)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    step = make_ssl_train_step(cfg, mesh)
+    gc, ga, lc, la = _vanilla_batches(cfg)
+    t_before = jax.tree_util.tree_leaves(state.teacher["backbone"])[0]
+    args = dict(lr=jnp.float32(1e-3), wd=jnp.float32(0.04),
+                momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                freeze_last=jnp.float32(1.0))
+    has_bn = arch in ("overlap", "mobile_dino")
+    if has_bn:
+        assert state.stats, "BN arch must carry running stats"
+        s_before = jax.tree_util.tree_leaves(state.stats["student"])
+    else:
+        assert state.stats == ()
+    state, metrics = step(state, {}, gc, ga, lc, la, **args)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    t_after = jax.tree_util.tree_leaves(state.teacher["backbone"])[0]
+    assert not np.allclose(np.asarray(t_before), np.asarray(t_after))
+    if has_bn:
+        s_after = jax.tree_util.tree_leaves(state.stats["student"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(s_before, s_after)
+        )
+        assert changed, "student BN stats did not update"
+        # teacher stats moved toward the student's (EMA)
+        t_stats = jax.tree_util.tree_leaves(state.stats["teacher"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(s_before, t_stats)
+        ) or all(
+            np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(s_after, t_stats)
+        )
+
+
+@pytest.mark.parametrize("arch", ["vit_small", "vit_base"])
+def test_vanilla_vit_state_shapes(arch):
+    """vit_small/base state creation (structure only — eval_shape, no
+    compute): head input width matches the arch's fixed embed dim."""
+    cfg = _vanilla_cfg(arch)
+    shapes = jax.eval_shape(
+        lambda r: create_ssl_state(cfg, r), jax.random.PRNGKey(0)
+    )
+    dim = {"vit_small": 384, "vit_base": 768}[arch]
+    assert shapes.student["head"]["mlp_0"]["kernel"].shape[0] == dim
+    assert shapes.student["backbone"]["cls_token"].shape[-1] == dim
+
+
+def test_vanilla_bn_arch_requires_sync_bn():
+    cfg = SSLConfig(
+        model=PartFViTConfig(
+            dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            num_patches=36, with_land=False, loss_type="None", num_classes=0,
+            image_size=48, stn_mode="small",
+        ),
+        arch="mobile_dino", out_dim=64, compute_dtype=jnp.float32,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    with pytest.raises(ValueError, match="bn_axis_name"):
+        make_ssl_train_step(cfg, mesh)
