@@ -1,0 +1,164 @@
+"""IJB-C-scale dryrun of the HOST-SIDE scoring half (VERDICT r3 weak #4).
+
+The extraction half (227k faces through the backbone) is benched by
+`bench_ijb_extract.py`; this proves the scoring half — fuse → media/template
+aggregation → 15.6M-pair cosine scoring → ROC → TPR@FPR
+(reference ``IJB_evaluation.py:501-567,784-827``) — at the REAL protocol
+size, recording wall-clock per stage and peak RSS.
+
+Synthetic data at published IJB-C scale:
+  227,630 face images → 23,124 templates, ~1.6 medias/template,
+  15,658,489 verification pairs (19,557 genuine).
+Features carry identity structure (unit identity direction + noise) so the
+ROC is non-degenerate; asserts TPR@FPR=1e-4 > 0.95 on this easy synthetic
+separation AND that the batched pair scorer matches a naive per-pair dot
+product on a sample. Exit 1 on failure.
+
+Usage: python benchmarks/bench_ijb_scoring.py [--dim 512] [--scale 1.0]
+"""
+
+import json
+import resource
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from lafs_cvpr2024_tpu.eval.ijb import (
+    IJBConfig,
+    fuse_features,
+    image2template_feature,
+    pair_scores,
+    tpr_at_fpr_table,
+)
+
+
+def _flag(name, default, cast=float):
+    if name in sys.argv:
+        return cast(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+SCALE = _flag("--scale", 1.0)
+DIM = _flag("--dim", 512, int)
+
+N_IMAGES = int(227_630 * SCALE)
+N_TEMPLATES = max(int(23_124 * SCALE), 16)
+N_IDS = max(int(3_531 * SCALE), 8)          # IJB-C subject count
+N_PAIRS = int(15_658_489 * SCALE)
+N_GENUINE = max(int(19_557 * SCALE), 64)
+
+
+def rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def build_protocol(rng):
+    """Templates → identities; images → templates/medias; pair list."""
+    tmpl_id = rng.integers(0, N_IDS, N_TEMPLATES)          # template → subject
+    # images per template: heavy-tailed like the real protocol (video frames)
+    raw = rng.pareto(1.5, N_TEMPLATES) + 1.0
+    per_tmpl = np.maximum(1, (raw / raw.sum() * N_IMAGES).astype(int))
+    templates = np.repeat(np.arange(N_TEMPLATES), per_tmpl)[:N_IMAGES]
+    if len(templates) < N_IMAGES:  # pad the tail onto random templates
+        pad = rng.integers(0, N_TEMPLATES, N_IMAGES - len(templates))
+        templates = np.concatenate([templates, pad])
+    # ~1.6 medias per template: frames of one video share a media id
+    media_of = rng.integers(0, 2, N_IMAGES) + 2 * templates
+    ident = tmpl_id[templates]                              # image → subject
+
+    # pairs: genuine = same subject, impostor = different
+    by_id = [np.where(tmpl_id == i)[0] for i in range(N_IDS)]
+    multi = [b for b in by_id if len(b) >= 2]
+    g1 = np.empty(N_GENUINE, np.int64)
+    g2 = np.empty(N_GENUINE, np.int64)
+    for k in range(N_GENUINE):
+        b = multi[k % len(multi)]
+        i, j = rng.choice(len(b), 2, replace=False)
+        g1[k], g2[k] = b[i], b[j]
+    n_imp = N_PAIRS - N_GENUINE
+    i1 = rng.integers(0, N_TEMPLATES, n_imp)
+    i2 = rng.integers(0, N_TEMPLATES, n_imp)
+    bad = tmpl_id[i1] == tmpl_id[i2]
+    while bad.any():
+        i2[bad] = rng.integers(0, N_TEMPLATES, bad.sum())
+        bad = tmpl_id[i1] == tmpl_id[i2]
+    p1 = np.concatenate([g1, i1])
+    p2 = np.concatenate([g2, i2])
+    labels = np.zeros(N_PAIRS, np.int32)
+    labels[:N_GENUINE] = 1
+    return templates, media_of, ident, p1, p2, labels
+
+
+def main():
+    rng = np.random.default_rng(0)
+    stages = {}
+    t0 = time.perf_counter()
+    templates, medias, ident, p1, p2, labels = build_protocol(rng)
+    stages["synthesize_protocol_s"] = round(time.perf_counter() - t0, 2)
+
+    # identity-structured [orig | flip] features, float32 like extraction
+    t0 = time.perf_counter()
+    id_dirs = rng.standard_normal((N_IDS, DIM)).astype(np.float32)
+    id_dirs /= np.linalg.norm(id_dirs, axis=1, keepdims=True)
+    # noise VECTOR norm ≈ 0.5 (≈ per-image cosine 0.8 to the identity) —
+    # per-coordinate std 0.5/sqrt(DIM); easy separation, non-degenerate ROC
+    feats = id_dirs[ident] + (0.5 / np.sqrt(DIM)) * rng.standard_normal(
+        (N_IMAGES, DIM)
+    ).astype(np.float32)
+    feats = np.concatenate([feats, feats + 0.1], axis=1)   # fake flip branch
+    faceness = rng.uniform(0.5, 1.0, N_IMAGES).astype(np.float32)
+    stages["synthesize_features_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    fused = fuse_features(feats, faceness, IJBConfig())
+    stages["fuse_s"] = round(time.perf_counter() - t0, 2)
+    del feats
+
+    t0 = time.perf_counter()
+    tmpl_feats, unique_templates = image2template_feature(fused, templates, medias)
+    stages["template_aggregate_s"] = round(time.perf_counter() - t0, 2)
+    del fused
+
+    t0 = time.perf_counter()
+    scores = pair_scores(tmpl_feats, unique_templates, p1, p2)
+    stages["pair_scores_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    table = tpr_at_fpr_table(scores, labels)
+    stages["roc_s"] = round(time.perf_counter() - t0, 2)
+
+    # batched scorer == naive dot product on a sample
+    t2id = np.zeros(int(unique_templates.max()) + 1, dtype=int)
+    t2id[unique_templates] = np.arange(len(unique_templates))
+    sample = rng.choice(len(p1), 512, replace=False)
+    naive = np.array([
+        float(tmpl_feats[t2id[p1[s]]] @ tmpl_feats[t2id[p2[s]]])
+        for s in sample
+    ])
+    scorer_exact = bool(np.allclose(naive, scores[sample], atol=1e-12))
+
+    tpr1e4 = table[1e-4]
+    result = {
+        "metric": "ijb_scoring_wallclock",
+        "value": round(sum(v for k, v in stages.items()
+                           if not k.startswith("synthesize")), 2),
+        "unit": "s (fuse+aggregate+score+roc at IJB-C scale)",
+        "n_images": N_IMAGES,
+        "n_templates": N_TEMPLATES,
+        "n_pairs": N_PAIRS,
+        "stages": stages,
+        "peak_rss_gb": round(rss_gb(), 2),
+        "tpr_at_fpr_1e-4": round(tpr1e4, 4),
+        "scorer_matches_naive": scorer_exact,
+    }
+    print(json.dumps(result))
+    ok = scorer_exact and tpr1e4 > 0.95
+    print("IJB SCORING SCALE ASSERTION:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

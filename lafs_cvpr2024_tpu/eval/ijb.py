@@ -139,14 +139,29 @@ def pair_scores(
     batch: int = 100000,
 ) -> np.ndarray:
     """Batched cosine scoring of verification pairs
-    (reference ``IJB_evaluation.py:541-567``)."""
+    (reference ``IJB_evaluation.py:541-567``).
+
+    The gather/dot runs through PREALLOCATED per-batch buffers
+    (``np.take(..., out=)`` + ``einsum(..., out=)``): at IJB-C scale
+    (15.6M pairs) the reference's fresh-temporary pattern spends most of
+    its wall-clock first-touching ~130 GB of short-lived pages."""
     template2id = np.zeros(int(unique_templates.max()) + 1, dtype=int)
     template2id[unique_templates] = np.arange(len(unique_templates))
-    score = np.zeros(len(p1))
-    for s in range(0, len(p1), batch):
-        f1 = template_norm_feats[template2id[p1[s : s + batch]]]
-        f2 = template_norm_feats[template2id[p2[s : s + batch]]]
-        score[s : s + batch] = np.sum(f1 * f2, axis=-1)
+    n, dim = len(p1), template_norm_feats.shape[1]
+    t = len(unique_templates)
+    if t * t <= 64 * n:
+        # dense pair list (IJB-C: 15.6M pairs over 23k templates): ONE BLAS
+        # gram matmul + scalar lookups beats 2n row gathers by ~4× here
+        gram = template_norm_feats @ template_norm_feats.T
+        return gram[template2id[p1], template2id[p2]]
+    score = np.zeros(n)
+    f1 = np.empty((min(batch, n), dim), template_norm_feats.dtype)
+    f2 = np.empty_like(f1)
+    for s in range(0, n, batch):
+        m = min(batch, n - s)
+        np.take(template_norm_feats, template2id[p1[s : s + m]], axis=0, out=f1[:m])
+        np.take(template_norm_feats, template2id[p2[s : s + m]], axis=0, out=f2[:m])
+        np.einsum("ij,ij->i", f1[:m], f2[:m], out=score[s : s + m])
     return score
 
 

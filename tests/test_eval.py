@@ -195,6 +195,31 @@ def test_full_ijb_scoring_separable():
     assert table[1e-1] >= table[1e-2] >= table[1e-3]  # monotone in FPR target
 
 
+def test_pair_scores_gram_and_gather_paths_agree():
+    """pair_scores picks a gram-matmul path for dense pair lists (the IJB-C
+    regime, 15.6M pairs / 23k templates — see benchmarks/bench_ijb_scoring)
+    and a buffered gather path for sparse ones; both must equal the naive
+    per-pair dot product. Template ids are non-contiguous on purpose."""
+    rng = np.random.default_rng(3)
+    t, d = 50, 8
+    feats = rng.standard_normal((t, d))
+    uniq = np.sort(rng.choice(10_000, t, replace=False))
+    naive = lambda a, b: np.array(
+        [feats[i] @ feats[j] for i, j in zip(a, b)]
+    )
+    id1 = rng.integers(0, t, 400)
+    id2 = rng.integers(0, t, 400)
+    # dense: t² = 2500 ≤ 64·400 → gram path
+    dense = pair_scores(feats, uniq, uniq[id1], uniq[id2], batch=64)
+    np.testing.assert_allclose(dense, naive(id1, id2), atol=1e-12)
+    # sparse: 400 pairs over 10× the templates → gather path (force the
+    # threshold the other way by repeating feats rows as extra templates)
+    big = np.concatenate([feats] + [feats * 0 + 1e-3] * 63)
+    big_uniq = np.arange(len(big))
+    sparse = pair_scores(big, big_uniq, id1, id2, batch=64)
+    np.testing.assert_allclose(sparse, naive(id1, id2), atol=1e-12)
+
+
 def test_fuse_features_modes():
     feats = np.array([[3.0, 0.0, 1.0, 0.0]])
     cfg = IJBConfig(use_flip_test=True, use_norm_score=True, use_detector_score=False)
