@@ -220,7 +220,28 @@ def restore_checkpoint(path: str, abstract_state: Any, step: Optional[int] = Non
         step = step if step is not None else mgr.latest_step()
         if step is None:
             return None, None
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        try:
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state)
+            )
+        except ValueError as e:
+            # SSL checkpoints written before SSLTrainState grew the `stats`
+            # field restore into the new state when stats is LEAFLESS (the
+            # stat-less archs — stats=()): drop the empty field from the
+            # template and re-attach after the restore. A BN arch (stats
+            # carries leaves) must NOT silently lose its running stats, so
+            # that case still raises.
+            stats_empty = (
+                hasattr(abstract_state, "_asdict")
+                and hasattr(abstract_state, "stats")
+                and not jax.tree_util.tree_leaves(abstract_state.stats)
+            )
+            if not (stats_empty and "stats" in str(e)):
+                raise
+            reduced = {k: v for k, v in abstract_state._asdict().items()
+                       if k != "stats"}
+            got = mgr.restore(step, args=ocp.args.StandardRestore(reduced))
+            restored = type(abstract_state)(**got, stats=())
         return restored, step
 
 

@@ -73,6 +73,56 @@ def test_ssl_state_roundtrip(tmp_path):
     )
 
 
+def test_ssl_legacy_checkpoint_without_stats_restores(tmp_path):
+    """SSL checkpoints written before SSLTrainState grew the `stats` field
+    (round ≤3) must resume into the new state for stat-less archs —
+    stats=() re-attaches after the restore. A BN arch template (stats with
+    leaves) must still raise rather than silently lose running stats."""
+    from typing import Any, NamedTuple
+
+    import pytest
+
+    from lafs_cvpr2024_tpu.train.ssl import SSLTrainState
+
+    class LegacySSLTrainState(NamedTuple):  # the round-3 field set
+        student: Any
+        teacher: Any
+        opt_state: Any
+        center: Any
+        step: Any
+        rng: Any
+
+    tree = {"backbone": {"w": jnp.ones((2, 2))}, "head": {"k": jnp.zeros(3)}}
+    legacy = LegacySSLTrainState(
+        student=tree,
+        teacher=jax.tree_util.tree_map(lambda x: x * 2, tree),
+        opt_state={"mu": tree},
+        center=jnp.zeros((1, 4)),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(0),
+    )
+    save_checkpoint(str(tmp_path / "ck"), legacy, step=7)
+
+    new = SSLTrainState(
+        student=legacy.student, teacher=legacy.teacher,
+        opt_state=legacy.opt_state, center=legacy.center,
+        step=legacy.step, rng=legacy.rng, stats=(),
+    )
+    restored, step = restore_checkpoint(str(tmp_path / "ck"), _abstract(new))
+    assert step == 7 and isinstance(restored, SSLTrainState)
+    assert restored.stats == ()
+    np.testing.assert_array_equal(
+        np.asarray(restored.teacher["backbone"]["w"]),
+        np.asarray(legacy.teacher["backbone"]["w"]),
+    )
+
+    # BN template: running stats absent from the checkpoint must RAISE
+    bn = new._replace(stats={"student": {"m": jnp.zeros(2)},
+                             "teacher": {"m": jnp.zeros(2)}})
+    with pytest.raises(ValueError):
+        restore_checkpoint(str(tmp_path / "ck"), _abstract(bn))
+
+
 def test_restore_eval_variables_rejects_lookalike_arity(tmp_path):
     """Template-free restore classifies 5/6-field sequences by layout, not
     arity alone — a look-alike payload must raise, not be silently
