@@ -35,9 +35,10 @@ def get_args(argv=None):
                         "sweeps")
     p.add_argument("--json", dest="json_out", default=None,
                    help="also write results to this JSON file")
-    from ..eval.loading import add_arch_flags
+    from ..eval.loading import add_arch_flags, add_input_scale_flag
 
     add_arch_flags(p)
+    add_input_scale_flag(p)
     return p.parse_args(argv)
 
 
@@ -55,13 +56,15 @@ def main(argv=None):
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
 
+    from ..ops.augment_device import scale_uint8
+
     @jax.jit
     def _embed(v, batch):
-        # device-side scaling: uint8 ships, x/255 - 0.5 on chip
+        # device-side scaling: uint8 ships, convention applied on chip
         v = jax.tree_util.tree_map(
             lambda q: q.astype(cdtype)
             if jnp.issubdtype(q.dtype, jnp.floating) else q, v)
-        x = (batch.astype(jnp.float32) / 255.0 - 0.5).astype(cdtype)
+        x = scale_uint8(batch, args.input_scale).astype(cdtype)
         return model.apply(v, x, train=False).astype(jnp.float32)
 
     mesh = create_mesh(model=1)

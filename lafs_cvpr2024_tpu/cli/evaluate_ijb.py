@@ -43,9 +43,10 @@ def get_args(argv=None):
     p.add_argument("--no-native", action="store_true",
                    help="skip the fused C++ decode+align batch path and "
                         "use the PIL + numpy warp per face")
-    from ..eval.loading import add_arch_flags
+    from ..eval.loading import add_arch_flags, add_input_scale_flag
 
     add_arch_flags(p)
+    add_input_scale_flag(p)
     return p.parse_args(argv)
 
 
@@ -86,15 +87,17 @@ def main(argv=None):
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
 
+    from ..ops.augment_device import scale_uint8
+
     @jax.jit
     def _embed(v, batch):
-        # eval convention: x/255 - 0.5 (IJB_evaluation.py:235)
+        # default convention: x/255 - 0.5 (IJB_evaluation.py:235)
         # params are an argument, not a closure constant (closure constants
         # get baked into the HLO and can exceed remote-compile size limits)
         v = jax.tree_util.tree_map(
             lambda q: q.astype(cdtype)
             if jnp.issubdtype(q.dtype, jnp.floating) else q, v)
-        x = (batch / 255.0 - 0.5).astype(cdtype)
+        x = scale_uint8(batch, args.input_scale).astype(cdtype)
         return model.apply(v, x, train=False).astype(jnp.float32)
 
     # scale the extraction sweep over all local devices (data-axis sharding)

@@ -42,9 +42,10 @@ def get_args(argv=None):
     p.add_argument("--bgr", action="store_true",
                    help="packed recs keep BGR order (ms1m-style)")
     p.add_argument("--workers", type=int, default=8)
-    from ..eval.loading import add_arch_flags
+    from ..eval.loading import add_arch_flags, add_input_scale_flag
 
     add_arch_flags(p)
+    add_input_scale_flag(p)
     return p.parse_args(argv)
 
 
@@ -103,12 +104,14 @@ def main(argv=None):
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32
 
+    from ..ops.augment_device import scale_uint8
+
     @jax.jit
     def _embed(v, batch):
         v = jax.tree_util.tree_map(
             lambda q: q.astype(cdtype)
             if jnp.issubdtype(q.dtype, jnp.floating) else q, v)
-        x = (batch.astype(jnp.float32) / 255.0 - 0.5).astype(cdtype)
+        x = scale_uint8(batch, args.input_scale).astype(cdtype)
         return model.apply(v, x, train=False).astype(jnp.float32)
 
     mesh = create_mesh(model=1)

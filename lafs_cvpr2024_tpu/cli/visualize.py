@@ -57,19 +57,13 @@ def get_args(argv=None):
                         "before the rollout")
     p.add_argument("--layer", type=int, default=-1,
                    help="layer index for the per-head maps (default last)")
-    p.add_argument("--input-scale", default="half", choices=["half", "unit"],
-                   help="input scaling convention the checkpoint was trained/"
-                        "evaluated with: 'half' = x/255-0.5 (reference eval, "
-                        "IJB_evaluation.py:444), 'unit' = x/255*2-1 (train "
-                        "convention). A mismatch feeds the model inputs at "
-                        "half the trained dynamic range, skewing attention "
-                        "maps and landmarks")
     p.add_argument("--styles", nargs="+",
                    default=["rollout", "perhead", "landmarks", "patches"],
                    choices=["rollout", "perhead", "landmarks", "patches"])
-    from ..eval.loading import add_arch_flags
+    from ..eval.loading import add_arch_flags, add_input_scale_flag
 
     add_arch_flags(p)
+    add_input_scale_flag(p)
     return p.parse_args(argv)
 
 
@@ -96,7 +90,7 @@ def main(argv=None):
     from PIL import Image
 
     from ..eval.loading import arch_overrides_from_args, load_eval_model
-    from ..ops.augment_device import scale_uint8
+    from ..ops.augment_device import scale_uint8, unscale_to_uint8
     from ..ops.patch_gather import patch_gather
     from ..utils.visualize import (
         attention_heatmap,
@@ -111,15 +105,22 @@ def main(argv=None):
     loaded = load_eval_model(args.checkpoint, arch_overrides_from_args(args))
     model, variables, cfg = loaded.model, loaded.variables, loaded.cfg
 
-    if not (-cfg.depth <= args.layer < cfg.depth):
+    if loaded.family == "mobile_dino":
+        raise SystemExit(
+            "error: mobile_dino checkpoints have no transformer — there is "
+            "no attention to visualize (the reference's maps are all "
+            "attention-based, util/utils.py:730-988)"
+        )
+    depth = getattr(cfg, "depth", None)
+    if not (-depth <= args.layer < depth):
         raise SystemExit(
             f"error: --layer {args.layer} is out of range for this "
-            f"checkpoint: depth={cfg.depth} (valid: "
-            f"{-cfg.depth}..{cfg.depth - 1})"
+            f"checkpoint: depth={depth} (valid: "
+            f"{-depth}..{depth - 1})"
         )
 
     paths = _collect_images(args.images, args.num)
-    size = cfg.image_size
+    size = getattr(cfg, "image_size", None) or getattr(model, "img_size", 112)
     imgs = []
     for pth in paths:
         im = Image.open(pth).convert("RGB").resize((size, size))
@@ -130,9 +131,16 @@ def main(argv=None):
     @jax.jit
     def forward(v, x8):
         x = scale_uint8(x8, args.input_scale)
-        (emb, _, theta), inter = model.apply(
-            v, x, train=False, return_tokens=True, mutable=["intermediates"]
-        )
+        theta = None
+        if loaded.family == "partfvit":
+            (emb, _, theta), inter = model.apply(
+                v, x, train=False, return_tokens=True,
+                mutable=["intermediates"],
+            )
+        else:  # overlap / dino_vit: plain embedding forward, no landmarks
+            _, inter = model.apply(
+                v, x, train=False, mutable=["intermediates"]
+            )
         patches = None
         if theta is not None:
             tok = patch_gather(x, theta, cfg.patch_size, impl=cfg.gather_impl)
@@ -143,11 +151,20 @@ def main(argv=None):
         return theta, patches, inter["intermediates"]
 
     theta, patches, inter = forward(variables, batch)
-    layers = inter["transformer"]
-    attns = [
-        np.asarray(layers[f"layers_{i}"]["attn"]["attn_probs"][0], np.float32)
-        for i in range(cfg.depth)
-    ]
+    if loaded.family == "dino_vit":
+        # VisionTransformer scopes: block_<i>/attn/attn_probs
+        attns = [
+            np.asarray(inter[f"block_{i}"]["attn"]["attn_probs"][0],
+                       np.float32)
+            for i in range(depth)
+        ]
+    else:
+        layers = inter["transformer"]
+        attns = [
+            np.asarray(layers[f"layers_{i}"]["attn"]["attn_probs"][0],
+                       np.float32)
+            for i in range(depth)
+        ]
     theta = None if theta is None else np.asarray(theta)
     patches = None if patches is None else np.asarray(patches)
 
@@ -182,9 +199,7 @@ def main(argv=None):
         if "patches" in args.styles and has_land:
             dst = os.path.join(args.out, f"patches_{i}.png")
             # undo whichever input convention fed the gather
-            lo = 0.5 if args.input_scale == "half" else 1.0
-            sc = 255.0 if args.input_scale == "half" else 127.5
-            p8 = ((patches[i] + lo) * sc).clip(0, 255).astype(np.uint8)
+            p8 = unscale_to_uint8(patches[i], args.input_scale)
             save_patch_grid(p8, dst, denorm=False)
             written.append(dst)
         print(f"[viz] {paths[i]} -> {args.out}/*_{i}.png")

@@ -210,6 +210,8 @@ class LAFSMultiCrop:
 
 #: ImageNet statistics used by the reference's VANILLA DINO transform only
 #: (``lafs_train.py:754-756``); the LAFS transform normalizes to [-1, 1].
+#: Must match ops.augment_device.IMAGENET_MEAN/STD (the eval-side twin —
+#: this module stays jax-free for data-worker processes; pinned by test).
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 

@@ -27,10 +27,12 @@ from typing import Any, Callable, Dict, Optional
 
 __all__ = [
     "add_arch_flags",
+    "add_input_scale_flag",
     "arch_overrides_from_args",
     "infer_partfvit_config",
     "load_eval_model",
     "LoadedEvalModel",
+    "tree_family",
 ]
 
 # PartFViTConfig fields a CLI may force explicitly. Everything else the
@@ -79,6 +81,26 @@ def add_arch_flags(parser) -> None:
                         "NOT inferable — its tree is identical to a "
                         "no-landmark checkpoint's, but the forward gathers "
                         "a transposed grid mosaic instead of raw patchify")
+
+
+def add_input_scale_flag(parser, default: str = "half") -> None:
+    """The shared ``--input-scale`` flag (every eval/serving CLI).
+
+    The input-scaling convention is a property of the CHECKPOINT, not of
+    the tool, and leaves no trace in the parameter tree — a mismatch
+    silently degrades accuracy (inputs at half the trained dynamic range).
+    """
+    from ..ops.augment_device import INPUT_SCALES
+
+    parser.add_argument(
+        "--input-scale", default=default, choices=list(INPUT_SCALES),
+        help="input convention the checkpoint was trained/evaluated with: "
+             "'half' = x/255-0.5 (reference eval, IJB_evaluation.py:444), "
+             "'unit' = x/255*2-1 (train convention, "
+             "train_largescale.py:790), 'imagenet' = per-channel "
+             "(x/255-mean)/std (vanilla-DINO --arch vit_* checkpoints, "
+             "lafs_train.py:751-753)",
+    )
 
 
 def arch_overrides_from_args(args) -> Dict[str, Any]:
@@ -209,17 +231,162 @@ def infer_partfvit_config(params, **overrides):
     return PartFViTConfig(loss_type="None", num_classes=0, **cfg)
 
 
+def tree_family(params, batch_stats=None) -> str:
+    """Classify a checkpoint tree into the backbone family that produced it.
+
+    Every SSL ``--arch`` (train/ssl.SSL_ARCHS) leaves a distinct signature:
+
+    - ``dino_vit``:    ``patch_embed`` conv + ``block_N`` (vision_transformer
+                       naming) — vit_tiny/small/base teachers;
+    - ``mobile_dino``: ``stn`` MobileNetV3 + ``output_layer`` projector, no
+                       transformer;
+    - ``overlap``:     PartFViT-style PARAM tree (OverlapViT shares every
+                       top-level param name with ``PartFViT(with_land=
+                       False)``) — told apart by its BatchNorm1d ``mlp_head``
+                       (ViT_face.py:1530), whose running stats land in
+                       ``batch_stats`` in both the orbax layouts
+                       (SSLTrainState.stats) and the torch importer
+                       (checkpoint.py ``mlp_head.0.running_*``); PartFViT's
+                       LayerNorm head never carries stats;
+    - ``partfvit``:    everything else (the flagship family — includes
+                       global-token/SimMIM/standcoord variants).
+    """
+    if "block_0" in params and "patch_embed" in params:
+        return "dino_vit"
+    if ("stn" in params and "output_layer" in params
+            and "transformer" not in params):
+        return "mobile_dino"
+    if "mlp_head" in (batch_stats or {}) and "landmark" not in params:
+        return "overlap"
+    return "partfvit"
+
+
+def _infer_dino_vit(params, ov: Dict[str, Any]):
+    """VisionTransformer from a dino_vit tree. heads is not recorded in any
+    shape (qkv inner == dim); default to the published vit_* head counts by
+    embed dim, overridable with --heads."""
+    from ..models.dino_vit import VisionTransformer
+
+    dim = ov.pop("dim", None) or int(params["cls_token"].shape[-1])
+    depth = ov.pop("depth", None) or len(
+        [k for k in params if k.startswith("block_")]
+    )
+    patch = ov.pop("patch_size", None) or int(
+        params["patch_embed"]["kernel"].shape[0]
+    )
+    # the module geometry ALWAYS follows the tree: pos_embed records the
+    # trained token grid (unlike PartFViT, image size IS inferable here),
+    # and apply-time bicubic interpolation handles any INPUT resolution
+    # (vision_transformer.py:174-194) — so the CLI --image-size default
+    # (112, a PartFViT necessity) must not distort the template's pos_embed
+    n_tok = int(params["pos_embed"].shape[1]) - 1
+    side = math.isqrt(n_tok)
+    img = side * patch
+    mlp_ratio = (
+        int(params["block_0"]["fc1"]["kernel"].shape[1]) / dim
+        if "fc1" in params.get("block_0", {})
+        else 4.0
+    )
+    heads = ov.pop("heads", None) or {192: 3, 384: 6, 768: 12}.get(dim)
+    if heads is None:
+        raise ValueError(
+            f"dino_vit tree with embed dim {dim} is not a published vit_* "
+            "width — pass --heads explicitly (head count leaves no trace "
+            "in the parameter shapes)"
+        )
+    for k in ("mlp_dim", "num_patches", "dim_head", "stn_mode", "pool",
+              "with_land", "use_standcoord", "image_size"):
+        ov.pop(k, None)  # PartFViT-only flags: meaningless here
+    if ov:
+        raise TypeError(f"unknown config overrides: {sorted(ov)}")
+    return VisionTransformer(
+        img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+        num_heads=int(heads), mlp_ratio=mlp_ratio, num_classes=0,
+    )
+
+
+def _infer_mobile_dino(params, ov: Dict[str, Any]):
+    from ..models.mobilenet import LARGE_SETTING, SMALL_SETTING, MobileDINO
+
+    embd = ov.pop("dim", None) or int(
+        params["output_layer"]["kernel"].shape[-1]
+    )
+    mode = ov.pop("stn_mode", None)
+    if mode is None:
+        nblocks = len([k for k in params["stn"] if k.startswith("block_")])
+        mode = "large" if nblocks == len(LARGE_SETTING) else "small"
+        if nblocks not in (len(LARGE_SETTING), len(SMALL_SETTING)):
+            raise ValueError(
+                f"mobile_dino stem has {nblocks} blocks — pass --stn-mode"
+            )
+    for k in ("depth", "heads", "dim_head", "mlp_dim", "num_patches",
+              "patch_size", "image_size", "pool", "with_land",
+              "use_standcoord"):
+        ov.pop(k, None)
+    if ov:
+        raise TypeError(f"unknown config overrides: {sorted(ov)}")
+    return MobileDINO(embd_dim=embd, mode=mode)
+
+
+def _infer_overlap(params, ov: Dict[str, Any]):
+    """OverlapViT from its tree. The unfold STRIDE (cfg.patch_size) leaves
+    no trace in the shapes — default 8 (the reference's, ViT_face.py:1516),
+    force with --patch-size; ac_patch_size comes from the embedding input
+    width (3·ac²)."""
+    from ..models.partfvit import OverlapViT, PartFViTConfig
+
+    patch_in = int(params["patch_to_embedding"]["kernel"].shape[0])
+    ac = math.isqrt(patch_in // 3)
+    if ac * ac * 3 != patch_in:
+        raise ValueError(
+            f"overlap tree: patch_to_embedding input {patch_in} != 3·ac²"
+        )
+    dim = ov.pop("dim", None) or int(params["cls_token"].shape[-1])
+    num_patches = (ov.pop("num_patches", None)
+                   or int(params["pos_embedding"].shape[1]) - 1)
+    layers = [k for k in params["transformer"] if k.startswith("layers_")]
+    depth = ov.pop("depth", None) or len(layers)
+    inner = int(
+        params["transformer"]["layers_0"]["attn"]["to_qkv"]["kernel"].shape[1]
+    ) // 3
+    heads, dim_head = ov.pop("heads", None), ov.pop("dim_head", None)
+    if not heads:
+        dim_head = dim_head or 64
+        heads = inner // dim_head
+    elif not dim_head:
+        dim_head = inner // heads
+    mlp_dim = ov.pop("mlp_dim", None) or int(
+        params["transformer"]["layers_0"]["mlp"]["fc1"]["kernel"].shape[1]
+    )
+    cfg = PartFViTConfig(
+        dim=dim, depth=depth, heads=int(heads), dim_head=int(dim_head),
+        mlp_dim=mlp_dim, num_patches=num_patches, with_land=False,
+        loss_type="None", num_classes=0,
+        patch_size=ov.pop("patch_size", None) or 8,
+        image_size=ov.pop("image_size", None) or 112,
+        pool=ov.pop("pool", None) or "cls",
+    )
+    for k in ("stn_mode", "with_land", "use_standcoord"):
+        ov.pop(k, None)
+    if ov:
+        raise TypeError(f"unknown config overrides: {sorted(ov)}")
+    return OverlapViT(cfg, ac_patch_size=ac)
+
+
 @dataclass
 class LoadedEvalModel:
-    model: Any          # PartFViT (flax module)
+    model: Any          # flax module (PartFViT / VisionTransformer / ...)
     variables: dict     # ready for model.apply
-    cfg: Any            # the PartFViTConfig actually built
+    cfg: Any            # the config actually built (family-specific)
     step: Optional[int]  # train step for orbax payloads, None for .pth
+    family: str = "partfvit"  # tree_family() of the checkpoint
 
 
 def _describe(cfg) -> str:
     from ..models.partfvit import PartFViTConfig
 
+    if not isinstance(cfg, PartFViTConfig):
+        return repr(cfg)  # flax modules self-describe their fields
     defaults = PartFViTConfig(loss_type="None", num_classes=0)
     # core geometry is ALWAYS printed — in particular heads×dim_head, which
     # inference can only assume (the tree fixes just their product): a user
@@ -244,13 +411,16 @@ def load_eval_model(
     log: Callable[[str], None] = print,
 ) -> LoadedEvalModel:
     """Load ``checkpoint`` (torch ``.pth`` or any orbax layout), infer the
-    architecture from its tree, build the model, and return apply-ready
+    architecture — INCLUDING the backbone family (PartFViT variants, DINO
+    vit_*, OverlapViT, MobileDINO: every SSL ``--arch`` teacher is
+    evaluable) — from its tree, build the model, and return apply-ready
     variables. The single loading path behind all eval/serving CLIs."""
     import jax
     import jax.numpy as jnp
 
     from ..models.partfvit import PartFViT
     from ..train.checkpoint import (
+        import_dino_vit_state_dict,
         import_torch_state_dict,
         load_torch_file,
         merge_params,
@@ -259,28 +429,61 @@ def load_eval_model(
 
     if checkpoint.endswith(".pth"):
         sd = load_torch_file(checkpoint)
-        imp = import_torch_state_dict(sd)
+        # the DINO VisionTransformer torch dialect announces itself by its
+        # block naming (vision_transformer.py: "blocks.N...")
+        is_dino = any(
+            k.split("module.", 1)[-1].split("backbone.", 1)[-1]
+            .startswith("blocks.")
+            for k in sd
+        )
+        imp = (import_dino_vit_state_dict(sd) if is_dino
+               else import_torch_state_dict(sd))
         log(f"[load] import {imp.summary()}")
         params, stats = imp
-        cfg = infer_partfvit_config(params, **(overrides or {}))
-        model = PartFViT(cfg)
-        template = jax.jit(model.init)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
-        )
-        variables = {
-            "params": merge_params(template["params"], params),
-            "batch_stats": merge_params(
-                template.get("batch_stats", {}), stats
-            ),
-        }
-        step = None
+        if set(params) == {"landmark"} and "output_layer" in params["landmark"]:
+            # a bare mobile_dino .pth: the partfvit torch dialect nests the
+            # stem under `landmark`, but the flax MobileDINO names stn/
+            # output_layer at the top — unwrap so tree_family can see it
+            params = params["landmark"]
+            stats = stats.get("landmark", {}) if stats else stats
+        variables, step = {"params": params}, None
+        if stats:
+            variables["batch_stats"] = stats
     else:
         variables, step = restore_eval_variables(checkpoint)
         log(f"[load] restored step {step} from {checkpoint}")
-        cfg = infer_partfvit_config(
-            variables["params"], **(overrides or {})
+
+    params = variables["params"]
+    family = tree_family(params, variables.get("batch_stats"))
+    ov = dict(overrides or {})
+    if family == "partfvit":
+        cfg = infer_partfvit_config(params, **ov)
+        model = PartFViT(cfg)
+    elif family == "dino_vit":
+        model = cfg = _infer_dino_vit(params, ov)
+    elif family == "mobile_dino":
+        model = cfg = _infer_mobile_dino(params, ov)
+    else:
+        model = _infer_overlap(params, ov)
+        cfg = model.cfg
+
+    if checkpoint.endswith(".pth"):
+        # graft the imported tree onto a native template so any leaves the
+        # dialect doesn't carry keep their initialized values (and shape
+        # mismatches fail loudly inside merge_params)
+        size = getattr(cfg, "image_size", None) or getattr(
+            model, "img_size", 112
         )
-        model = PartFViT(cfg)  # no init: the restored tree is complete
-    log(f"[load] architecture: {_describe(cfg)}")
-    return LoadedEvalModel(model=model, variables=variables, cfg=cfg, step=step)
+        imported_stats = variables.get("batch_stats", {})
+        template = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
+        )
+        variables = {
+            "params": merge_params(template["params"], params),
+        }
+        stats = merge_params(template.get("batch_stats", {}), imported_stats)
+        if stats:
+            variables["batch_stats"] = stats
+    log(f"[load] family: {family}; architecture: {_describe(cfg)}")
+    return LoadedEvalModel(model=model, variables=variables, cfg=cfg,
+                           step=step, family=family)

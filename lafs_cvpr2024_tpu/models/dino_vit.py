@@ -35,6 +35,9 @@ class DinoAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhid,bhjd->bhij", q, k) * head_dim ** -0.5
         attn = jax.nn.softmax(attn, axis=-1)
+        # visualization capture (the reference stores attention_score per
+        # layer, ViT_face.py:177); no-op unless "intermediates" is mutable
+        self.sow("intermediates", "attn_probs", attn)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)

@@ -34,6 +34,16 @@ import jax.numpy as jnp
 # geometric: random resized crop via interpolation-matrix matmuls
 # ---------------------------------------------------------------------------
 
+#: ImageNet statistics — the reference's VANILLA DINO transform only
+#: (``lafs_train.py:751-753``): checkpoints trained via ``--arch vit_*``
+#: expect this convention at eval time, NOT half/unit.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+#: valid ``scale_uint8`` conventions, in CLI-flag order
+INPUT_SCALES = ("half", "unit", "imagenet")
+
+
 def scale_uint8(x, mode: str = "unit"):
     """Device-side uint8 image → float in the model's input convention.
 
@@ -41,16 +51,49 @@ def scale_uint8(x, mode: str = "unit"):
     (a mismatch silently degrades accuracy): ``"unit"`` → [-1, 1]
     (x/255·2−1, the training convention, ``lafs_train.py`` ToTensor+
     Normalize(0.5, 0.5)); ``"half"`` → [-0.5, 0.5] (x/255−0.5, the
-    reference eval convention, ``IJB_evaluation.py:444``). Accepts uint8
-    or float storage, numpy or jax (operator-only arithmetic keeps the
-    input's host/device placement); always computes in fp32.
+    reference eval convention, ``IJB_evaluation.py:444``); ``"imagenet"``
+    → per-channel (x/255−mean)/std (channel-LAST), the vanilla-DINO
+    convention (``lafs_train.py:751-753``) for ``--arch vit_*``
+    checkpoints. Accepts uint8 or float storage, numpy or jax
+    (operator-only arithmetic keeps the input's host/device placement);
+    always computes in fp32.
     """
     x = x.astype(jnp.float32)  # np.float32 is the same dtype object
     if mode == "unit":
         return x / 255.0 * 2.0 - 1.0
     if mode == "half":
         return x / 255.0 - 0.5
-    raise ValueError(f"scale_uint8: unknown mode {mode!r} (unit|half)")
+    if mode == "imagenet":
+        import numpy as np
+
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        return (x / 255.0 - mean) / std
+    raise ValueError(
+        f"scale_uint8: unknown mode {mode!r} ({'|'.join(INPUT_SCALES)})"
+    )
+
+
+def unscale_to_uint8(x, mode: str = "unit"):
+    """Invert :func:`scale_uint8` back to uint8 — for visualizing tensors
+    that already live in a model's input convention."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    if mode == "unit":
+        x = (x + 1.0) * 127.5
+    elif mode == "half":
+        x = (x + 0.5) * 255.0
+    elif mode == "imagenet":
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        x = (x * std + mean) * 255.0
+    else:
+        raise ValueError(
+            f"unscale_to_uint8: unknown mode {mode!r} "
+            f"({'|'.join(INPUT_SCALES)})"
+        )
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
 
 
 def _cubic_weights(t: jnp.ndarray) -> jnp.ndarray:

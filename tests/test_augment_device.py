@@ -134,3 +134,47 @@ def test_scale_uint8_conventions_and_polymorphism():
     np.testing.assert_allclose(np.asarray(j), np.asarray(out) * 2, atol=1e-6)
     with pytest.raises(ValueError, match="unknown mode"):
         scale_uint8(u8, "raw")
+
+def test_scale_uint8_imagenet_and_unscale_roundtrip():
+    """The 'imagenet' convention (vanilla-DINO --arch vit_* checkpoints,
+    lafs_train.py:751-753): per-channel (x/255-mean)/std, channel-LAST; its
+    constants are pinned to the host-side transform's (data/augment.py keeps
+    a jax-free twin for worker processes); unscale_to_uint8 inverts every
+    convention bit-exactly on uint8 inputs."""
+    import numpy as np
+
+    from lafs_cvpr2024_tpu.data.augment import (
+        IMAGENET_MEAN as HOST_MEAN,
+        IMAGENET_STD as HOST_STD,
+    )
+    from lafs_cvpr2024_tpu.ops.augment_device import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        INPUT_SCALES,
+        scale_uint8,
+        unscale_to_uint8,
+    )
+
+    np.testing.assert_array_equal(
+        HOST_MEAN, np.asarray(IMAGENET_MEAN, np.float32)
+    )
+    np.testing.assert_array_equal(
+        HOST_STD, np.asarray(IMAGENET_STD, np.float32)
+    )
+    assert INPUT_SCALES == ("half", "unit", "imagenet")
+
+    u8 = np.arange(2 * 3 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3, 3) * 4
+    out = scale_uint8(u8, "imagenet")
+    assert out.dtype == np.float32 and out.shape == u8.shape
+    want = (u8.astype(np.float32) / 255.0
+            - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+        IMAGENET_STD, np.float32)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (4, 5, 3), np.uint8)
+    for mode in INPUT_SCALES:
+        back = unscale_to_uint8(scale_uint8(img, mode), mode)
+        np.testing.assert_array_equal(back, img), mode
+    with pytest.raises(ValueError, match="unknown mode"):
+        unscale_to_uint8(img.astype(np.float32), "raw")

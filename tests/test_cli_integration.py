@@ -151,6 +151,35 @@ def test_ssl_cli_vanilla_arch(tmp_path, monkeypatch):
     train_ssl.main()
     assert os.path.isdir(os.path.join(out, "ckpt"))
 
+    # close the loop: the vanilla teacher is EVALUABLE — evaluate_bin
+    # infers the dino_vit family from the SSL checkpoint tree and applies
+    # the vanilla input convention (--input-scale imagenet)
+    import pickle
+
+    from lafs_cvpr2024_tpu.cli import evaluate_bin
+
+    rng = np.random.default_rng(0)
+    bins, issame = [], []
+    for i in range(6):
+        for _ in range(2):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+            ).save(buf, format="JPEG")
+            bins.append(buf.getvalue())
+        issame.append(bool(i % 2))
+    eval_dir = tmp_path / "val"
+    eval_dir.mkdir()
+    with open(eval_dir / "lfw.bin", "wb") as f:
+        pickle.dump((bins, issame), f)
+    results = evaluate_bin.main([
+        "--checkpoint", os.path.join(out, "ckpt"),
+        "--eval-path", str(eval_dir), "--targets", "lfw",
+        "--input-scale", "imagenet",
+        "--batch-size", "4", "--nrof-folds", "3",
+    ])
+    assert 0.0 <= results["lfw"]["accuracy"] <= 1.0
+
     # misuse fails loudly: --landmark-path has no effect on vanilla archs
     monkeypatch.setattr(
         sys, "argv", argv + ["--landmark-path", "/nonexistent.pth"]

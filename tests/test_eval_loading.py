@@ -274,3 +274,184 @@ def test_load_eval_model_simmim_payload(tmp_path):
         loaded.variables, jnp.zeros((2, 32, 32, 3)), train=False
     )
     assert emb.shape == (2, 64) and bool(jnp.isfinite(emb).all())
+
+# ---------------------------------------------------------------------------
+# backbone-family inference: every SSL --arch teacher must be evaluable
+# ---------------------------------------------------------------------------
+
+def _overlap_cfg():
+    return PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        patch_size=8, num_patches=36, with_land=False, loss_type="None",
+        num_classes=0,
+    )
+
+
+def test_tree_family_all_archs():
+    """tree_family on real init trees of all four families; in particular
+    the overlap/partfvit ambiguity: OverlapViT shares every top-level PARAM
+    name with PartFViT(with_land=False) — only the BatchNorm head's running
+    stats tell them apart, so params-only classification must say partfvit
+    (SSL flagship checkpoints!) and stats must flip it to overlap."""
+    from lafs_cvpr2024_tpu.eval.loading import tree_family
+    from lafs_cvpr2024_tpu.models import MobileDINO, OverlapViT
+    from lafs_cvpr2024_tpu.models.dino_vit import VisionTransformer
+
+    land = _params(
+        PartFViTConfig(dim=64, depth=1, heads=1, dim_head=64, mlp_dim=128,
+                       num_patches=16, image_size=32, stn_mode="small",
+                       loss_type="None", num_classes=0)
+    )
+    assert tree_family(land) == "partfvit"
+
+    ssl = _params(
+        PartFViTConfig(dim=64, depth=1, heads=1, dim_head=64, mlp_dim=128,
+                       num_patches=16, image_size=32, with_land=False,
+                       loss_type="None", num_classes=0)
+    )
+    assert tree_family(ssl) == "partfvit"
+    assert tree_family(ssl, batch_stats=None) == "partfvit"
+
+    vit = VisionTransformer(img_size=32, patch_size=16, embed_dim=192,
+                            depth=1, num_heads=3)
+    v = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    assert tree_family(v["params"]) == "dino_vit"
+
+    md = MobileDINO(embd_dim=32, mode="small")
+    v = md.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert tree_family(v["params"], v["batch_stats"]) == "mobile_dino"
+
+    ov = OverlapViT(_overlap_cfg(), ac_patch_size=12, pad=4)
+    v = ov.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3)))
+    assert tree_family(v["params"], v["batch_stats"]) == "overlap"
+    # params alone (no BN stats) must fall back to partfvit, never overlap
+    assert tree_family(v["params"]) == "partfvit"
+
+
+def test_load_eval_model_dino_vit_orbax(tmp_path):
+    """A dino_vit tree restores to a working VisionTransformer: geometry
+    (dim/depth/patch/img) read from the shapes, heads from the published
+    vit_* widths; non-published widths demand --heads loudly."""
+    from lafs_cvpr2024_tpu.models.dino_vit import VisionTransformer
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    vit = VisionTransformer(img_size=32, patch_size=16, embed_dim=192,
+                            depth=2, num_heads=3)
+    v = jax.jit(vit.init)(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), dict(v), step=0)
+
+    loaded = load_eval_model(str(ckpt), log=lambda m: None)
+    assert loaded.family == "dino_vit"
+    m = loaded.model
+    assert (m.embed_dim, m.depth, m.patch_size, m.img_size,
+            m.num_heads) == (192, 2, 16, 32, 3)
+    x = jnp.linspace(-1, 1, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3)
+    got = loaded.model.apply(loaded.variables, x, train=False)
+    want = vit.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # width 64 is not a published vit_* width: head count is unrecoverable
+    tiny = VisionTransformer(img_size=32, patch_size=16, embed_dim=64,
+                             depth=1, num_heads=2)
+    v64 = tiny.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckpt2 = tmp_path / "ckpt64"
+    save_checkpoint(str(ckpt2), dict(v64), step=0)
+    with pytest.raises(ValueError, match="--heads"):
+        load_eval_model(str(ckpt2), log=lambda m: None)
+    forced = load_eval_model(str(ckpt2), {"heads": 2}, log=lambda m: None)
+    assert forced.model.num_heads == 2
+
+
+def test_load_eval_model_mobile_dino_orbax(tmp_path):
+    from lafs_cvpr2024_tpu.models import MobileDINO
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    md = MobileDINO(embd_dim=32, mode="small")
+    v = jax.jit(md.init)(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), dict(v), step=0)
+
+    loaded = load_eval_model(str(ckpt), log=lambda m: None)
+    assert loaded.family == "mobile_dino"
+    assert loaded.model.embd_dim == 32 and loaded.model.mode == "small"
+    x = jnp.linspace(-1, 1, 64 * 64 * 3).reshape(1, 64, 64, 3)
+    got = loaded.model.apply(loaded.variables, x, train=False)
+    want = md.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_load_eval_model_overlap_orbax(tmp_path):
+    """Overlap checkpoints carry BN running stats — family flips to overlap
+    and the restored forward (Unfold soft-split + BN head in eval mode)
+    matches the source model."""
+    from lafs_cvpr2024_tpu.models import OverlapViT
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    src_cfg = _overlap_cfg()
+    ov = OverlapViT(src_cfg, ac_patch_size=12, pad=4)
+    v = jax.jit(ov.init)(jax.random.PRNGKey(3), jnp.zeros((1, 48, 48, 3)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), dict(v), step=0)
+
+    loaded = load_eval_model(
+        str(ckpt), {"heads": 2, "image_size": 48}, log=lambda m: None
+    )
+    assert loaded.family == "overlap"
+    assert loaded.model.ac_patch_size == 12
+    assert loaded.cfg.patch_size == 8      # the unfold stride default
+    assert loaded.cfg.num_patches == 36
+    x = jnp.linspace(-1, 1, 48 * 48 * 3).reshape(1, 48, 48, 3)
+    got = loaded.model.apply(loaded.variables, x, train=False)
+    want = ov.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_load_eval_model_dino_vit_pth(tmp_path):
+    """The torch DINO dialect ("blocks.N...", vision_transformer.py) routes
+    to import_dino_vit_state_dict and lands on the same weights."""
+    torch = pytest.importorskip("torch")
+
+    from lafs_cvpr2024_tpu.models.dino_vit import VisionTransformer
+
+    vit = VisionTransformer(img_size=32, patch_size=16, embed_dim=192,
+                            depth=1, num_heads=3)
+    v = vit.init(jax.random.PRNGKey(4), jnp.zeros((1, 32, 32, 3)))
+    p = v["params"]
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a).copy())
+
+    blk = p["block_0"]
+    sd = {
+        "cls_token": t(p["cls_token"]),
+        "pos_embed": t(p["pos_embed"]),
+        "patch_embed.proj.weight": t(
+            np.asarray(p["patch_embed"]["kernel"]).transpose(3, 2, 0, 1)
+        ),
+        "patch_embed.proj.bias": t(p["patch_embed"]["bias"]),
+        "norm.weight": t(p["norm"]["scale"]),
+        "norm.bias": t(p["norm"]["bias"]),
+        "blocks.0.norm1.weight": t(blk["norm1"]["scale"]),
+        "blocks.0.norm1.bias": t(blk["norm1"]["bias"]),
+        "blocks.0.attn.qkv.weight": t(np.asarray(blk["attn"]["qkv"]["kernel"]).T),
+        "blocks.0.attn.qkv.bias": t(blk["attn"]["qkv"]["bias"]),
+        "blocks.0.attn.proj.weight": t(np.asarray(blk["attn"]["proj"]["kernel"]).T),
+        "blocks.0.attn.proj.bias": t(blk["attn"]["proj"]["bias"]),
+        "blocks.0.norm2.weight": t(blk["norm2"]["scale"]),
+        "blocks.0.norm2.bias": t(blk["norm2"]["bias"]),
+        "blocks.0.mlp.fc1.weight": t(np.asarray(blk["fc1"]["kernel"]).T),
+        "blocks.0.mlp.fc1.bias": t(blk["fc1"]["bias"]),
+        "blocks.0.mlp.fc2.weight": t(np.asarray(blk["fc2"]["kernel"]).T),
+        "blocks.0.mlp.fc2.bias": t(blk["fc2"]["bias"]),
+    }
+    pth = tmp_path / "dino.pth"
+    torch.save(sd, str(pth))
+
+    loaded = load_eval_model(str(pth), log=lambda m: None)
+    assert loaded.family == "dino_vit" and loaded.step is None
+    x = jnp.linspace(-1, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+    got = loaded.model.apply(loaded.variables, x, train=False)
+    want = vit.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

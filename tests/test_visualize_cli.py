@@ -106,3 +106,68 @@ def test_visualize_cli_end_to_end(tmp_path, with_land):
             "--checkpoint", str(ckpt), "--images", str(img_dir),
             "--out", str(out), "--image-size", "32", "--layer", "2",
         ])
+
+def test_visualize_cli_dino_vit_family(tmp_path):
+    """A vanilla --arch vit_* teacher visualizes its attention maps (the
+    rollout/perhead styles); landmark styles are skipped (no landmarks)."""
+    from PIL import Image
+
+    from lafs_cvpr2024_tpu.cli.visualize import main
+    from lafs_cvpr2024_tpu.models.dino_vit import VisionTransformer
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    vit = VisionTransformer(img_size=32, patch_size=16, embed_dim=192,
+                            depth=2, num_heads=3)
+    variables = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), dict(variables), step=0)
+
+    img_dir = tmp_path / "faces"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    Image.fromarray(
+        rng.integers(0, 255, (40, 40, 3), dtype=np.uint8), "RGB"
+    ).save(img_dir / "f0.png")
+
+    out = tmp_path / "viz"
+    written = main([
+        "--checkpoint", str(ckpt), "--images", str(img_dir),
+        "--out", str(out), "--num", "1", "--input-scale", "imagenet",
+    ])
+    for style in ("rollout", "perhead"):
+        path = out / f"{style}_0.png"
+        assert path.exists() and path.stat().st_size > 0, path
+    assert not (out / "landmarks_0.png").exists()
+    assert len(written) == 2
+
+    with pytest.raises(SystemExit, match="depth=2"):
+        main([
+            "--checkpoint", str(ckpt), "--images", str(img_dir),
+            "--out", str(out), "--layer", "2",
+        ])
+
+
+def test_visualize_cli_mobile_dino_refuses(tmp_path):
+    """mobile_dino has no transformer: the CLI must refuse with an
+    actionable message, not crash on a missing intermediates scope."""
+    from PIL import Image
+
+    from lafs_cvpr2024_tpu.cli.visualize import main
+    from lafs_cvpr2024_tpu.models import MobileDINO
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    md = MobileDINO(embd_dim=32, mode="small")
+    variables = md.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), dict(variables), step=0)
+
+    img_dir = tmp_path / "faces"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((40, 40, 3), np.uint8), "RGB").save(
+        img_dir / "f0.png"
+    )
+    with pytest.raises(SystemExit, match="no attention"):
+        main([
+            "--checkpoint", str(ckpt), "--images", str(img_dir),
+            "--out", str(tmp_path / "viz"),
+        ])
