@@ -35,17 +35,13 @@ from lafs_cvpr2024_tpu.eval.ijb import (
 )
 
 
-def _flag(name, default, cast=float):
-    if name in sys.argv:
-        return cast(sys.argv[sys.argv.index(name) + 1])
-    return default
-
+from _util import _flag  # noqa: E402  (benchmarks/ path, shared helper)
 
 SCALE = _flag("--scale", 1.0)
 DIM = _flag("--dim", 512, int)
 
-N_IMAGES = int(227_630 * SCALE)
 N_TEMPLATES = max(int(23_124 * SCALE), 16)
+N_IMAGES = max(int(227_630 * SCALE), N_TEMPLATES)  # every template ≥ 1 image
 N_IDS = max(int(3_531 * SCALE), 8)          # IJB-C subject count
 N_PAIRS = int(15_658_489 * SCALE)
 N_GENUINE = max(int(19_557 * SCALE), 64)
@@ -58,13 +54,19 @@ def rss_gb():
 def build_protocol(rng):
     """Templates → identities; images → templates/medias; pair list."""
     tmpl_id = rng.integers(0, N_IDS, N_TEMPLATES)          # template → subject
-    # images per template: heavy-tailed like the real protocol (video frames)
+    # images per template: heavy-tailed like the real protocol (video
+    # frames). Exactly N_IMAGES total with EVERY template ≥ 1 image —
+    # truncating an over-allocated repeat would drop the tail templates
+    # entirely, and pairs referencing a missing template would silently
+    # score against row 0 of the fused matrix.
     raw = rng.pareto(1.5, N_TEMPLATES) + 1.0
-    per_tmpl = np.maximum(1, (raw / raw.sum() * N_IMAGES).astype(int))
-    templates = np.repeat(np.arange(N_TEMPLATES), per_tmpl)[:N_IMAGES]
-    if len(templates) < N_IMAGES:  # pad the tail onto random templates
-        pad = rng.integers(0, N_TEMPLATES, N_IMAGES - len(templates))
-        templates = np.concatenate([templates, pad])
+    extra = np.floor(raw / raw.sum() * (N_IMAGES - N_TEMPLATES)).astype(int)
+    rem = (N_IMAGES - N_TEMPLATES) - int(extra.sum())
+    extra[:rem] += 1  # rounding remainder, < N_TEMPLATES by construction
+    per_tmpl = 1 + extra
+    templates = np.repeat(np.arange(N_TEMPLATES), per_tmpl)
+    assert (len(templates) == N_IMAGES
+            and len(np.unique(templates)) == N_TEMPLATES)
     # ~1.6 medias per template: frames of one video share a media id
     media_of = rng.integers(0, 2, N_IMAGES) + 2 * templates
     ident = tmpl_id[templates]                              # image → subject
@@ -141,6 +143,15 @@ def main():
     scorer_exact = bool(np.allclose(naive, scores[sample], atol=1e-12))
 
     tpr1e4 = table[1e-4]
+    # assertion TPR: exact order statistic (threshold = the (k+1)-th highest
+    # impostor, k = floor(1e-4 · n_impostors)) — the TABLE keeps the
+    # reference's nearest-ROC-grid-point semantics (IJB_evaluation.py:798),
+    # but with the synthetic perfect separation the grid has NO point near
+    # 1e-4 (fpr jumps 0 → 1/n_collinear-block) and argmin ties resolve to
+    # the (fpr=0, tpr=0) origin, reading 0.0 despite zero score overlap
+    imp = np.sort(scores[labels == 0])
+    k = max(int(1e-4 * len(imp)), 1)
+    tpr_exact = float((scores[labels == 1] > imp[-k]).mean())
     result = {
         "metric": "ijb_scoring_wallclock",
         "value": round(sum(v for k, v in stages.items()
@@ -152,10 +163,11 @@ def main():
         "stages": stages,
         "peak_rss_gb": round(rss_gb(), 2),
         "tpr_at_fpr_1e-4": round(tpr1e4, 4),
+        "tpr_at_fpr_1e-4_exact": round(tpr_exact, 4),
         "scorer_matches_naive": scorer_exact,
     }
     print(json.dumps(result))
-    ok = scorer_exact and tpr1e4 > 0.95
+    ok = scorer_exact and tpr_exact > 0.95
     print("IJB SCORING SCALE ASSERTION:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -63,6 +63,7 @@ from lafs_cvpr2024_tpu.train.supervised import (
     make_train_step,
 )
 
+from _util import _flag  # noqa: E402  (benchmarks/ path, shared helper)
 from ssl_sanity import (  # noqa: E402  (benchmarks/ path, shared recipe)
     SIZE,
     hard_crop,
@@ -70,12 +71,6 @@ from ssl_sanity import (  # noqa: E402  (benchmarks/ path, shared recipe)
     pin_fixed_grid,
     samples,
 )
-
-
-def _flag(name, default, cast=float):
-    if name in sys.argv:
-        return cast(sys.argv[sys.argv.index(name) + 1])
-    return default
 
 
 N_IDS = _flag("--n-ids", 64, int)

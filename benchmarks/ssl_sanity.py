@@ -66,11 +66,7 @@ from lafs_cvpr2024_tpu.train.ssl import (
     make_ssl_train_step,
 )
 
-def _flag(name, default, cast=float):
-    if name in sys.argv:
-        return cast(sys.argv[sys.argv.index(name) + 1])
-    return default
-
+from _util import _flag  # noqa: E402  (benchmarks/ path, shared helper)
 
 N_IDS = _flag("--n-ids", 64, int)
 PER, B = 512 // N_IDS, 32

@@ -47,11 +47,16 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..eval.loading import arch_overrides_from_args, load_eval_model
+    from ..eval.loading import (
+        arch_overrides_from_args,
+        load_eval_model,
+        resolve_input_scale,
+    )
     from ..eval.verification import get_val_data, perform_val
     from ..parallel.mesh import create_mesh, sharded_batch_apply
 
     loaded = load_eval_model(args.checkpoint, arch_overrides_from_args(args))
+    args.input_scale = resolve_input_scale(args.input_scale, loaded.family)
     model, variables = loaded.model, loaded.variables
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32

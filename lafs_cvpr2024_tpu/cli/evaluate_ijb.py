@@ -77,12 +77,17 @@ def main(argv=None):
         read_template_pair_list,
         run_ijb_protocol,
     )
-    from ..eval.loading import arch_overrides_from_args, load_eval_model
+    from ..eval.loading import (
+        arch_overrides_from_args,
+        load_eval_model,
+        resolve_input_scale,
+    )
 
     target = args.target
     loaded = load_eval_model(
         args.model_checkpoint, arch_overrides_from_args(args)
     )
+    args.input_scale = resolve_input_scale(args.input_scale, loaded.family)
     model, variables = loaded.model, loaded.variables
 
     cdtype = jnp.bfloat16 if args.eval_dtype == "bfloat16" else jnp.float32

@@ -92,12 +92,17 @@ class EmbeddingServer:
         from ..eval.loading import (
             arch_overrides_from_args,
             load_eval_model,
+            resolve_input_scale,
         )
         from ..parallel.mesh import create_mesh, sharded_batch_apply
 
         self.args = args
         loaded = load_eval_model(
             args.checkpoint, arch_overrides_from_args(args),
+            log=lambda m: print(f"[serve] {m}"),
+        )
+        args.input_scale = resolve_input_scale(
+            args.input_scale, loaded.family,
             log=lambda m: print(f"[serve] {m}"),
         )
         model, variables = loaded.model, loaded.variables

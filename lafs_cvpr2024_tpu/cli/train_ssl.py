@@ -167,6 +167,26 @@ def main():
         if args.landmark_path:
             raise SystemExit(f"--landmark-path has no effect for --arch "
                              f"{args.arch} (no landmark branch runs)")
+        # no silently-ignored argument: each arch's geometry is fixed by
+        # its factory (train/ssl._backbone) — a transformer-geometry flag
+        # that cannot reach the model must fail, not train a different
+        # model than requested. (--dim is documented as fixed for vit_*;
+        # mobile_dino consumes dim/stn-mode only.)
+        _ignored = {
+            "depth": 12, "heads": 11, "dim_head": 64, "mlp_dim": 2048,
+            "num_patches": 196,
+        }
+        if args.arch == "overlap":
+            _ignored = {}  # OverlapViT consumes the full model config
+        elif args.arch != "mobile_dino":  # vit_*: stn-mode is meaningless too
+            _ignored["stn_mode"] = "large"
+        for name, default in _ignored.items():
+            if getattr(args, name, default) != default:
+                raise SystemExit(
+                    f"--{name.replace('_', '-')} has no effect for --arch "
+                    f"{args.arch} (the arch factory fixes this geometry — "
+                    "train/ssl._backbone)"
+                )
         from ..data.augment import DataAugmentationDINO
 
         transform = DataAugmentationDINO(
@@ -319,6 +339,12 @@ def main():
 
     step_fn = make_ssl_train_step(cfg, mesh, donate=True)
     crop_spec = P(None, "data")
+    # vanilla archs take no aug-twin arrays — ONE replicated dummy for the
+    # whole run (rebuilding it per step is a fresh device_put every step)
+    vanilla_dummy = (
+        global_batch(mesh, np.zeros((1,), np.float32), P())
+        if vanilla else None
+    )
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
 
@@ -352,7 +378,7 @@ def main():
                 gc, lc = assemble_vanilla_crop_batches(crops)
                 gc = global_batch(mesh, gc, crop_spec)
                 lc = global_batch(mesh, lc, crop_spec)
-                ga = la = global_batch(mesh, np.zeros((1,), np.float32), P())
+                ga = la = vanilla_dummy
             else:
                 gc, ga, lc, la = assemble_crop_batches(crops)
                 gc, ga, lc, la = (

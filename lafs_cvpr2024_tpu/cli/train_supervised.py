@@ -448,7 +448,14 @@ def main():
                     "Training/Training_Loss", logger.meters["loss"].median, gstep
                 )
                 tb.add_scalar("LR", lr, gstep)
-            if vers and gstep and gstep % ver_freq == 0 and is_main_process():
+            if vers and gstep and gstep % ver_freq == 0:
+                # EVERY process runs the sweep: embed_fn is collective on
+                # multi-host meshes (sharded_batch_apply all-gathers over
+                # the mesh — a rank-0-only call would deadlock the pod) and
+                # the eval data is host-replicated, so each process computes
+                # identical accs and the need_save/writer.save decision
+                # below agrees across processes (orbax saves are collective
+                # too). Only prints/TB/viz stay rank-0 (tb self-gates).
                 variables = {"params": state.params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
@@ -459,20 +466,22 @@ def main():
                         data, issame, device_scale=True,
                     )
                     accs.append(res.accuracy)
-                    print(f"[{name}][{gstep}] acc {res.accuracy:.5f}±{res.accuracy_std:.5f} "
-                          f"xnorm {res.xnorm:.3f} thr {res.best_threshold:.3f}")
+                    if is_main_process():
+                        print(f"[{name}][{gstep}] acc {res.accuracy:.5f}±{res.accuracy_std:.5f} "
+                              f"xnorm {res.xnorm:.3f} thr {res.best_threshold:.3f}")
                     tb.add_scalar(f"{name}_Accuracy", res.accuracy, gstep)
                     # eval-time observability (reference buffer_val +
                     # save_patch/plot_landmark, util/utils.py:1038-1043,
                     # 1141-1251): ROC image per target; landmark overlay +
                     # patch grid for the first eval face
-                    from ..utils.visualize import gen_roc_plot
+                    if is_main_process():
+                        from ..utils.visualize import gen_roc_plot
 
-                    tb.add_image(
-                        f"{name}_roc_curve",
-                        gen_roc_plot(res.fpr, res.tpr), gstep,
-                    )
-                    if viz_fn is not None:
+                        tb.add_image(
+                            f"{name}_roc_curve",
+                            gen_roc_plot(res.fpr, res.tpr), gstep,
+                        )
+                    if viz_fn is not None and is_main_process():
                         from ..utils.visualize import (
                             plot_landmarks,
                             save_patch_grid,

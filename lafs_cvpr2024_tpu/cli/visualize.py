@@ -89,7 +89,11 @@ def main(argv=None):
     import numpy as np
     from PIL import Image
 
-    from ..eval.loading import arch_overrides_from_args, load_eval_model
+    from ..eval.loading import (
+        arch_overrides_from_args,
+        load_eval_model,
+        resolve_input_scale,
+    )
     from ..ops.augment_device import scale_uint8, unscale_to_uint8
     from ..ops.patch_gather import patch_gather
     from ..utils.visualize import (
@@ -103,6 +107,7 @@ def main(argv=None):
     )
 
     loaded = load_eval_model(args.checkpoint, arch_overrides_from_args(args))
+    args.input_scale = resolve_input_scale(args.input_scale, loaded.family)
     model, variables, cfg = loaded.model, loaded.variables, loaded.cfg
 
     if loaded.family == "mobile_dino":

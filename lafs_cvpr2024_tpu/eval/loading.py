@@ -32,6 +32,7 @@ __all__ = [
     "infer_partfvit_config",
     "load_eval_model",
     "LoadedEvalModel",
+    "resolve_input_scale",
     "tree_family",
 ]
 
@@ -83,24 +84,51 @@ def add_arch_flags(parser) -> None:
                         "a transposed grid mosaic instead of raw patchify")
 
 
-def add_input_scale_flag(parser, default: str = "half") -> None:
+def add_input_scale_flag(parser, default: str = "auto") -> None:
     """The shared ``--input-scale`` flag (every eval/serving CLI).
 
     The input-scaling convention is a property of the CHECKPOINT, not of
     the tool, and leaves no trace in the parameter tree — a mismatch
     silently degrades accuracy (inputs at half the trained dynamic range).
+    Default ``auto``: resolved per checkpoint FAMILY after loading
+    (:func:`resolve_input_scale`) — vanilla ``vit_*`` trees always train
+    with the ImageNet convention, everything else gets the reference's
+    eval convention ('half').
     """
     from ..ops.augment_device import INPUT_SCALES
 
     parser.add_argument(
-        "--input-scale", default=default, choices=list(INPUT_SCALES),
+        "--input-scale", default=default,
+        choices=["auto", *INPUT_SCALES],
         help="input convention the checkpoint was trained/evaluated with: "
              "'half' = x/255-0.5 (reference eval, IJB_evaluation.py:444), "
              "'unit' = x/255*2-1 (train convention, "
              "train_largescale.py:790), 'imagenet' = per-channel "
              "(x/255-mean)/std (vanilla-DINO --arch vit_* checkpoints, "
-             "lafs_train.py:751-753)",
+             "lafs_train.py:751-753); 'auto' picks by checkpoint family "
+             "(imagenet for dino_vit trees, half otherwise)",
     )
+
+
+def resolve_input_scale(value: str, family: str,
+                        log: Callable[[str], None] = print) -> str:
+    """Resolve the ``--input-scale`` flag against the loaded family.
+
+    ``auto`` → 'imagenet' for ``dino_vit`` (the vanilla DINO transform is
+    the ONLY convention that family trains with, lafs_train.py:751-753),
+    'half' otherwise (the reference eval convention). An explicit value
+    always wins, but a family/convention mismatch gets a loud warning —
+    it silently degrades accuracy and leaves no other trace."""
+    if value == "auto":
+        scale = "imagenet" if family == "dino_vit" else "half"
+        log(f"[load] input-scale auto -> {scale!r} (family {family})")
+        return scale
+    if family == "dino_vit" and value != "imagenet":
+        log(f"[load] WARNING: --input-scale {value!r} on a dino_vit "
+            "checkpoint — that family trains with the ImageNet convention "
+            "(lafs_train.py:751-753); accuracy will silently degrade "
+            "unless this checkpoint was finetuned under a different one")
+    return value
 
 
 def arch_overrides_from_args(args) -> Dict[str, Any]:
@@ -110,6 +138,37 @@ def arch_overrides_from_args(args) -> Dict[str, Any]:
         if hasattr(args, name) and getattr(args, name) is not None:
             out[name] = getattr(args, name)
     return out
+
+
+def _infer_heads(inner: int, heads, dim_head):
+    """Resolve (heads, dim_head) from the qkv inner width + optional flags.
+
+    The tree only fixes their PRODUCT; without a flag, assume the
+    reference's 64-wide heads and refuse loudly when that doesn't divide —
+    shared by every transformer family's inference (a silent heads=0 or a
+    mismatched product must never reach the model)."""
+    if heads and dim_head:
+        if heads * dim_head != inner:
+            raise ValueError(
+                f"--heads {heads} x --dim-head {dim_head} != checkpoint's "
+                f"qkv inner dim {inner}"
+            )
+    elif heads:
+        if inner % heads:
+            raise ValueError(
+                f"checkpoint qkv inner dim {inner} not divisible by "
+                f"--heads {heads}"
+            )
+        dim_head = inner // heads
+    else:
+        dim_head = dim_head or 64  # the reference's only head width
+        if inner % dim_head:
+            raise ValueError(
+                f"checkpoint qkv inner dim {inner} not divisible by head "
+                f"width {dim_head}; pass --heads/--dim-head explicitly"
+            )
+        heads = inner // dim_head
+    return int(heads), int(dim_head)
 
 
 def infer_partfvit_config(params, **overrides):
@@ -163,29 +222,9 @@ def infer_partfvit_config(params, **overrides):
     inner = int(
         need("transformer", "layers_0", "attn", "to_qkv", "kernel").shape[1]
     ) // 3
-    heads, dim_head = ov.pop("heads", None), ov.pop("dim_head", None)
-    if heads and dim_head:
-        if heads * dim_head != inner:
-            raise ValueError(
-                f"--heads {heads} x --dim-head {dim_head} != checkpoint's "
-                f"qkv inner dim {inner}"
-            )
-    elif heads:
-        if inner % heads:
-            raise ValueError(
-                f"checkpoint qkv inner dim {inner} not divisible by "
-                f"--heads {heads}"
-            )
-        dim_head = inner // heads
-    else:
-        dim_head = dim_head or 64  # the reference's only head width
-        if inner % dim_head:
-            raise ValueError(
-                f"checkpoint qkv inner dim {inner} not divisible by head "
-                f"width {dim_head}; pass --heads/--dim-head explicitly"
-            )
-        heads = inner // dim_head
-    cfg["heads"], cfg["dim_head"] = int(heads), int(dim_head)
+    cfg["heads"], cfg["dim_head"] = _infer_heads(
+        inner, ov.pop("heads", None), ov.pop("dim_head", None)
+    )
 
     cfg["mlp_dim"] = (
         ov.pop("mlp_dim", None)
@@ -349,12 +388,9 @@ def _infer_overlap(params, ov: Dict[str, Any]):
     inner = int(
         params["transformer"]["layers_0"]["attn"]["to_qkv"]["kernel"].shape[1]
     ) // 3
-    heads, dim_head = ov.pop("heads", None), ov.pop("dim_head", None)
-    if not heads:
-        dim_head = dim_head or 64
-        heads = inner // dim_head
-    elif not dim_head:
-        dim_head = inner // heads
+    heads, dim_head = _infer_heads(
+        inner, ov.pop("heads", None), ov.pop("dim_head", None)
+    )
     mlp_dim = ov.pop("mlp_dim", None) or int(
         params["transformer"]["layers_0"]["mlp"]["fc1"]["kernel"].shape[1]
     )

@@ -227,3 +227,31 @@ def test_fuse_features_modes():
     cfg2 = IJBConfig(use_flip_test=False, use_norm_score=False, use_detector_score=True)
     out = fuse_features(feats, np.array([0.5]), cfg2)
     np.testing.assert_allclose(out, [[0.5, 0.0]])
+
+def test_bench_ijb_scoring_tiny_scale_gate():
+    """The IJB-C-scale scoring dryrun (benchmarks/bench_ijb_scoring.py)
+    passes its own exit-code gate at a tiny --scale: every template keeps
+    ≥1 image (an over-allocated repeat must not silently drop the tail
+    templates, whose pairs would then score against row 0) and the
+    assertion TPR uses the exact order statistic (the reference's
+    nearest-grid table semantics read 0.0 on a coarse perfectly-separated
+    ROC, IJB_evaluation.py:798)."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(root, "benchmarks",
+                                       "bench_ijb_scoring.py"),
+         "--scale", "0.002"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["scorer_matches_naive"] is True
+    assert res["tpr_at_fpr_1e-4_exact"] > 0.95

@@ -394,6 +394,12 @@ def test_load_eval_model_overlap_orbax(tmp_path):
     ckpt = tmp_path / "ckpt"
     save_checkpoint(str(ckpt), dict(v), step=0)
 
+    # inner=32 is not divisible by the default 64-wide heads: the overlap
+    # path must refuse with the same actionable error as partfvit (never
+    # build a heads=0 model)
+    with pytest.raises(ValueError, match="--heads"):
+        load_eval_model(str(ckpt), log=lambda m: None)
+
     loaded = load_eval_model(
         str(ckpt), {"heads": 2, "image_size": 48}, log=lambda m: None
     )
@@ -455,3 +461,21 @@ def test_load_eval_model_dino_vit_pth(tmp_path):
     want = vit.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+def test_resolve_input_scale():
+    """'auto' picks by family (vanilla vit_* ONLY ever trains with the
+    ImageNet convention); an explicit mismatch on dino_vit warns loudly
+    (it silently degrades accuracy and leaves no other trace)."""
+    from lafs_cvpr2024_tpu.eval.loading import resolve_input_scale
+
+    logs = []
+    assert resolve_input_scale("auto", "partfvit", logs.append) == "half"
+    assert resolve_input_scale("auto", "overlap", logs.append) == "half"
+    assert resolve_input_scale("auto", "dino_vit", logs.append) == "imagenet"
+    assert all("auto" in m for m in logs)
+
+    logs.clear()
+    assert resolve_input_scale("unit", "partfvit", logs.append) == "unit"
+    assert not logs  # explicit + consistent: silent
+    assert resolve_input_scale("half", "dino_vit", logs.append) == "half"
+    assert logs and "WARNING" in logs[0]  # explicit mismatch: loud
