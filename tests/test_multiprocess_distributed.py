@@ -227,3 +227,92 @@ def test_two_process_train_step(tmp_path):
     # both processes compute the identical global loss
     assert vals[0] == vals[1]
     assert np.isfinite(vals[0])
+
+EVAL_CYCLE_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+pid = int(sys.argv[1]); port = sys.argv[2]
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+                           initialization_timeout=600)
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lafs_cvpr2024_tpu.eval.verification import perform_val
+from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
+from lafs_cvpr2024_tpu.ops.mixup import MixupConfig
+from lafs_cvpr2024_tpu.train.supervised import (
+    SupervisedConfig, create_state, make_embed_fn,
+)
+from lafs_cvpr2024_tpu.utils.logging import need_save
+
+cfg = SupervisedConfig(
+    model=PartFViTConfig(image_size=48, dim=32, depth=1, heads=2, dim_head=16,
+                         mlp_dim=64, num_patches=36, num_classes=8,
+                         with_land=True, stn_mode="small"),
+    acc_step=1, mixup=MixupConfig(mixup_alpha=0.0, prob=0.0, num_classes=8),
+    compute_dtype=jnp.float32,
+)
+mesh = Mesh(np.array(jax.devices()).reshape(4, 1), ("data", "model"))
+from jax.experimental import multihost_utils
+_warm = jax.jit(jax.shard_map(lambda x: jax.lax.psum(x, "data"),
+                mesh=mesh, in_specs=(P("data", None),), out_specs=P()))
+_g = multihost_utils.host_local_array_to_global_array(
+    np.ones((2, 1), np.float32), mesh, P("data", None))
+np.asarray(jax.device_get(_warm(_g).addressable_shards[0].data))
+
+state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
+variables = {"params": state.params}
+if state.batch_stats:
+    variables["batch_stats"] = state.batch_stats
+# the exact in-training cycle of cli/train_supervised: embed_fn is
+# COLLECTIVE under process_count=2, so BOTH processes must run it; the
+# eval data is host-replicated (same seed on both ranks)
+embed_fn = make_embed_fn(cfg, mesh, input_scale="half")
+rng = np.random.default_rng(7)
+data = rng.integers(0, 256, (2, 10, 48, 48, 3), dtype=np.uint8)
+issame = np.asarray([True, False, True, False, True])
+res = perform_val(lambda b: embed_fn(variables, jnp.asarray(b)),
+                  data, issame, nrof_folds=3, device_scale=True)
+highest = [0.0]
+save = need_save([res.accuracy], highest)
+print(f"RESULT {pid} {res.accuracy:.8f} {int(bool(save))}", flush=True)
+"""
+
+
+def test_two_process_in_training_eval_cycle(tmp_path):
+    """The in-training verification cycle under TWO real processes — the
+    embed fn is collective (sharded_batch_apply all-gathers over the mesh),
+    so every process must run it and reach the SAME accuracy and the SAME
+    need_save decision (the collective checkpoint save depends on it). A
+    rank-0-gated sweep deadlocks here; this pins the every-process
+    structure of cli/train_supervised's eval block."""
+    script = tmp_path / "eval_cycle_worker.py"
+    script.write_text(EVAL_CYCLE_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    procs = []
+    for i in range(2):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), port],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                text=True,
+            )
+        )
+        if i == 0:
+            time.sleep(2)
+    outs = [p.communicate(timeout=580)[0] for p in procs]
+    for p in procs:
+        assert p.returncode == 0, outs
+    vals = []
+    for o in outs:
+        m = re.search(r"RESULT \d ([\d.]+) ([01])", o)
+        assert m, o
+        vals.append((float(m.group(1)), int(m.group(2))))
+    assert vals[0] == vals[1], vals        # identical acc AND save decision
+    assert 0.0 <= vals[0][0] <= 1.0
