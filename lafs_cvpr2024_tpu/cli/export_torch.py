@@ -44,8 +44,11 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    from ..eval.loading import tree_family
     from ..train.checkpoint import (
+        export_dino_vit_state_dict,
         export_torch_state_dict,
+        import_dino_vit_state_dict,
         import_torch_state_dict,
         load_torch_file,
         restore_eval_variables,
@@ -66,7 +69,13 @@ def main(argv=None):
                 sd_in = raw["teacher"]
             elif isinstance(raw.get("state_dict"), dict):
                 sd_in = raw["state_dict"]
-        imp = import_torch_state_dict(sd_in, strict=True)
+        is_dino = any(
+            k.split("module.", 1)[-1].split("backbone.", 1)[-1]
+            .startswith("blocks.")
+            for k in sd_in
+        )
+        imp = (import_dino_vit_state_dict(sd_in, strict=True) if is_dino
+               else import_torch_state_dict(sd_in, strict=True))
         variables = {"params": imp.params}
         if imp.stats:
             variables["batch_stats"] = imp.stats
@@ -74,11 +83,16 @@ def main(argv=None):
     else:
         variables, step = restore_eval_variables(args.checkpoint, args.step)
 
-    sd = export_torch_state_dict(
-        variables["params"],
-        variables.get("batch_stats"),
-        landmark_scope=args.landmark_scope,
-    )
+    family = tree_family(variables["params"], variables.get("batch_stats"))
+    if family == "dino_vit":
+        # vanilla --arch vit_* teacher → the official DINO torch dialect
+        sd = export_dino_vit_state_dict(variables["params"])
+    else:
+        sd = export_torch_state_dict(
+            variables["params"],
+            variables.get("batch_stats"),
+            landmark_scope=args.landmark_scope,
+        )
     if args.module_prefix:
         sd = {f"module.{k}": v for k, v in sd.items()}
     save_torch_state_dict(sd, args.out)

@@ -1191,6 +1191,12 @@ def export_torch_state_dict(
                 leaf = "weight" if path[1] == "kernel" else "bias"
                 out[f"global_token.{leaf}"] = arr.T if leaf == "weight" else arr
                 ok = True
+            elif path[0] == "output_layer" and path[1] in ("kernel", "bias"):
+                # mobile_dino trees keep stn/output_layer at the TOP level
+                # (ViT_face.py:1203-1217), not under the landmark scope
+                leaf = "weight" if path[1] == "kernel" else "bias"
+                out[f"output_layer.{leaf}"] = arr.T if leaf == "weight" else arr
+                ok = True
             elif path[0] == "patch_to_embedding" and path[1] in ("kernel", "bias"):
                 leaf = "weight" if path[1] == "kernel" else "bias"
                 out[f"patch_to_embedding.{leaf}"] = arr.T if leaf == "weight" else arr
@@ -1227,6 +1233,75 @@ def export_torch_state_dict(
     # BatchNorm that tracks running stats
     for k in [k for k in out if k.endswith("running_mean")]:
         out[k[: -len("running_mean")] + "num_batches_tracked"] = np.array(0, np.int64)
+    return out
+
+
+def export_dino_vit_state_dict(
+    params: Dict[str, Any], strict: bool = True
+) -> Dict[str, np.ndarray]:
+    """``models/dino_vit.py`` tree → the DINO VisionTransformer torch
+    dialect (inverse of :func:`import_dino_vit_state_dict`) — so a vanilla
+    ``--arch vit_*`` SSL teacher trained here loads into the reference's
+    ``vision_transformer.py:135-262`` classes (and the official DINO
+    tooling) with ``strict=True``.
+
+    Covers cls_token/pos_embed, the ``patch_embed.proj`` conv (NHWC kernel
+    → OIHW), ``blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}``,
+    the final ``norm`` and the optional ``head`` Dense. Unknown paths raise
+    under ``strict`` (``False`` drops them)."""
+    out: Dict[str, np.ndarray] = {}
+    unmapped: list = []
+    for path, val in sorted(_flatten(params).items()):
+        arr = _np32(val)
+        ok = False
+        if path == ("cls_token",):
+            out["cls_token"] = arr
+            ok = True
+        elif path == ("pos_embed",):
+            out["pos_embed"] = arr
+            ok = True
+        elif path[0] == "patch_embed" and path[1] in ("kernel", "bias"):
+            if path[1] == "kernel":
+                out["patch_embed.proj.weight"] = arr.transpose(3, 2, 0, 1)
+            else:
+                out["patch_embed.proj.bias"] = arr
+            ok = True
+        elif path[0] == "norm" and path[1] in ("scale", "bias"):
+            leaf = "weight" if path[1] == "scale" else "bias"
+            out[f"norm.{leaf}"] = arr
+            ok = True
+        elif path[0] == "head" and path[1] in ("kernel", "bias"):
+            leaf = "weight" if path[1] == "kernel" else "bias"
+            out[f"head.{leaf}"] = arr.T if leaf == "weight" else arr
+            ok = True
+        elif path[0].startswith("block_") and len(path) >= 3:
+            base = f"blocks.{int(path[0].split('_', 1)[1])}"
+            sub = path[1:]
+            if sub[0] in ("norm1", "norm2") and sub[1] in ("scale", "bias"):
+                leaf = "weight" if sub[1] == "scale" else "bias"
+                out[f"{base}.{sub[0]}.{leaf}"] = arr
+                ok = True
+            elif (sub[0] == "attn" and sub[1] in ("qkv", "proj")
+                    and sub[2] in ("kernel", "bias")):
+                leaf = "weight" if sub[2] == "kernel" else "bias"
+                out[f"{base}.attn.{sub[1]}.{leaf}"] = (
+                    arr.T if leaf == "weight" else arr
+                )
+                ok = True
+            elif sub[0] in ("fc1", "fc2") and sub[1] in ("kernel", "bias"):
+                leaf = "weight" if sub[1] == "kernel" else "bias"
+                out[f"{base}.mlp.{sub[0]}.{leaf}"] = (
+                    arr.T if leaf == "weight" else arr
+                )
+                ok = True
+        if not ok:
+            unmapped.append("params/" + "/".join(path))
+    if unmapped and strict:
+        raise ValueError(
+            f"export_dino_vit_state_dict: {len(unmapped)} paths have no "
+            f"reference mapping: {sorted(unmapped)[:12]}"
+            f"{'…' if len(unmapped) > 12 else ''}"
+        )
     return out
 
 

@@ -528,3 +528,37 @@ def test_gnn_parity(ref):
         np.asarray(edge).reshape(2, N * N, C), edge_t.numpy(),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_dino_vit_export_loads_reference_strict(ref):
+    """REVERSE interop: a vanilla vit_* teacher trained HERE exports to the
+    DINO torch dialect (export_dino_vit_state_dict) and loads into the
+    reference's VisionTransformer with strict=True, reproducing our
+    embeddings — the hand-checkpoints-back-to-torch-users path."""
+    import vision_transformer as ref_vits
+
+    from lafs_cvpr2024_tpu.models.dino_vit import VisionTransformer
+    from lafs_cvpr2024_tpu.train.checkpoint import export_dino_vit_state_dict
+
+    jm = VisionTransformer(
+        img_size=96, patch_size=16, embed_dim=192, depth=2, num_heads=3,
+    )
+    v = jax.jit(jm.init)(jax.random.PRNGKey(9), jnp.zeros((2, 96, 96, 3)))
+    sd = export_dino_vit_state_dict(v["params"])
+
+    tm = ref_vits.VisionTransformer(
+        img_size=[96], patch_size=16, embed_dim=192, depth=2, num_heads=3,
+        qkv_bias=True, drop_rate=0.0, attn_drop_rate=0.0,
+    ).eval()
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(a)) for k, a in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+
+    x = np.random.default_rng(10).uniform(-1, 1, (2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x)).numpy()
+    out = np.asarray(jm.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    cos = _cosine_rows(out, ref_out)
+    assert cos.min() >= 1 - 1e-3, cos
