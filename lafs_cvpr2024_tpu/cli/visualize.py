@@ -110,11 +110,11 @@ def main(argv=None):
     args.input_scale = resolve_input_scale(args.input_scale, loaded.family)
     model, variables, cfg = loaded.model, loaded.variables, loaded.cfg
 
-    if loaded.family == "mobile_dino":
+    if loaded.family in ("mobile_dino", "iresnet"):
         raise SystemExit(
-            "error: mobile_dino checkpoints have no transformer — there is "
-            "no attention to visualize (the reference's maps are all "
-            "attention-based, util/utils.py:730-988)"
+            f"error: {loaded.family} checkpoints have no transformer — "
+            "there is no attention to visualize (the reference's maps are "
+            "all attention-based, util/utils.py:730-988)"
         )
     depth = getattr(cfg, "depth", None)
     if not (-depth <= args.layer < depth):

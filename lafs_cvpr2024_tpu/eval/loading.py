@@ -287,6 +287,9 @@ def tree_family(params, batch_stats=None) -> str:
                        (SSLTrainState.stats) and the torch importer
                        (checkpoint.py ``mlp_head.0.running_*``); PartFViT's
                        LayerNorm head never carries stats;
+    - ``iresnet``:     insightface ResNet (``layer1_0`` stage blocks + the
+                       ``features`` BN head — models/iresnet.py), the
+                       reference's selectable alternative backbone;
     - ``partfvit``:    everything else (the flagship family — includes
                        global-token/SimMIM/standcoord variants).
     """
@@ -295,6 +298,8 @@ def tree_family(params, batch_stats=None) -> str:
     if ("stn" in params and "output_layer" in params
             and "transformer" not in params):
         return "mobile_dino"
+    if "layer1_0" in params and "features" in params:
+        return "iresnet"
     if "mlp_head" in (batch_stats or {}) and "landmark" not in params:
         return "overlap"
     return "partfvit"
@@ -365,6 +370,46 @@ def _infer_mobile_dino(params, ov: Dict[str, Any]):
     if ov:
         raise TypeError(f"unknown config overrides: {sorted(ov)}")
     return MobileDINO(embd_dim=embd, mode=mode)
+
+
+def _infer_iresnet(params, ov: Dict[str, Any]):
+    """IResNet from its tree — everything is recorded in the shapes/names:
+    per-stage block counts from the ``layer{s}_{b}`` names, head variant
+    from the presence of ``fc`` (absent = the avg-pool factory variant),
+    embedding width from the fc kernel (or 512), features-BN scale from
+    the param itself, input size from the fc flatten width (512·(s/16)²;
+    avg-pool leaves no trace → the reference's 112)."""
+    from ..models.iresnet import IResNet
+
+    layers = tuple(
+        len([k for k in params if k.startswith(f"layer{s}_")])
+        for s in range(1, 5)
+    )
+    if not all(layers):
+        raise ValueError(f"iresnet tree with empty stages: {layers}")
+    avg_pool = "fc" not in params
+    if avg_pool:
+        num_features = 512
+    else:
+        num_features = ov.pop("dim", None) or int(
+            params["fc"]["kernel"].shape[-1]
+        )
+        fc_in = int(params["fc"]["kernel"].shape[0])
+        if math.isqrt(fc_in // 512) ** 2 * 512 != fc_in:
+            raise ValueError(
+                f"iresnet fc input {fc_in} is not 512·(size/16)²"
+            )
+    features_scale = "scale" in params.get("features", {})
+    for k in ("dim", "depth", "heads", "dim_head", "mlp_dim", "num_patches",
+              "patch_size", "image_size", "stn_mode", "pool", "with_land",
+              "use_standcoord"):
+        ov.pop(k, None)  # transformer-family flags: meaningless here
+    if ov:
+        raise TypeError(f"unknown config overrides: {sorted(ov)}")
+    return IResNet(
+        layers=layers, num_features=num_features, avg_pool=avg_pool,
+        features_scale=features_scale, with_loss=False, num_classes=0,
+    )
 
 
 def _infer_overlap(params, ov: Dict[str, Any]):
@@ -457,6 +502,7 @@ def load_eval_model(
     from ..models.partfvit import PartFViT
     from ..train.checkpoint import (
         import_dino_vit_state_dict,
+        import_iresnet_state_dict,
         import_torch_state_dict,
         load_torch_file,
         merge_params,
@@ -472,7 +518,14 @@ def load_eval_model(
             .startswith("blocks.")
             for k in sd
         )
+        # the insightface iResNet dialect by its stage naming ("layer1.0...")
+        is_ires = not is_dino and any(
+            k.split("module.", 1)[-1].split("backbone.", 1)[-1]
+            .startswith("layer1.")
+            for k in sd
+        )
         imp = (import_dino_vit_state_dict(sd) if is_dino
+               else import_iresnet_state_dict(sd) if is_ires
                else import_torch_state_dict(sd))
         log(f"[load] import {imp.summary()}")
         params, stats = imp
@@ -499,6 +552,8 @@ def load_eval_model(
         model = cfg = _infer_dino_vit(params, ov)
     elif family == "mobile_dino":
         model = cfg = _infer_mobile_dino(params, ov)
+    elif family == "iresnet":
+        model = cfg = _infer_iresnet(params, ov)
     else:
         model = _infer_overlap(params, ov)
         cfg = model.cfg
@@ -510,6 +565,9 @@ def load_eval_model(
         size = getattr(cfg, "image_size", None) or getattr(
             model, "img_size", 112
         )
+        if family == "iresnet" and "fc" in params:
+            # the fc flatten width fixes the input size (512·(s/16)²)
+            size = 16 * math.isqrt(int(params["fc"]["kernel"].shape[0]) // 512)
         imported_stats = variables.get("batch_stats", {})
         template = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))

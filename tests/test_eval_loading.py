@@ -479,3 +479,43 @@ def test_resolve_input_scale():
     assert not logs  # explicit + consistent: silent
     assert resolve_input_scale("half", "dino_vit", logs.append) == "half"
     assert logs and "WARNING" in logs[0]  # explicit mismatch: loud
+
+def test_load_eval_model_iresnet_orbax(tmp_path):
+    """iResNet trees are fully inferable: stage block counts from the
+    layer{s}_{b} names, head variant from fc presence, features-BN scale
+    from the param itself."""
+    from lafs_cvpr2024_tpu.eval.loading import tree_family
+    from lafs_cvpr2024_tpu.models.iresnet import iresnet18
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    m = iresnet18(num_features=48)
+    v = jax.jit(m.init)(jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 3)))
+    assert tree_family(v["params"], v["batch_stats"]) == "iresnet"
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), dict(v), step=0)
+
+    loaded = load_eval_model(str(ckpt), log=lambda m_: None)
+    assert loaded.family == "iresnet"
+    assert loaded.model.layers == (2, 2, 2, 2)
+    assert loaded.model.num_features == 48
+    assert loaded.model.avg_pool is False
+    assert loaded.model.features_scale is False  # canonical frozen scale
+    x = jnp.linspace(-1, 1, 2 * 32 * 32 * 3).reshape(2, 32, 32, 3)
+    got = loaded.model.apply(loaded.variables, x, train=False)
+    want = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # the avg-pool factory variant: no fc, trainable features scale
+    from lafs_cvpr2024_tpu.models.iresnet import IResNet
+
+    ma = IResNet(layers=(2, 2, 2, 2), avg_pool=True)
+    va = jax.jit(ma.init)(jax.random.PRNGKey(6), jnp.zeros((1, 32, 32, 3)))
+    ckpt2 = tmp_path / "ckpt_avg"
+    save_checkpoint(str(ckpt2), dict(va), step=0)
+    loaded2 = load_eval_model(str(ckpt2), log=lambda m_: None)
+    assert loaded2.family == "iresnet"
+    assert loaded2.model.avg_pool is True
+    assert loaded2.model.features_scale is True
+    got2 = loaded2.model.apply(loaded2.variables, x, train=False)
+    want2 = ma.apply(va, x, train=False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-6)

@@ -562,3 +562,52 @@ def test_dino_vit_export_loads_reference_strict(ref):
     out = np.asarray(jm.apply(v, jnp.asarray(x.transpose(0, 2, 3, 1))))
     cos = _cosine_rows(out, ref_out)
     assert cos.min() >= 1 - 1e-3, cos
+
+
+def test_iresnet_pth_drives_eval_loader(ref, tmp_path):
+    """An insightface-dialect .pth (the published-checkpoint form) drives
+    load_eval_model end-to-end: the dialect routes to
+    import_iresnet_state_dict, tree_family says iresnet, and the loaded
+    apply matches the torch forward — the eval/serving CLIs can consume
+    iResNet checkpoints directly."""
+    import pdb as pdb_mod
+
+    import face_pre_pro.iresnet as ref_ires
+
+    from lafs_cvpr2024_tpu.eval.loading import load_eval_model
+
+    torch.manual_seed(11)
+    tm = ref_ires.IResNet(
+        ref_ires.IBasicBlock, [2, 2, 2, 2], num_features=64
+    ).eval()
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+    pth = tmp_path / "iresnet18.pth"
+    torch.save(tm.state_dict(), str(pth))
+
+    loaded = load_eval_model(str(pth), log=lambda m: None)
+    assert loaded.family == "iresnet"
+    assert loaded.model.layers == (2, 2, 2, 2)
+    assert loaded.model.num_features == 64
+    assert loaded.model.avg_pool is False
+
+    x = np.random.default_rng(12).uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    orig_trace = pdb_mod.set_trace
+    pdb_mod.set_trace = lambda *a, **kw: None
+    try:
+        with torch.no_grad():
+            emb_t = tm(torch.from_numpy(x)).numpy()
+    finally:
+        pdb_mod.set_trace = orig_trace
+    emb_j = np.asarray(
+        loaded.model.apply(
+            loaded.variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+    )
+    cos = _cosine_rows(emb_t, emb_j)
+    assert cos.min() >= 1 - 1e-3, cos
