@@ -17,11 +17,14 @@ def export_embedding_fn(
     variables,
     input_shape: Tuple[int, ...] = (1, 112, 112, 3),
     path: Optional[str] = None,
+    input_dtype=jnp.float32,
 ) -> bytes:
     """Serialize ``apply_fn(variables, images) -> embeddings`` to StableHLO.
 
     Variables are baked in as constants (inference export). Returns the
     serialized bytes; also writes them to ``path`` when given.
+    ``input_dtype=jnp.uint8`` for exports that bake the uint8→float input
+    convention into the graph (serving-friendly single artifact).
     """
     from jax import export as jex
 
@@ -29,7 +32,7 @@ def export_embedding_fn(
         return apply_fn(variables, images)
 
     exported = jex.export(jax.jit(infer))(
-        jax.ShapeDtypeStruct(input_shape, jnp.float32)
+        jax.ShapeDtypeStruct(input_shape, input_dtype)
     )
     blob = exported.serialize()
     if path:
