@@ -160,10 +160,6 @@ def main():
 
     vanilla = args.arch != "partfvit"
     if vanilla:
-        if args.device_aug:
-            raise SystemExit("--device-aug ships the LAFS paired 20-crop "
-                             "recipe only; vanilla archs use the host "
-                             "DataAugmentationDINO transform")
         if args.landmark_path:
             raise SystemExit(f"--landmark-path has no effect for --arch "
                              f"{args.arch} (no landmark branch runs)")
@@ -187,15 +183,20 @@ def main():
                     f"{args.arch} (the arch factory fixes this geometry — "
                     "train/ssl._backbone)"
                 )
-        from ..data.augment import DataAugmentationDINO
+        if args.device_aug:
+            # the vanilla recipe runs INSIDE the step too
+            # (ops.augment_device.vanilla_multicrop_device): ship raw uint8
+            transform = None
+        else:
+            from ..data.augment import DataAugmentationDINO
 
-        transform = DataAugmentationDINO(
-            global_crops_scale=tuple(args.global_crops_scale),
-            local_crops_scale=tuple(args.local_crops_scale),
-            local_crops_number=args.local_crops_number,
-            size=args.image_size,
-            local_size=args.local_crop_size,
-        )
+            transform = DataAugmentationDINO(
+                global_crops_scale=tuple(args.global_crops_scale),
+                local_crops_scale=tuple(args.local_crops_scale),
+                local_crops_number=args.local_crops_number,
+                size=args.image_size,
+                local_size=args.local_crop_size,
+            )
     else:
         transform = None if args.device_aug else LAFSMultiCrop(
             global_crops_scale=tuple(args.global_crops_scale),
@@ -254,6 +255,7 @@ def main():
         local_keep_landmarks=args.local_keep_landmarks,
         landmark_jitter_std=args.landmark_jitter_std,
         global_crops_scale=tuple(args.global_crops_scale),
+        local_crops_scale=tuple(args.local_crops_scale),
         clip_grad=args.clip_grad,
         freeze_last_layer_epochs=args.freeze_last_layer,
         fused_device_aug=args.device_aug,

@@ -287,6 +287,57 @@ def _emit_pair(key, geo, blur_p, solarize_p):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("local_crops_number", "out_size", "local_size")
+)
+def vanilla_multicrop_device(
+    key,
+    images_uint8: jnp.ndarray,
+    local_crops_number: int = 8,
+    out_size: int = 112,
+    local_size: int = 48,
+    global_crops_scale: Tuple[float, float] = (0.4, 1.0),
+    local_crops_scale: Tuple[float, float] = (0.05, 0.4),
+):
+    """Device-side vanilla DINO multi-crop (``lafs_train.py:743-788``,
+    the twin of ``data.augment.DataAugmentationDINO``): (B, H, W, 3) uint8
+    → ``(globals, locals)`` in the layout the vanilla SSL step consumes —
+    (2, B, S, S, 3) and (L, B, s, s, 3) float32, ImageNet-normalized.
+
+    UNPAIRED crops (no clean/aug split — nothing consumes clean views
+    without the landmark CNN); reference order per crop: RandomResizedCrop
+    → flip → jitter/gray → blur [→ solarize] → normalize. Blur/solarize
+    probabilities per crop slot: global1 (1.0, 0), global2 (0.1, 0.2),
+    locals (0.5, 0).
+    """
+    x = images_uint8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    n_crops = 2 + local_crops_number
+    keys = jax.random.split(key, n_crops)
+
+    def emit(k, size, scale, blur_p, solarize_p):
+        kg, kf, kj, kb, ks = jax.random.split(k, 5)
+        geo = random_resized_crop_batch(kg, x, size, scale)
+        geo = jnp.clip(geo, 0.0, 1.0)  # PIL clamps to uint8 after bicubic
+        geo = random_flip_batch(kf, geo)
+        aug = _jitter_gray(kj, geo)
+        aug = gaussian_blur_batch(kb, aug, blur_p)
+        if solarize_p > 0:
+            aug = solarize_batch(ks, aug, solarize_p)
+        return (aug - mean) / std
+
+    g = jnp.stack([
+        emit(keys[0], out_size, global_crops_scale, 1.0, 0.0),
+        emit(keys[1], out_size, global_crops_scale, 0.1, 0.2),
+    ])
+    loc = jnp.stack([
+        emit(keys[2 + i], local_size, local_crops_scale, 0.5, 0.0)
+        for i in range(local_crops_number)
+    ])
+    return g, loc
+
+
+@functools.partial(
     jax.jit, static_argnames=("local_crops_number", "out_size")
 )
 def lafs_multicrop_device(

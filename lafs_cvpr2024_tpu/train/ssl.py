@@ -82,10 +82,12 @@ class SSLConfig:
     local_crops_number: int = 8
     local_keep_landmarks: int = 36
     landmark_jitter_std: float = 5.0
-    # crop scale for the fused device-aug path. NOTE the reference draws
-    # LOCAL crops from this same global scale (``lafs_train.py:852-858``) —
-    # there is deliberately no local_crops_scale here.
+    # crop scales for the fused device-aug path. NOTE the LAFS recipe draws
+    # LOCAL crops from the GLOBAL scale (``lafs_train.py:852-858``) —
+    # local_crops_scale applies to the VANILLA archs only
+    # (DataAugmentationDINO, ``lafs_train.py:773``).
     global_crops_scale: tuple = (0.4, 1.0)
+    local_crops_scale: tuple = (0.05, 0.4)
     student_temp: float = 0.1
     center_momentum: float = 0.9
     clip_grad: float = 3.0
@@ -282,11 +284,6 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     head = _head(cfg)
     vanilla = cfg.arch != "partfvit"
     has_bn = cfg.arch in _BN_ARCHS
-    if vanilla and cfg.fused_device_aug:
-        raise ValueError(
-            "fused_device_aug ships the LAFS paired 20-crop recipe only; "
-            "vanilla archs use the host DataAugmentationDINO transform"
-        )
     provider = None if vanilla else LandmarkProvider(
         num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
         gather_impl=cfg.model.gather_impl, stn_mode=cfg.model.stn_mode,
@@ -423,15 +420,29 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
         if cfg.fused_device_aug:
             # glob_clean carries the RAW uint8 batch (B, H, W, 3); the other
             # three crop inputs are ignored
-            from ..ops.augment_device import lafs_multicrop_device
+            if vanilla:
+                from ..ops.augment_device import vanilla_multicrop_device
 
-            glob_clean, glob_aug, loc_clean, loc_aug = lafs_multicrop_device(
-                jax.random.fold_in(rng, 11),
-                glob_clean,
-                local_crops_number=cfg.local_crops_number,
-                out_size=cfg.model.image_size,
-                global_crops_scale=tuple(cfg.global_crops_scale),
-            )
+                glob_clean, loc_clean = vanilla_multicrop_device(
+                    jax.random.fold_in(rng, 11),
+                    glob_clean,
+                    local_crops_number=cfg.local_crops_number,
+                    out_size=cfg.model.image_size,
+                    local_size=cfg.local_crop_size,
+                    global_crops_scale=tuple(cfg.global_crops_scale),
+                    local_crops_scale=tuple(cfg.local_crops_scale),
+                )
+            else:
+                from ..ops.augment_device import lafs_multicrop_device
+
+                (glob_clean, glob_aug,
+                 loc_clean, loc_aug) = lafs_multicrop_device(
+                    jax.random.fold_in(rng, 11),
+                    glob_clean,
+                    local_crops_number=cfg.local_crops_number,
+                    out_size=cfg.model.image_size,
+                    global_crops_scale=tuple(cfg.global_crops_scale),
+                )
         if vanilla:
             # pixel crops straight to the backbone — no landmark branch;
             # glob_aug/loc_aug are unused dummies (the vanilla transform

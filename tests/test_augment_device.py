@@ -178,3 +178,30 @@ def test_scale_uint8_imagenet_and_unscale_roundtrip():
         np.testing.assert_array_equal(back, img), mode
     with pytest.raises(ValueError, match="unknown mode"):
         unscale_to_uint8(img.astype(np.float32), "raw")
+
+def test_vanilla_multicrop_device_layout():
+    """Device-side DataAugmentationDINO twin: (B,H,W,3) uint8 →
+    (2,B,S,S,3) globals + (L,B,s,s,3) locals, ImageNet-normalized, crops
+    decorrelated across slots."""
+    from lafs_cvpr2024_tpu.ops.augment_device import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        vanilla_multicrop_device,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (3, 64, 64, 3), np.uint8))
+    g, loc = vanilla_multicrop_device(
+        jax.random.PRNGKey(0), imgs, local_crops_number=4,
+        out_size=32, local_size=16,
+    )
+    assert g.shape == (2, 3, 32, 32, 3) and loc.shape == (4, 3, 16, 16, 3)
+    # inverse-normalized values land back in [0, 1]
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    for t in (np.asarray(g), np.asarray(loc)):
+        raw = t * std + mean
+        assert raw.min() >= -1e-3 and raw.max() <= 1 + 1e-3
+    # the two global crops are different random draws
+    assert not np.allclose(np.asarray(g[0]), np.asarray(g[1]))
+    assert not np.allclose(np.asarray(loc[0]), np.asarray(loc[1]))

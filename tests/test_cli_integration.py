@@ -187,11 +187,6 @@ def test_ssl_cli_vanilla_arch(tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="landmark-path"):
         train_ssl.main()
 
-    # misuse fails loudly: device-aug ships the LAFS recipe only
-    monkeypatch.setattr(sys, "argv", argv + ["--device-aug"])
-    with pytest.raises(SystemExit, match="device-aug"):
-        train_ssl.main()
-
     # misuse fails loudly: the vit_* factories fix the transformer
     # geometry — a --depth/--heads/... that can't reach the model must
     # not silently train a different architecture than requested
@@ -200,6 +195,14 @@ def test_ssl_cli_vanilla_arch(tmp_path, monkeypatch):
         monkeypatch.setattr(sys, "argv", argv + [flag, val])
         with pytest.raises(SystemExit, match=flag.lstrip("-")):
             train_ssl.main()
+
+    # --device-aug on a vanilla arch: the DataAugmentationDINO recipe runs
+    # INSIDE the step (vanilla_multicrop_device) — raw uint8 ships
+    out2 = str(tmp_path / "ssl_devaug")
+    argv2 = [a if a != out else out2 for a in argv] + ["--device-aug"]
+    monkeypatch.setattr(sys, "argv", argv2)
+    train_ssl.main()
+    assert os.path.isdir(os.path.join(out2, "ckpt"))
 
 
 def test_ssl_cli_knobs_roundtrip(tmp_path, monkeypatch):

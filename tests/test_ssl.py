@@ -364,3 +364,27 @@ def test_vanilla_bn_arch_requires_sync_bn():
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
     with pytest.raises(ValueError, match="bn_axis_name"):
         make_ssl_train_step(cfg, mesh)
+
+@pytest.mark.parametrize("arch", ["overlap", "vit_tiny"])
+def test_vanilla_fused_device_aug_step(arch):
+    """fused_device_aug on a VANILLA arch: raw uint8 batch in, the
+    DataAugmentationDINO recipe runs inside the step
+    (ops.augment_device.vanilla_multicrop_device) — no host transform."""
+    from dataclasses import replace
+
+    cfg = replace(_vanilla_cfg(arch), fused_device_aug=True)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    step = make_ssl_train_step(cfg, mesh)
+    raw = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (4, 48, 48, 3), np.uint8)
+    )
+    dummy = jnp.zeros((1,), jnp.float32)
+    args = dict(lr=jnp.float32(1e-3), wd=jnp.float32(0.0),
+                momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+                freeze_last=jnp.float32(1.0))
+    state, m = step(state, {}, raw, dummy, dummy, dummy, **args)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
+    state, m2 = step(state, {}, raw, dummy, dummy, dummy, **args)
+    assert np.isfinite(float(m2["loss"])) and int(state.step) == 2
