@@ -59,8 +59,8 @@ def main(argv=None):
 
     loaded = load_eval_model(args.checkpoint, arch_overrides_from_args(args))
     scale = resolve_input_scale(args.input_scale, loaded.family)
-    model, cfg = loaded.model, loaded.cfg
-    size = getattr(cfg, "image_size", None) or getattr(model, "img_size", 112)
+    model = loaded.model
+    size = loaded.input_size
 
     if args.bake_input_scale:
         def apply_fn(v, x8):

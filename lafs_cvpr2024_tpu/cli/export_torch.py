@@ -47,8 +47,10 @@ def main(argv=None):
     from ..eval.loading import tree_family
     from ..train.checkpoint import (
         export_dino_vit_state_dict,
+        export_iresnet_state_dict,
         export_torch_state_dict,
         import_dino_vit_state_dict,
+        import_iresnet_state_dict,
         import_torch_state_dict,
         load_torch_file,
         restore_eval_variables,
@@ -69,13 +71,27 @@ def main(argv=None):
                 sd_in = raw["teacher"]
             elif isinstance(raw.get("state_dict"), dict):
                 sd_in = raw["state_dict"]
-        is_dino = any(
-            k.split("module.", 1)[-1].split("backbone.", 1)[-1]
-            .startswith("blocks.")
-            for k in sd_in
+        def _stripped(k):
+            return k.split("module.", 1)[-1].split("backbone.", 1)[-1]
+
+        is_dino = any(_stripped(k).startswith("blocks.") for k in sd_in)
+        is_ires = not is_dino and any(
+            _stripped(k).startswith("layer1.") for k in sd_in
         )
-        imp = (import_dino_vit_state_dict(sd_in, strict=True) if is_dino
-               else import_torch_state_dict(sd_in, strict=True))
+        if is_dino:
+            # a FULL DINO teacher carries the MultiCropWrapper projection
+            # head (head.mlp.* / head.last_layer.*) — pretraining-only;
+            # export the backbone, like the orbax SSL path does
+            head = [k for k in sd_in if _stripped(k).startswith("head.")]
+            if head:
+                print(f"dropping {len(head)} projection-head tensors "
+                      "(pretraining-only; the backbone is the export)")
+                sd_in = {k: v for k, v in sd_in.items() if k not in head}
+            imp = import_dino_vit_state_dict(sd_in, strict=True)
+        elif is_ires:
+            imp = import_iresnet_state_dict(sd_in, strict=True)
+        else:
+            imp = import_torch_state_dict(sd_in, strict=True)
         variables = {"params": imp.params}
         if imp.stats:
             variables["batch_stats"] = imp.stats
@@ -87,6 +103,10 @@ def main(argv=None):
     if family == "dino_vit":
         # vanilla --arch vit_* teacher → the official DINO torch dialect
         sd = export_dino_vit_state_dict(variables["params"])
+    elif family == "iresnet":
+        sd = export_iresnet_state_dict(
+            variables["params"], variables.get("batch_stats")
+        )
     else:
         sd = export_torch_state_dict(
             variables["params"],

@@ -341,11 +341,12 @@ def main():
 
     step_fn = make_ssl_train_step(cfg, mesh, donate=True)
     crop_spec = P(None, "data")
-    # vanilla archs take no aug-twin arrays — ONE replicated dummy for the
-    # whole run (rebuilding it per step is a fresh device_put every step)
-    vanilla_dummy = (
+    # the unused crop slots (vanilla aug-twins / device-aug placeholders)
+    # share ONE replicated dummy for the whole run — rebuilding it per step
+    # is a fresh device_put every step
+    run_dummy = (
         global_batch(mesh, np.zeros((1,), np.float32), P())
-        if vanilla else None
+        if (vanilla or args.device_aug) else None
     )
     logger = MetricLogger()
     jsonl = JSONLLogger(os.path.join(args.output_dir, "log.txt"), enabled=is_main_process())
@@ -375,12 +376,12 @@ def main():
                 # the pipeline already device_put the raw uint8 batch over
                 # the mesh in its producer thread
                 gc = crops
-                ga = lc = la = jnp.zeros((1,), jnp.float32)
+                ga = lc = la = run_dummy
             elif vanilla:
                 gc, lc = assemble_vanilla_crop_batches(crops)
                 gc = global_batch(mesh, gc, crop_spec)
                 lc = global_batch(mesh, lc, crop_spec)
-                ga = la = vanilla_dummy
+                ga = la = run_dummy
             else:
                 gc, ga, lc, la = assemble_crop_batches(crops)
                 gc, ga, lc, la = (

@@ -481,14 +481,18 @@ def main():
                             f"{name}_roc_curve",
                             gen_roc_plot(res.fpr, res.tpr), gstep,
                         )
+                    if viz_fn is not None:
+                        # viz_fn is a jit over the GLOBAL params — like the
+                        # sweep above, every process must dispatch it; only
+                        # the rendering/IO below stays rank-0
+                        face = np.asarray(data[0, :1])  # first orig face
+                        theta, patches = viz_fn(variables, jnp.asarray(face))
                     if viz_fn is not None and is_main_process():
                         from ..utils.visualize import (
                             plot_landmarks,
                             save_patch_grid,
                         )
 
-                        face = np.asarray(data[0, :1])  # first orig face
-                        theta, patches = viz_fn(variables, jnp.asarray(face))
                         viz_dir = os.path.join(args.work_path, "viz")
                         os.makedirs(viz_dir, exist_ok=True)
                         png = plot_landmarks(

@@ -125,7 +125,7 @@ def main(argv=None):
         )
 
     paths = _collect_images(args.images, args.num)
-    size = getattr(cfg, "image_size", None) or getattr(model, "img_size", 112)
+    size = loaded.input_size
     imgs = []
     for pth in paths:
         im = Image.open(pth).convert("RGB").resize((size, size))

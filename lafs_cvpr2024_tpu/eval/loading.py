@@ -110,21 +110,29 @@ def add_input_scale_flag(parser, default: str = "auto") -> None:
     )
 
 
+#: families whose ONLY training path is the vanilla DINO transform
+#: (DataAugmentationDINO / vanilla_multicrop_device — ImageNet-normalized,
+#: lafs_train.py:751-753): vit_* teachers AND the overlap/mobile_dino SSL
+#: archs. PartFViT/iResNet keep the reference eval convention ('half',
+#: IJB_evaluation.py:444).
+_IMAGENET_FAMILIES = ("dino_vit", "overlap", "mobile_dino")
+
+
 def resolve_input_scale(value: str, family: str,
                         log: Callable[[str], None] = print) -> str:
     """Resolve the ``--input-scale`` flag against the loaded family.
 
-    ``auto`` → 'imagenet' for ``dino_vit`` (the vanilla DINO transform is
-    the ONLY convention that family trains with, lafs_train.py:751-753),
-    'half' otherwise (the reference eval convention). An explicit value
-    always wins, but a family/convention mismatch gets a loud warning —
-    it silently degrades accuracy and leaves no other trace."""
+    ``auto`` → 'imagenet' for the vanilla-DINO families (the only
+    convention they train with), 'half' otherwise (the reference eval
+    convention). An explicit value always wins, but a family/convention
+    mismatch gets a loud warning — it silently degrades accuracy and
+    leaves no other trace."""
     if value == "auto":
-        scale = "imagenet" if family == "dino_vit" else "half"
+        scale = "imagenet" if family in _IMAGENET_FAMILIES else "half"
         log(f"[load] input-scale auto -> {scale!r} (family {family})")
         return scale
-    if family == "dino_vit" and value != "imagenet":
-        log(f"[load] WARNING: --input-scale {value!r} on a dino_vit "
+    if family in _IMAGENET_FAMILIES and value != "imagenet":
+        log(f"[load] WARNING: --input-scale {value!r} on a {family} "
             "checkpoint — that family trains with the ImageNet convention "
             "(lafs_train.py:751-753); accuracy will silently degrade "
             "unless this checkpoint was finetuned under a different one")
@@ -461,6 +469,9 @@ class LoadedEvalModel:
     cfg: Any            # the config actually built (family-specific)
     step: Optional[int]  # train step for orbax payloads, None for .pth
     family: str = "partfvit"  # tree_family() of the checkpoint
+    input_size: int = 112  # resolved input resolution (cfg.image_size /
+                           # vit img_size / the iresnet fc flatten width) —
+                           # the ONE place consumers should read it from
 
 
 def _describe(cfg) -> str:
@@ -493,7 +504,8 @@ def load_eval_model(
 ) -> LoadedEvalModel:
     """Load ``checkpoint`` (torch ``.pth`` or any orbax layout), infer the
     architecture — INCLUDING the backbone family (PartFViT variants, DINO
-    vit_*, OverlapViT, MobileDINO: every SSL ``--arch`` teacher is
+    vit_*, OverlapViT, MobileDINO, iResNet: every SSL ``--arch`` teacher
+    plus the insightface alternative backbone is
     evaluable) — from its tree, build the model, and return apply-ready
     variables. The single loading path behind all eval/serving CLIs."""
     import jax
@@ -558,16 +570,15 @@ def load_eval_model(
         model = _infer_overlap(params, ov)
         cfg = model.cfg
 
+    size = getattr(cfg, "image_size", None) or getattr(model, "img_size", 112)
+    if family == "iresnet" and "fc" in params:
+        # the fc flatten width fixes the input size (512·(s/16)²)
+        size = 16 * math.isqrt(int(params["fc"]["kernel"].shape[0]) // 512)
+
     if checkpoint.endswith(".pth"):
         # graft the imported tree onto a native template so any leaves the
         # dialect doesn't carry keep their initialized values (and shape
         # mismatches fail loudly inside merge_params)
-        size = getattr(cfg, "image_size", None) or getattr(
-            model, "img_size", 112
-        )
-        if family == "iresnet" and "fc" in params:
-            # the fc flatten width fixes the input size (512·(s/16)²)
-            size = 16 * math.isqrt(int(params["fc"]["kernel"].shape[0]) // 512)
         imported_stats = variables.get("batch_stats", {})
         template = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
@@ -580,4 +591,4 @@ def load_eval_model(
             variables["batch_stats"] = stats
     log(f"[load] family: {family}; architecture: {_describe(cfg)}")
     return LoadedEvalModel(model=model, variables=variables, cfg=cfg,
-                           step=step, family=family)
+                           step=step, family=family, input_size=int(size))

@@ -18,6 +18,7 @@ weight/bias/running_* → scale/bias/batch_stats, weight-norm
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from typing import Any, Dict, Optional, Tuple
@@ -622,7 +623,12 @@ def import_dino_vit_state_dict(
             _set(params, ("patch_embed", "bias"), arr)
         elif k.startswith("norm."):
             _set(params, ("norm", "scale" if k.endswith("weight") else "bias"), arr)
-        elif k.startswith("head."):
+        elif k in ("head.weight", "head.bias"):
+            # EXACT keys only: the flax head is one Dense. A multi-layer
+            # 'head.*' (a full DINO teacher's MultiCropWrapper projection
+            # head — head.mlp.N / head.last_layer.weight_{g,v}) must stay
+            # unmapped so strict mode raises instead of silently collapsing
+            # those tensors into one kernel/bias pair
             leaf = "kernel" if k.endswith("weight") else "bias"
             _set(params, ("head", leaf), arr.T if leaf == "kernel" else arr)
         elif m:
@@ -1302,6 +1308,105 @@ def export_dino_vit_state_dict(
             f"reference mapping: {sorted(unmapped)[:12]}"
             f"{'…' if len(unmapped) > 12 else ''}"
         )
+    return out
+
+
+def export_iresnet_state_dict(
+    params: Dict[str, Any], batch_stats: Optional[Dict[str, Any]] = None,
+    strict: bool = True,
+) -> Dict[str, np.ndarray]:
+    """``models/iresnet.py`` tree → the insightface iResNet torch dialect
+    (inverse of :func:`import_iresnet_state_dict`) — a TPU-held iResNet
+    loads into ``face_pre_pro/iresnet.py`` / insightface tooling with
+    ``strict=True``.
+
+    Inversions: NHWC conv kernels → OIHW; the fc weight's NHWC-major
+    flatten → torch's NCHW-major; ``layerS_B`` scopes → ``layerS.B``;
+    ``downsample_{conv,bn}`` → the ``downsample.{0,1}`` Sequential. A
+    scale-less ``features`` BN (the canonical frozen-at-1 fc head) emits
+    ``features.weight`` = ones so torch's strict load is satisfied;
+    ``num_batches_tracked`` zeros accompany every exported running stat."""
+    out: Dict[str, np.ndarray] = {}
+    unmapped: list = []
+
+    def bn_leaf(leaf):
+        return {"scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}.get(leaf)
+
+    def walk(flat, is_stats):
+        for path, val in sorted(flat.items()):
+            arr = _np32(val)
+            ok = False
+            m = re.match(r"layer(\d+)_(\d+)$", path[0])
+            if path == ("conv1", "kernel"):
+                out["conv1.weight"] = arr.transpose(3, 2, 0, 1)
+                ok = True
+            elif path[0] in ("bn1", "bn2") and path[1] == "bn":
+                leaf = bn_leaf(path[2])
+                if leaf:
+                    out[f"{path[0]}.{leaf}"] = arr
+                    ok = True
+            elif path == ("prelu", "alpha"):
+                out["prelu.weight"] = arr
+                ok = True
+            elif path == ("fc", "kernel"):
+                flat_in, d = arr.shape
+                side = math.isqrt(flat_in // 512)
+                # ours flattens NHWC (h, w, c); torch flattens NCHW
+                w = arr.T.reshape(d, side, side, 512).transpose(0, 3, 1, 2)
+                out["fc.weight"] = np.ascontiguousarray(w.reshape(d, flat_in))
+                ok = True
+            elif path == ("fc", "bias"):
+                out["fc.bias"] = arr
+                ok = True
+            elif path[0] == "features":
+                leaf = bn_leaf(path[1])
+                if leaf:
+                    out[f"features.{leaf}"] = arr
+                    ok = True
+            elif m and len(path) >= 3:
+                base = f"layer{m.group(1)}.{m.group(2)}"
+                sub = path[1:]
+                if sub[0] in ("bn1", "bn2", "bn3") and sub[1] == "bn":
+                    leaf = bn_leaf(sub[2])
+                    if leaf:
+                        out[f"{base}.{sub[0]}.{leaf}"] = arr
+                        ok = True
+                elif sub[0] in ("conv1", "conv2") and sub[1] == "kernel":
+                    out[f"{base}.{sub[0]}.weight"] = arr.transpose(3, 2, 0, 1)
+                    ok = True
+                elif sub == ("prelu", "alpha"):
+                    out[f"{base}.prelu.weight"] = arr
+                    ok = True
+                elif sub == ("downsample_conv", "kernel"):
+                    out[f"{base}.downsample.0.weight"] = arr.transpose(
+                        3, 2, 0, 1)
+                    ok = True
+                elif sub[0] == "downsample_bn" and sub[1] == "bn":
+                    leaf = bn_leaf(sub[2])
+                    if leaf:
+                        out[f"{base}.downsample.1.{leaf}"] = arr
+                        ok = True
+            if not ok:
+                unmapped.append(("batch_stats/" if is_stats else "params/")
+                                + "/".join(path))
+
+    walk(_flatten(params), False)
+    if batch_stats:
+        walk(_flatten(batch_stats), True)
+    if unmapped and strict:
+        raise ValueError(
+            f"export_iresnet_state_dict: {len(unmapped)} paths have no "
+            f"reference mapping: {sorted(unmapped)[:12]}"
+            f"{'…' if len(unmapped) > 12 else ''}"
+        )
+    if "features.weight" not in out and "features.bias" in out:
+        # use_scale=False layout: the torch BN still owns a weight —
+        # frozen at 1 in the reference (iresnet.py:171-173)
+        out["features.weight"] = np.ones_like(out["features.bias"])
+    for k in [k for k in out if k.endswith("running_mean")]:
+        out[k[: -len("running_mean")] + "num_batches_tracked"] = np.array(
+            0, np.int64)
     return out
 
 

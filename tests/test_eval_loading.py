@@ -463,22 +463,27 @@ def test_load_eval_model_dino_vit_pth(tmp_path):
                                rtol=2e-5, atol=2e-5)
 
 def test_resolve_input_scale():
-    """'auto' picks by family (vanilla vit_* ONLY ever trains with the
-    ImageNet convention); an explicit mismatch on dino_vit warns loudly
-    (it silently degrades accuracy and leaves no other trace)."""
+    """'auto' picks by family: EVERY vanilla-DINO family (vit_*, overlap,
+    mobile_dino — their only training path is the ImageNet-normalized
+    DataAugmentationDINO) resolves to imagenet; partfvit/iresnet keep the
+    reference eval convention. An explicit mismatch warns loudly (it
+    silently degrades accuracy and leaves no other trace)."""
     from lafs_cvpr2024_tpu.eval.loading import resolve_input_scale
 
     logs = []
     assert resolve_input_scale("auto", "partfvit", logs.append) == "half"
-    assert resolve_input_scale("auto", "overlap", logs.append) == "half"
-    assert resolve_input_scale("auto", "dino_vit", logs.append) == "imagenet"
+    assert resolve_input_scale("auto", "iresnet", logs.append) == "half"
+    for fam in ("dino_vit", "overlap", "mobile_dino"):
+        assert resolve_input_scale("auto", fam, logs.append) == "imagenet"
     assert all("auto" in m for m in logs)
 
     logs.clear()
     assert resolve_input_scale("unit", "partfvit", logs.append) == "unit"
     assert not logs  # explicit + consistent: silent
-    assert resolve_input_scale("half", "dino_vit", logs.append) == "half"
-    assert logs and "WARNING" in logs[0]  # explicit mismatch: loud
+    for fam in ("dino_vit", "overlap", "mobile_dino"):
+        logs.clear()
+        assert resolve_input_scale("half", fam, logs.append) == "half"
+        assert logs and "WARNING" in logs[0]  # explicit mismatch: loud
 
 def test_load_eval_model_iresnet_orbax(tmp_path):
     """iResNet trees are fully inferable: stage block counts from the

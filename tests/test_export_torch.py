@@ -118,3 +118,75 @@ def test_export_torch_cli_dino_vit(tmp_path):
     want = vit.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("avg_pool", [False, True])
+def test_export_import_roundtrip_iresnet(avg_pool):
+    from lafs_cvpr2024_tpu.models.iresnet import IResNet
+    from lafs_cvpr2024_tpu.train.checkpoint import (
+        export_iresnet_state_dict,
+        import_iresnet_state_dict,
+    )
+
+    m = IResNet(layers=(2, 2, 2, 2), num_features=48, avg_pool=avg_pool)
+    v = m.init(jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 3)))
+    sd = export_iresnet_state_dict(v["params"], v["batch_stats"])
+    assert "layer1.0.bn1.weight" in sd
+    assert "features.weight" in sd  # emitted even for the frozen-scale head
+    assert "conv1.num_batches_tracked" not in sd  # conv has no stats
+    imp = import_iresnet_state_dict(sd, strict=True)
+    _assert_trees_equal(imp.params, v["params"])
+    _assert_trees_equal(imp.stats, v["batch_stats"])
+
+
+def test_import_dino_vit_rejects_projection_head():
+    """A FULL DINO teacher's MultiCropWrapper head (head.mlp.N /
+    head.last_layer.weight_{g,v}) must stay unmapped — not silently
+    collapse into one kernel/bias pair — so strict mode raises."""
+    from lafs_cvpr2024_tpu.train.checkpoint import import_dino_vit_state_dict
+
+    vit = VisionTransformer(img_size=32, patch_size=16, embed_dim=64,
+                            depth=1, num_heads=2)
+    v = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sd = export_dino_vit_state_dict(v["params"])
+    sd.update({
+        "head.mlp.0.weight": np.zeros((8, 64), np.float32),
+        "head.mlp.0.bias": np.zeros((8,), np.float32),
+        "head.last_layer.weight_v": np.zeros((16, 8), np.float32),
+        "head.last_layer.weight_g": np.zeros((16, 1), np.float32),
+    })
+    with pytest.raises(ValueError, match="unmapped"):
+        import_dino_vit_state_dict(sd, strict=True)
+    # non-strict: the head keys are skipped, the backbone still lands
+    imp = import_dino_vit_state_dict(sd, strict=False)
+    assert {k for k in imp.skipped} == {
+        "head.mlp.0.weight", "head.mlp.0.bias",
+        "head.last_layer.weight_v", "head.last_layer.weight_g",
+    }
+    _assert_trees_equal(imp.params, v["params"])
+
+
+def test_export_torch_cli_iresnet(tmp_path):
+    """cli/export_torch routes an iresnet orbax checkpoint to the
+    insightface dialect; the .pth re-imports to identical weights."""
+    pytest.importorskip("torch")
+
+    from lafs_cvpr2024_tpu.cli.export_torch import main as export_main
+    from lafs_cvpr2024_tpu.eval.loading import load_eval_model
+    from lafs_cvpr2024_tpu.models.iresnet import iresnet18
+    from lafs_cvpr2024_tpu.train.checkpoint import save_checkpoint
+
+    m = iresnet18(num_features=48)
+    v = jax.jit(m.init)(jax.random.PRNGKey(6), jnp.zeros((1, 32, 32, 3)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), dict(v), step=0)
+
+    pth = tmp_path / "iresnet.pth"
+    export_main(["--checkpoint", str(ckpt), "--out", str(pth)])
+    loaded = load_eval_model(str(pth), log=lambda s: None)
+    assert loaded.family == "iresnet" and loaded.input_size == 32
+    x = jnp.linspace(-1, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+    got = loaded.model.apply(loaded.variables, x, train=False)
+    want = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
