@@ -114,6 +114,33 @@ def test_umeyama_recovers_similarity():
     np.testing.assert_allclose(got, dst, atol=1e-8)
 
 
+def test_umeyama_matches_independent_linear_lsq():
+    """Non-skipping oracle twin of the skimage golden below (skimage is
+    absent in this env, which would leave that claim resting on a
+    permanently-skipped test): a 2-D similarity transform s·R + t with
+    det(R)>0 is EXACTLY the linear family [[a,-b],[b,a]]x + t, so the
+    least-squares optimum is solvable by plain ``lstsq`` over (a,b,tx,ty)
+    — an independent derivation with none of Umeyama's SVD machinery.
+    On generic noisy correspondences both must find the same minimizer."""
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        src = rng.uniform(0, 112, (5, 2))
+        dst = rng.uniform(0, 112, (5, 2))  # unrelated points: noisy fit
+        # design matrix for dst ≈ [[a,-b],[b,a]] @ src + t
+        n = len(src)
+        A = np.zeros((2 * n, 4))
+        A[0::2, 0] = src[:, 0]
+        A[0::2, 1] = -src[:, 1]
+        A[0::2, 2] = 1.0
+        A[1::2, 0] = src[:, 1]
+        A[1::2, 1] = src[:, 0]
+        A[1::2, 3] = 1.0
+        (a, b, tx, ty), *_ = np.linalg.lstsq(A, dst.ravel(), rcond=None)
+        T_lsq = np.array([[a, -b, tx], [b, a, ty], [0.0, 0.0, 1.0]])
+        T = umeyama(src, dst)
+        np.testing.assert_allclose(T, T_lsq, atol=1e-8)
+
+
 def test_umeyama_matches_skimage():
     skimage_t = pytest.importorskip("skimage.transform")
     rng = np.random.default_rng(5)
