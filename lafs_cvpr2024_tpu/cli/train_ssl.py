@@ -68,6 +68,10 @@ def get_args():
     p.add_argument("--head-hidden-dim", type=int, default=2048,
                    help="DINO head MLP hidden width (vision_transformer.py:265)")
     p.add_argument("--head-bottleneck-dim", type=int, default=256)
+    p.add_argument("--use-bn-in-head", action="store_true",
+                   help="BatchNorm between the DINO head's MLP layers "
+                        "(lafs_train.py:53,350); syncs over the data axis "
+                        "like every other BN (lafs_train.py:362-365)")
     p.add_argument("--no-norm-last-layer", dest="norm_last_layer",
                    action="store_false", default=True,
                    help="train the weight-norm g of the head's last layer "
@@ -234,8 +238,8 @@ def main():
     model_dim = _vit_dims.get(args.arch, args.dim)
     # BN archs need SyncBN on a multi-device mesh (stats must stay
     # replicated under shard_map — train/ssl raises otherwise)
-    bn_axis = ("data" if args.arch in ("overlap", "mobile_dino")
-               and mesh.size > 1 else None)
+    bn_axis = ("data" if (args.arch in ("overlap", "mobile_dino")
+               or args.use_bn_in_head) and mesh.size > 1 else None)
     cfg = SSLConfig(
         model=PartFViTConfig(
             dim=model_dim, depth=args.depth, heads=args.heads,
@@ -250,6 +254,7 @@ def main():
         out_dim=args.out_dim,
         head_hidden_dim=args.head_hidden_dim,
         head_bottleneck_dim=args.head_bottleneck_dim,
+        use_bn_in_head=args.use_bn_in_head,
         norm_last_layer=args.norm_last_layer,
         local_crops_number=args.local_crops_number,
         local_keep_landmarks=args.local_keep_landmarks,

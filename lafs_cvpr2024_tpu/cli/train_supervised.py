@@ -41,6 +41,19 @@ def get_args():
     p.add_argument("--warmup-epochs", type=int, default=5)
     p.add_argument("--lr", type=float, default=3e-4, help="base lr before the scaling rule")
     p.add_argument("--num-classes", type=int, default=None, help="override property file")
+    p.add_argument("--network", default="partfvit",
+                   choices=["partfvit", "iresnet18", "iresnet34",
+                            "iresnet50", "iresnet100", "iresnet200"],
+                   help="backbone: partfvit (the flagship) or the "
+                        "reference's selectable iResNet alternative "
+                        "(face_pre_pro/iresnet.py). iresnet uses "
+                        "--embedding-size (set 512 for the insightface "
+                        "layout) and uniform lr (no ViT layer decay); "
+                        "transformer-geometry/landmark flags don't apply")
+    p.add_argument("--iresnet-avg", action="store_true",
+                   help="IResNet_withloss_avg head (bn2 → avg pool → "
+                        "features BN, no fc; embedding is always 512 — "
+                        "pass --embedding-size 512)")
     p.add_argument("--embedding-size", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--heads", type=int, default=11)
@@ -225,17 +238,38 @@ def main():
         mesh=mesh, spec=P("data"),
     )
 
+    iresnet = args.network != "partfvit"
+    if iresnet:
+        # no landmark branch / no transformer: the checkpoint-surgery and
+        # distillation flags are Part-fViT features — fail, don't ignore
+        for flag, val in (("--ssl-checkpoint", args.ssl_checkpoint),
+                          ("--landmark-checkpoint", args.landmark_checkpoint),
+                          ("--landmark-distill", args.landmark_distill)):
+            if val:
+                raise SystemExit(f"{flag} is a Part-fViT feature; "
+                                 f"--network {args.network} has no "
+                                 "landmark branch")
+        if args.head_name != "CosFace":
+            raise SystemExit("--network iresnet* ships the reference's "
+                             "in-model CosFace head only "
+                             "(iresnet.py:60-132); use --model-axis/"
+                             "--factored-head for the external variants")
     cfg = SupervisedConfig(
         model=PartFViTConfig(
             dim=args.embedding_size, depth=args.depth, heads=args.heads,
             dim_head=args.dim_head, mlp_dim=args.mlp_dim,
             num_patches=args.num_patches,
             patch_size=args.patch_size, num_classes=num_classes,
-            with_land=args.with_land, loss_type=args.head_name,
+            with_land=args.with_land and not iresnet,
+            loss_type=args.head_name,
             image_size=args.image_size, stn_mode=args.stn_mode,
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
             attn_impl=args.attn_impl,
         ),
+        network=args.network,
+        iresnet_avg=args.iresnet_avg,
+        # BEiT layer decay is a ViT policy; insightface trains uniform
+        layer_decay=1.0 if iresnet else 0.58,
         acc_step=args.acc_step,
         mixup=MixupConfig(
             mixup_alpha=args.mixup, prob=args.mixup_prob, num_classes=num_classes

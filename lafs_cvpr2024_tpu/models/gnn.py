@@ -44,6 +44,9 @@ class GatedGraphConv(nn.Module):
     """
 
     channels: int
+    # SyncBN mesh axis (reference converts every BN to SyncBatchNorm when
+    # training distributed, lafs_train.py:362-365); None = per-device stats
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, edge, train: bool = False):
@@ -60,6 +63,7 @@ class GatedGraphConv(nn.Module):
         upd = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis=1, name="bne1",
+            axis_name=self.axis_name if train else None,
         )(upd).reshape(b, n, n, c)
         edge = edge + nn.relu(upd)
 
@@ -75,6 +79,7 @@ class GatedGraphConv(nn.Module):
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis=1, name="bnv1",
+            axis_name=self.axis_name if train else None,
         )(h)
         x = nn.relu(res + h)
         return x, edge
@@ -87,6 +92,7 @@ class GNN(nn.Module):
 
     channels: int
     depth: int = 1
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, edge=None, train: bool = False):
@@ -94,7 +100,7 @@ class GNN(nn.Module):
         if edge is None:
             edge = jnp.zeros((b, n, n, self.channels), x.dtype)
         for i in range(self.depth):
-            x, edge = GatedGraphConv(self.channels, name=f"layer_{i}")(
-                x, edge, train
-            )
+            x, edge = GatedGraphConv(
+                self.channels, axis_name=self.axis_name, name=f"layer_{i}"
+            )(x, edge, train)
         return x, edge

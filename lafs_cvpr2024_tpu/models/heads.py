@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,21 +136,33 @@ class DINOHead(nn.Module):
     bottleneck_dim: int = 256
     nlayers: int = 3
     use_bn: bool = False
+    # SyncBN axis: the reference converts EVERY BN (head included) to
+    # SyncBatchNorm when training distributed (lafs_train.py:362-365), so
+    # the head's stats must ride the same mesh axis as the backbone's
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         trunc = nn.initializers.truncated_normal(stddev=0.02)
+
+        def _bn(h, name):
+            return nn.BatchNorm(
+                use_running_average=deterministic,
+                axis_name=None if deterministic else self.axis_name,
+                name=name,
+            )(h)
+
         if self.nlayers == 1:
             x = nn.Dense(self.bottleneck_dim, kernel_init=trunc, name="mlp_0")(x)
         else:
             x = nn.Dense(self.hidden_dim, kernel_init=trunc, name="mlp_0")(x)
             if self.use_bn:
-                x = nn.BatchNorm(use_running_average=deterministic, name="bn_0")(x)
+                x = _bn(x, "bn_0")
             x = nn.gelu(x, approximate=False)
             for i in range(self.nlayers - 2):
                 x = nn.Dense(self.hidden_dim, kernel_init=trunc, name=f"mlp_{i+1}")(x)
                 if self.use_bn:
-                    x = nn.BatchNorm(use_running_average=deterministic, name=f"bn_{i+1}")(x)
+                    x = _bn(x, f"bn_{i+1}")
                 x = nn.gelu(x, approximate=False)
             x = nn.Dense(self.bottleneck_dim, kernel_init=trunc, name=f"mlp_{self.nlayers-1}")(x)
         x = _l2norm(x)

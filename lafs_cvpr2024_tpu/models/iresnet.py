@@ -100,9 +100,13 @@ class IResNet(nn.Module):
         use_scale = (
             self.avg_pool if self.features_scale is None else self.features_scale
         )
+        # features BN syncs like every other BN in the model (the block BNs
+        # ride SyncableBN) — an unsynced head over per-device batch stats
+        # silently diverges from the global-batch forward under a data mesh
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             use_scale=use_scale, name="features",
+            axis_name=self.axis_name if train else None,
         )(x)
         if self.with_loss and labels is not None:
             emb_dim = x.shape[-1]

@@ -78,6 +78,9 @@ class SSLConfig:
     out_dim: int = 100000
     head_hidden_dim: int = 2048
     head_bottleneck_dim: int = 256
+    use_bn_in_head: bool = False  # --use_bn_in_head (lafs_train.py:53,350);
+                                  # the BNs sync over the data axis like
+                                  # every other BN (lafs_train.py:362-365)
     norm_last_layer: bool = True
     local_crops_number: int = 8
     local_keep_landmarks: int = 36
@@ -203,6 +206,8 @@ def _head(cfg: SSLConfig) -> DINOHead:
         out_dim=cfg.out_dim,
         hidden_dim=cfg.head_hidden_dim,
         bottleneck_dim=cfg.head_bottleneck_dim,
+        use_bn=cfg.use_bn_in_head,
+        axis_name=cfg.model.bn_axis_name,
     )
 
 
@@ -227,19 +232,27 @@ def create_ssl_state(
     variables = backbone.init({"params": k1, "dropout": k4}, x)
     bb = variables["params"]
     bb_stats = variables.get("batch_stats", {})
-    hd = head.init(k2, jnp.zeros((2, _embed_dim(cfg))))["params"]
+    hd_variables = head.init(k2, jnp.zeros((2, _embed_dim(cfg))))
+    hd = hd_variables["params"]
+    hd_stats = hd_variables.get("batch_stats", {})
     student = {"backbone": bb, "head": hd}
     if zero1_shards > 1:
         opt_state = zero1_init(student, zero1_shards, moment_dtype=cfg.moment_dtype)
     else:
         opt_state = adamw_init(student, moment_dtype=cfg.moment_dtype)
     stats = ()
+    # keys appear only for the parts that HAVE running stats, so the state
+    # tree (and therefore existing checkpoints) is unchanged unless
+    # use_bn_in_head / a BN arch is actually in play
+    stats_entry = {}
     if bb_stats:
+        stats_entry["backbone"] = bb_stats
+    if hd_stats:
+        stats_entry["head"] = hd_stats
+    if stats_entry:
         stats = {
-            "student": {"backbone": bb_stats},
-            "teacher": jax.tree_util.tree_map(
-                jnp.copy, {"backbone": bb_stats}
-            ),
+            "student": stats_entry,
+            "teacher": jax.tree_util.tree_map(jnp.copy, stats_entry),
         }
     return SSLTrainState(
         student=student,
@@ -283,7 +296,9 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
         t_backbone = backbone
     head = _head(cfg)
     vanilla = cfg.arch != "partfvit"
-    has_bn = cfg.arch in _BN_ARCHS
+    has_bn = cfg.arch in _BN_ARCHS   # BN in the BACKBONE (stats threaded)
+    head_bn = cfg.use_bn_in_head     # BN in the DINO head (stats threaded)
+    any_bn = has_bn or head_bn
     provider = None if vanilla else LandmarkProvider(
         num_landmarks=cfg.model.num_patches, patch_size=cfg.model.patch_size,
         gather_impl=cfg.model.gather_impl, stn_mode=cfg.model.stn_mode,
@@ -304,9 +319,10 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     if zero1 and not cfg.fused_tail:
         raise ValueError("zero1=True requires fused_tail=True (the sharded "
                          "update ships only in the fused tail)")
-    if has_bn and multi and cfg.model.bn_axis_name is None:
+    if any_bn and multi and cfg.model.bn_axis_name is None:
         raise ValueError(
-            f"arch {cfg.arch!r} has BatchNorm: on a multi-device mesh set "
+            f"{'arch ' + repr(cfg.arch) if has_bn else 'use_bn_in_head'} "
+            "has BatchNorm: on a multi-device mesh set "
             "model.bn_axis_name='data' (SyncBN) so the running stats stay "
             "replicated across shards"
         )
@@ -337,7 +353,25 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
         )
         return jax.lax.stop_gradient(g_tokens), jax.lax.stop_gradient(l_tokens)
 
-    def forward(params, g_tokens, l_tokens, rng, train: bool):
+    def apply_head(params, head_stats, emb, train: bool):
+        """DINO projection head with optional BN-stats threading
+        (``use_bn_in_head``). Student train steps update batch stats;
+        the teacher (train=False) reads running averages."""
+        hv = {"params": _cast(params["head"], cfg.head_dtype)}
+        if head_bn:
+            hv["batch_stats"] = head_stats
+            if train:
+                out, mut = head.apply(
+                    hv, emb, deterministic=False, mutable=["batch_stats"]
+                )
+                return out, mut["batch_stats"]
+            return head.apply(hv, emb, deterministic=True), head_stats
+        return head.apply(hv, emb), head_stats
+
+    def forward(params, stats, g_tokens, l_tokens, rng, train: bool):
+        """Token-path forward (partfvit). Returns
+        ``(head_out_fp32, new_stats)`` — stats only carry the head's BN
+        running averages (the Part-fViT backbone has none)."""
         cparams = _cast(params, cfg.compute_dtype)
         rngs = {"dropout": rng} if train else None
         bb = backbone if train else t_backbone
@@ -354,8 +388,11 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             )
             outs.append(emb_l)
         emb = jnp.concatenate(outs, axis=0).astype(cfg.head_dtype)
-        out = head.apply({"params": _cast(params["head"], cfg.head_dtype)}, emb)
-        return out.astype(jnp.float32)
+        out, new_hstats = apply_head(
+            params, stats["head"] if head_bn else None, emb, train
+        )
+        new_stats = {"head": new_hstats} if head_bn else stats
+        return out.astype(jnp.float32), new_stats
 
     def forward_vanilla(params, stats, g_imgs, l_imgs, rng, train: bool):
         """Pixel-crop forward for the vanilla archs: two static shapes
@@ -393,10 +430,16 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 jax.random.fold_in(rng, 3),
             )
             outs.append(emb_l)
-        if has_bn:
-            new_stats = {"backbone": bb_stats}
         emb = jnp.concatenate(outs, axis=0).astype(cfg.head_dtype)
-        out = head.apply({"params": _cast(params["head"], cfg.head_dtype)}, emb)
+        out, new_hstats = apply_head(
+            params, stats["head"] if head_bn else None, emb, train
+        )
+        if any_bn:
+            new_stats = {}
+            if has_bn:
+                new_stats["backbone"] = bb_stats
+            if head_bn:
+                new_stats["head"] = new_hstats
         return out.astype(jnp.float32), new_stats
 
     def step_impl(state, landmark_vars, glob_clean, glob_aug, loc_clean,
@@ -443,6 +486,8 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                     out_size=cfg.model.image_size,
                     global_crops_scale=tuple(cfg.global_crops_scale),
                 )
+        t_stats = state.stats["teacher"] if any_bn else None
+        s_stats = state.stats["student"] if any_bn else None
         if vanilla:
             # pixel crops straight to the backbone — no landmark branch;
             # glob_aug/loc_aug are unused dummies (the vanilla transform
@@ -450,8 +495,6 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             b = glob_clean.shape[1]
             g_in = glob_clean.reshape(2 * b, *glob_clean.shape[2:])
             l_in = loc_clean.reshape(L * b, *loc_clean.shape[2:])
-            t_stats = state.stats["teacher"] if has_bn else None
-            s_stats = state.stats["student"] if has_bn else None
             teacher_out, _ = forward_vanilla(
                 state.teacher, t_stats, g_in, None, k_rest, train=False
             )
@@ -459,17 +502,16 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             g_in, l_in = make_tokens(
                 landmark_vars, glob_clean, glob_aug, loc_clean, loc_aug, k_land
             )
-            teacher_out = forward(state.teacher, g_in, None, k_rest, train=False)
+            teacher_out, _ = forward(
+                state.teacher, t_stats, g_in, None, k_rest, train=False
+            )
         teacher_out = jax.lax.stop_gradient(teacher_out)
 
         def loss_fn(params):
-            if vanilla:
-                student_out, new_sstats = forward_vanilla(
-                    params, s_stats, g_in, l_in, k_student, train=True
-                )
-            else:
-                student_out = forward(params, g_in, l_in, k_student, train=True)
-                new_sstats = None
+            fwd = forward_vanilla if vanilla else forward
+            student_out, new_sstats = fwd(
+                params, s_stats, g_in, l_in, k_student, train=True
+            )
             loss, new_center = dino_loss(
                 student_out,
                 teacher_out,
@@ -541,7 +583,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             new_teacher = ema_update(state.teacher, new_student, momentum,
                                      sr_rng=sr_rng)
         new_stats = state.stats
-        if has_bn:
+        if any_bn:
             # teacher BN stats EMA-follow the student's at the param momentum
             new_stats = {
                 "student": new_sstats,

@@ -52,6 +52,16 @@ from .optim import (
 @dataclass(frozen=True)
 class SupervisedConfig:
     model: PartFViTConfig = field(default_factory=PartFViTConfig)
+    network: str = "partfvit"  # backbone family: partfvit (the flagship) or
+                               # iresnet{18,34,50,100,200} (the reference's
+                               # selectable alternative, face_pre_pro/
+                               # iresnet.py). iresnet reuses cfg.model's
+                               # dim (= num_features) / dropout /
+                               # num_classes / image_size; transformer
+                               # geometry fields are ignored.
+    iresnet_avg: bool = False  # IResNet_withloss_avg head (bn2 → global avg
+                               # pool → features BN, no fc; embedding is
+                               # ALWAYS 512-wide — cfg.model.dim must be 512)
     acc_step: int = 3
     weight_decay: float = 0.1
     layer_decay: float = 0.58
@@ -152,10 +162,7 @@ def create_state(
     the AdamW moments in the ZeRO-1 flat-chunked layout so the train step
     can shard them over the data axis.
     """
-    model_cfg = cfg.model
-    if sharded_classifier:
-        model_cfg = PartFViTConfig(**{**cfg.model.__dict__, "loss_type": "None"})
-    model = PartFViT(model_cfg)
+    model = _build_backbone(cfg, with_head=not sharded_classifier)
     x = jnp.zeros((2, cfg.model.image_size, cfg.model.image_size, 3))
     labels = jnp.zeros((2,), jnp.int32)
     variables = model.init({"params": rng, "dropout": rng}, x, labels, train=False)
@@ -171,6 +178,51 @@ def create_state(
         opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
         rng=rng,
+    )
+
+
+_IRESNET_LAYERS = {
+    "iresnet18": (2, 2, 2, 2), "iresnet34": (3, 4, 6, 3),
+    "iresnet50": (3, 4, 14, 3), "iresnet100": (3, 13, 30, 3),
+    "iresnet200": (6, 26, 60, 6),
+}
+
+
+def _build_backbone(cfg: "SupervisedConfig", bn_axis=None, with_head=True,
+                    eval_mode=False):
+    """The supervised backbone per ``cfg.network`` — construction in ONE
+    place (create_state / make_train_step / make_embed_fn all build from
+    it so the param trees always agree).
+
+    ``with_head=False`` strips the in-model margin head (external-head
+    paths and eval); ``eval_mode`` forces the dense MLP lowering
+    (partfvit only — the pallas kernel loses in inference-only graphs,
+    docs/PERF.md)."""
+    if cfg.network == "partfvit":
+        over: dict = {"bn_axis_name": bn_axis}
+        if not with_head:
+            over["loss_type"] = "None"
+        if eval_mode:
+            over["mlp_impl"] = "dense"
+        return PartFViT(PartFViTConfig(**{**cfg.model.__dict__, **over}))
+    layers = _IRESNET_LAYERS.get(cfg.network)
+    if layers is None:
+        raise ValueError(
+            f"unknown network {cfg.network!r}; one of "
+            f"{('partfvit', *_IRESNET_LAYERS)}"
+        )
+    if cfg.iresnet_avg and cfg.model.dim != 512:
+        raise ValueError(
+            "iresnet_avg's embedding is always 512-wide (bn2 → avg pool → "
+            f"features BN, no fc) — set model.dim=512, got {cfg.model.dim}"
+        )
+    from ..models.iresnet import IResNet
+
+    return IResNet(
+        layers=layers, num_features=cfg.model.dim,
+        dropout=cfg.model.dropout, with_loss=with_head,
+        num_classes=cfg.model.num_classes, avg_pool=cfg.iresnet_avg,
+        axis_name=bn_axis,
     )
 
 
@@ -240,14 +292,20 @@ def make_train_step(
         cfg.pfc_ratio * (cfg.model.num_classes // (n_model if shard_cls else 1))
     )))
     bn_axis = "data" if (multi and n_data > 1) else None
-    model_cfg = cfg.model
-    if ext_head:
-        model_cfg = PartFViTConfig(
-            **{**model_cfg.__dict__, "loss_type": "None", "bn_axis_name": bn_axis}
-        )
-    else:
-        model_cfg = PartFViTConfig(**{**model_cfg.__dict__, "bn_axis_name": bn_axis})
-    model = PartFViT(model_cfg)
+    if cfg.network != "partfvit":
+        if cfg.landmark_distill:
+            raise ValueError(
+                "landmark_distill is a Part-fViT feature (no landmark "
+                f"branch in {cfg.network})"
+            )
+        if cfg.layer_decay != 1.0:
+            raise ValueError(
+                "layer_decay is the BEiT ViT policy (train_largescale.py"
+                f":122-197) — {cfg.network} has no transformer layers to "
+                "map; pass layer_decay=1.0 (uniform, the insightface "
+                "recipe)"
+            )
+    model = _build_backbone(cfg, bn_axis=bn_axis, with_head=not ext_head)
     num_classes = cfg.model.num_classes
     assert num_classes % n_model == 0, "num_classes must divide model axis"
     _pmean_data = (
@@ -284,7 +342,9 @@ def make_train_step(
             images.astype(cfg.compute_dtype),
             None if ext_head else soft_targets,
             train=True,
-            return_tokens=ext_head and cfg.landmark_distill,
+            # partfvit-only kwarg (IResNet's __call__ has no token path)
+            **({"return_tokens": ext_head and cfg.landmark_distill}
+               if cfg.network == "partfvit" else {}),
             rngs={"dropout": rng, "augment": jax.random.fold_in(rng, 7)},
             mutable=["batch_stats"] if batch_stats else [],
         )
@@ -783,10 +843,7 @@ def make_embed_fn(
     agree with fp32 to cosine ≳ 1−1e-3). ``None`` keeps fp32 — the
     in-training `perform_val`/need_save gate default, so checkpoint
     selection stays bit-stable."""
-    model_cfg = PartFViTConfig(
-        **{**cfg.model.__dict__, "loss_type": "None", "mlp_impl": "dense"}
-    )
-    model = PartFViT(model_cfg)
+    model = _build_backbone(cfg, with_head=False, eval_mode=True)
 
     @jax.jit
     def embed(variables, images):

@@ -122,3 +122,110 @@ def test_with_land_and_standcoord_mutually_exclusive():
         PartFViT(cfg).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3))
         )
+
+
+def _sharded_equals_global(make_model, variables, args_builder, n_dev=4,
+                           tol=5e-4, **apply_kw):
+    """SyncBN completeness pin: a train-mode forward on a ``n_dev``-way
+    data-sharded mesh (model built with ``axis_name='data'``) must equal
+    the single-device global-batch forward (``axis_name=None``).
+
+    Regression shape: a single un-synced ``nn.BatchNorm`` (one missing
+    ``axis_name``) normalizes over per-device batch statistics and
+    silently diverges — exactly how the iResNet ``features`` BN broke
+    multi-device supervised training while every block BN synced.
+    ``make_model(axis_name)`` must return the same architecture either
+    way (identical param tree)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    global_args = args_builder()
+
+    def fwd(model, v, *args):
+        out = model.apply(v, *args, **apply_kw)
+        while isinstance(out, tuple) and not hasattr(out, "shape"):
+            out = out[0]  # drop mutated-collections dict / (logits, emb) aux
+        return out
+
+    ref = fwd(make_model(None), variables, *global_args)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(n_dev), ("data",))
+    sync_model = make_model("data")
+    n_args = len(global_args)
+    sharded = jax.shard_map(
+        lambda v, *a: fwd(sync_model, v, *a),
+        mesh=mesh, in_specs=(P(), *([P("data")] * n_args)),
+        out_specs=P("data"), check_vma=False,
+    )(variables, *global_args)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(ref), atol=tol, rtol=tol
+    )
+
+
+def test_iresnet_syncbn_forward_matches_global_batch():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    labels = jax.nn.one_hot(jnp.arange(8) % 4, 4)
+    for avg in (False, True):
+        def make(axis_name, avg=avg):
+            return IResNet(layers=(1, 1, 1, 1),
+                           num_features=16 if not avg else 512,
+                           with_loss=True, num_classes=4, avg_pool=avg,
+                           axis_name=axis_name)
+        v = make(None).init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, jnp.zeros((8,), jnp.int32), train=False)
+        _sharded_equals_global(
+            make, v, lambda: (x, labels), train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+
+
+def test_mobilenet_backbone_syncbn_forward_matches_global_batch():
+    from lafs_cvpr2024_tpu.models.mobilenet import MobileNetV3Backbone
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+
+    def make(axis_name):
+        return MobileNetV3Backbone("small", axis_name)
+
+    v = make(None).init(jax.random.PRNGKey(0), x, False)
+    _sharded_equals_global(make, v, lambda: (x,), train=True,
+                           mutable=["batch_stats"])
+
+
+def test_dino_head_bn_syncs_over_data_axis():
+    from lafs_cvpr2024_tpu.models.heads import DINOHead
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 24)).astype(np.float32))
+
+    def make(axis_name):
+        return DINOHead(in_dim=24, out_dim=32, hidden_dim=16,
+                        bottleneck_dim=8, use_bn=True, axis_name=axis_name)
+
+    v = make(None).init(jax.random.PRNGKey(0), x)
+    _sharded_equals_global(make, v, lambda: (x,), deterministic=False,
+                           mutable=["batch_stats"])
+
+
+def test_gnn_bn_syncs_over_data_axis():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 5, 6)).astype(np.float32))
+    v = GNN(channels=6).init(jax.random.PRNGKey(0), x)
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    (ref_x, ref_e), _ = GNN(channels=6).apply(
+        v, x, train=True, mutable=["batch_stats"])
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    m_sync = GNN(channels=6, axis_name="data")
+
+    def fwd(variables, xs):
+        (nx, ne), _ = m_sync.apply(variables, xs, train=True,
+                                   mutable=["batch_stats"])
+        return nx, ne
+
+    sx, se = jax.shard_map(fwd, mesh=mesh, in_specs=(P(), P("data")),
+                           out_specs=P("data"), check_vma=False)(v, x)
+    np.testing.assert_allclose(np.asarray(sx), np.asarray(ref_x), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(se), np.asarray(ref_e), atol=5e-4)

@@ -388,3 +388,76 @@ def test_vanilla_fused_device_aug_step(arch):
     assert int(state.step) == 1
     state, m2 = step(state, {}, raw, dummy, dummy, dummy, **args)
     assert np.isfinite(float(m2["loss"])) and int(state.step) == 2
+
+
+@pytest.mark.parametrize("arch", ["vit_tiny", "partfvit"])
+def test_use_bn_in_head_step(arch):
+    """--use_bn_in_head (lafs_train.py:53,350): the head's BN stats are
+    created, threaded through the student step (batch stats in train,
+    running averages for the teacher), synced over the data axis, and the
+    teacher's copy EMA-follows the student's — for both the token path
+    (partfvit) and a vanilla pixel arch."""
+    import dataclasses
+
+    if arch == "partfvit":
+        cfg = SSLConfig(
+            model=PartFViTConfig(
+                dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+                num_patches=36, with_land=False, loss_type="None",
+                num_classes=0, image_size=48, stn_mode="small", patch_size=8,
+                dropout=0.0, emb_dropout=0.0, drop_path_rate=0.0,
+                bn_axis_name="data",
+            ),
+            out_dim=64, head_hidden_dim=32, head_bottleneck_dim=16,
+            local_crops_number=2, use_bn_in_head=True,
+            compute_dtype=jnp.float32,
+        )
+    else:
+        cfg = dataclasses.replace(
+            _vanilla_cfg(arch), use_bn_in_head=True,
+            model=PartFViTConfig(
+                **{**_vanilla_cfg(arch).model.__dict__,
+                   "bn_axis_name": "data"}
+            ),
+        )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    assert state.stats and "head" in state.stats["student"], \
+        "use_bn_in_head must create head running stats"
+    step = make_ssl_train_step(cfg, mesh)
+    if arch == "partfvit":
+        rng = np.random.default_rng(0)
+        b = 4
+        gc = jnp.asarray(rng.uniform(
+            -1, 1, (2, b, 48, 48, 3)).astype(np.float32))
+        ga = jnp.asarray(rng.uniform(
+            -1, 1, (2, b, 48, 48, 3)).astype(np.float32))
+        lc = jnp.asarray(rng.uniform(
+            -1, 1, (2, b, 48, 48, 3)).astype(np.float32))
+        la = jnp.asarray(rng.uniform(
+            -1, 1, (2, b, 48, 48, 3)).astype(np.float32))
+        from lafs_cvpr2024_tpu.train.ssl import create_landmark_provider
+
+        land_vars = create_landmark_provider(cfg, jax.random.PRNGKey(7))
+    else:
+        gc, ga, lc, la = _vanilla_batches(cfg)
+        land_vars = {}
+    hs_before = jax.tree_util.tree_leaves(state.stats["student"]["head"])
+    state, metrics = step(
+        state, land_vars, gc, ga, lc, la,
+        lr=jnp.float32(1e-3), wd=jnp.float32(0.04),
+        momentum=jnp.float32(0.99), teacher_temp=jnp.float32(0.04),
+        freeze_last=jnp.float32(1.0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    hs_after = jax.tree_util.tree_leaves(state.stats["student"]["head"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(hs_before, hs_after)
+    ), "head BN stats did not update"
+    # teacher head stats = EMA between old and new student stats
+    ht = jax.tree_util.tree_leaves(state.stats["teacher"]["head"])
+    for old, new, tea in zip(hs_before, hs_after, ht):
+        expect = 0.99 * np.asarray(old) + 0.01 * np.asarray(new)
+        np.testing.assert_allclose(np.asarray(tea), expect, rtol=1e-5,
+                                   atol=1e-6)

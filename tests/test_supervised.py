@@ -798,3 +798,84 @@ def test_embed_fn_bf16_matches_fp32_to_cosine():
 
     assert cos_min(with_land=False) >= 1 - 1e-3
     assert cos_min(with_land=True) >= 0.99
+
+
+def test_iresnet_network_step():
+    """--network iresnet18: one multi-device step on the insightface
+    backbone — in-model CosFace, BN stats update, loss finite and the
+    class-cosine probe improves; the embed fn returns the fc embedding."""
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(
+            image_size=32, dim=24, num_classes=8, with_land=False,
+            loss_type="CosFace",
+        ),
+        network="iresnet18",
+        layer_decay=1.0,
+        acc_step=1,
+        mixup=MixupConfig(mixup_alpha=0.0, prob=0.0, num_classes=8),
+        compute_dtype=jnp.float32,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_state(cfg, r))(jax.random.PRNGKey(0))
+    assert "layer1_0" in state.params and state.batch_stats
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1), enabled=False)
+    step = make_train_step(cfg, mesh)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(np.arange(8, dtype=np.int32) % 8)
+    embed = make_embed_fn(cfg)
+    # deterministic probe (same rationale as _own_class_cos): the s=64
+    # margin makes the raw per-step CE jumpy on a random-init net, but the
+    # embedding→class-row cosine is the quantity CosFace optimizes
+    cos0 = _own_class_cos(
+        embed, images, labels, state, state.params["loss"]["weight"]
+    )
+    stats_before = jax.tree_util.tree_leaves(state.batch_stats)
+    losses = []
+    for _ in range(8):
+        state, w, w_opt, m = step(state, w, w_opt, images, labels, 1e-3)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[2:]) < losses[0]
+    cos1 = _own_class_cos(
+        embed, images, labels, state, state.params["loss"]["weight"]
+    )
+    assert cos1 > cos0, f"class cosine did not improve: {cos0} -> {cos1}"
+    stats_after = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(stats_before, stats_after)
+    ), "BN running stats did not update"
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    emb = np.asarray(embed(variables, images))
+    assert emb.shape == (8, 24) and np.isfinite(emb).all()
+
+
+def test_iresnet_network_validations():
+    """Misuse fails loudly: ViT layer decay has no iresnet mapping, the
+    avg head's embedding is fixed at 512, unknown networks refuse."""
+    base = dict(
+        model=PartFViTConfig(image_size=32, dim=24, num_classes=8,
+                             with_land=False, loss_type="CosFace"),
+        acc_step=1,
+        mixup=MixupConfig(mixup_alpha=0.0, prob=0.0, num_classes=8),
+        compute_dtype=jnp.float32,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    with pytest.raises(ValueError, match="layer_decay"):
+        make_train_step(
+            SupervisedConfig(network="iresnet18", **base), mesh
+        )
+    with pytest.raises(ValueError, match="512"):
+        create_state(
+            SupervisedConfig(network="iresnet18", iresnet_avg=True,
+                             layer_decay=1.0, **base),
+            jax.random.PRNGKey(0),
+        )
+    with pytest.raises(ValueError, match="unknown network"):
+        create_state(
+            SupervisedConfig(network="resnet50", layer_decay=1.0, **base),
+            jax.random.PRNGKey(0),
+        )
