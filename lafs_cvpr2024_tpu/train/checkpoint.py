@@ -332,9 +332,13 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
             if "student" in tree and "teacher" in tree:
                 out = {"params": tree["teacher"]["backbone"]}
                 # BN archs (overlap/mobile_dino) carry running stats; the
-                # teacher's are the eval stats (train/ssl.py::SSLTrainState)
+                # teacher's are the eval stats (train/ssl.py::SSLTrainState).
+                # use_bn_in_head runs may carry HEAD-only stats — the head is
+                # dropped with the rest of the projection head at eval
                 stats = tree.get("stats")
-                if isinstance(stats, dict) and stats.get("teacher"):
+                if isinstance(stats, dict) and isinstance(
+                    stats.get("teacher"), dict
+                ) and stats["teacher"].get("backbone"):
                     out["batch_stats"] = stats["teacher"]["backbone"]
                 return out
         def _scalar(x):
@@ -362,7 +366,8 @@ def restore_eval_variables(path: str, step: Optional[int] = None):
             ):
                 out = {"params": tree[1]["backbone"]}
                 if (len(tree) == 7 and isinstance(tree[6], dict)
-                        and tree[6].get("teacher")):
+                        and isinstance(tree[6].get("teacher"), dict)
+                        and tree[6]["teacher"].get("backbone")):
                     out["batch_stats"] = tree[6]["teacher"]["backbone"]
                 return out
             if (

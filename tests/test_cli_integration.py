@@ -1105,3 +1105,137 @@ def test_evaluate_ijb_cli(tmp_path):
     assert table, "empty TPR@FPR table"
     for fpr_t, tpr in table.items():
         assert 0.0 < fpr_t < 1.0 and 0.0 <= tpr <= 1.0
+
+
+def test_supervised_cli_iresnet_network(tmp_path, monkeypatch):
+    """--network iresnet18 (the reference's selectable alternative backbone,
+    face_pre_pro/iresnet.py + train_largescale.py's backbone selector) trains
+    one epoch via the CLI — uniform lr (no ViT layer decay), in-model CosFace
+    — and the written checkpoint drives the shared eval loader purely by
+    family inference (tree_family == 'iresnet', input size from the fc
+    flatten width)."""
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    work = str(tmp_path / "work")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_supervised
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    argv = [
+        "train", "--data-root", rec_dir, "--work-path", work,
+        "--batch-size", "1", "--acc-step", "2", "--epochs", "1",
+        "--warmup-epochs", "0", "--network", "iresnet18",
+        "--embedding-size", "32", "--image-size", "48",
+        "--workers", "2", "--disp-freq", "1",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    train_supervised.main()
+    ckpt = os.path.join(work, "ckpt")
+    assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+
+    # the checkpoint alone drives the eval loader: family + stage counts +
+    # embedding width + input size all inferred from the tree
+    import jax
+    import jax.numpy as jnp
+
+    from lafs_cvpr2024_tpu.eval.loading import load_eval_model
+
+    loaded = load_eval_model(ckpt, log=lambda *_: None)
+    assert loaded.family == "iresnet"
+    assert tuple(loaded.cfg.layers) == (2, 2, 2, 2)
+    assert loaded.input_size == 48  # 16·sqrt(fc_in/512): recorded by the fc
+    emb = jax.jit(
+        lambda v, x: loaded.model.apply(v, x, train=False)
+    )(loaded.variables, jnp.zeros((2, 48, 48, 3), jnp.float32))
+    assert emb.shape == (2, 32) and np.isfinite(np.asarray(emb)).all()
+
+    # misuse fails loudly: the Part-fViT-only surgery flags can't reach an
+    # iresnet (no landmark branch / no transformer)
+    for extra in (["--ssl-checkpoint", "/nonexistent.pth"],
+                  ["--landmark-checkpoint", "/nonexistent.pth"],
+                  ["--landmark-distill"],
+                  ["--head-name", "ArcFace"]):
+        monkeypatch.setattr(sys, "argv", argv + extra)
+        with pytest.raises(SystemExit):
+            train_supervised.main()
+
+
+def test_ssl_cli_use_bn_in_head(tmp_path, monkeypatch):
+    """--use-bn-in-head (lafs_train.py:53,350): the DINO head's BN layers
+    train through the CLI on the multi-device CPU mesh — the head's running
+    stats are created, synced over the data axis (SyncBN, lafs_train.py:
+    362-365), and checkpointed with the rest of the state."""
+    data_dir = str(tmp_path / "images")
+    rec_dir = str(tmp_path / "rec")
+    out = str(tmp_path / "ssl")
+    os.makedirs(data_dir)
+    _make_imagefolder(data_dir, n_ids=4, per=4)
+
+    from lafs_cvpr2024_tpu.cli import pack_dataset, train_ssl
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["pack", "--data-dir", data_dir, "--out", rec_dir, "--size", "48"],
+    )
+    pack_dataset.main()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "ssl",
+            "--data-path", rec_dir,
+            "--output-dir", out,
+            "--batch-size-per-chip", "1",
+            "--epochs", "1",
+            "--warmup-epochs", "0",
+            "--warmup-teacher-temp-epochs", "1",
+            "--dim", "32",
+            "--depth", "1",
+            "--heads", "2",
+            "--mlp-dim", "64",
+            "--num-patches", "36",
+            "--image-size", "48",
+            "--stn-mode", "small",
+            "--out-dim", "64",
+            "--head-hidden-dim", "32",
+            "--head-bottleneck-dim", "16",
+            "--use-bn-in-head",
+            "--local-crops-number", "2",
+            "--random-subset", "0",
+            "--workers", "2",
+        ],
+    )
+    train_ssl.main()
+
+    # eval restore drops the projection head AND its BN stats with it —
+    # and must not trip over the head-only stats tree (the Part-fViT
+    # teacher backbone has no BN of its own)
+    from lafs_cvpr2024_tpu.train.checkpoint import restore_eval_variables
+
+    variables, _ = restore_eval_variables(os.path.join(out, "ckpt"))
+    assert "batch_stats" not in variables
+    assert "transformer" in variables["params"]
+
+    # ...but the raw payload carries the head BN running stats (teacher's
+    # EMA-follow the student's), proving the flag reached the step
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(
+        os.path.abspath(os.path.join(out, "ckpt"))
+    ) as mgr:
+        raw = mgr.restore(mgr.latest_step())
+    stats = raw["stats"] if isinstance(raw, dict) else raw[6]
+    for who in ("student", "teacher"):
+        leaves = [
+            np.asarray(x)
+            for x in jax.tree_util.tree_leaves(stats[who]["head"])
+        ]
+        assert leaves and any(not np.allclose(v, 0) for v in leaves), who
