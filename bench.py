@@ -119,6 +119,120 @@ def measure(cfg, batch, tag):
     return b / dt / n_dev, dt * 1e3
 
 
+def measure_vanilla(cfg, batch, tag, device_aug=False):
+    """Vanilla pixel-crop SSL step (--arch vit_small surface,
+    lafs_train.py:34-37,743-788): 2 global pixel crops at image_size² +
+    N local at local_crop_size². ``device_aug`` measures the
+    fused-device-augmentation variant (uint8 frames in, 20-crop aug inside
+    the compiled step — ops/augment_device.vanilla_multicrop_device)."""
+    from dataclasses import replace
+
+    from jax.sharding import Mesh
+
+    from lafs_cvpr2024_tpu.train.ssl import (
+        create_ssl_state,
+        make_ssl_train_step,
+    )
+
+    cfg = replace(cfg, fused_device_aug=device_aug)
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    step = make_ssl_train_step(cfg, mesh, donate=True)
+
+    b = batch * n_dev
+    args = dict(
+        lr=jnp.float32(5e-4), wd=jnp.float32(0.04),
+        momentum=jnp.float32(0.996), teacher_temp=jnp.float32(0.04),
+        freeze_last=jnp.float32(1.0),
+    )
+    k = jax.random.PRNGKey(2)
+    if device_aug:
+        frames = jax.random.randint(
+            k, (b, cfg.model.image_size, cfg.model.image_size, 3), 0, 256,
+            jnp.uint8,
+        )
+        dummy = jnp.zeros((1,), jnp.float32)
+
+        def run(state):
+            return step(state, {}, frames, dummy, dummy, dummy, **args)
+    else:
+        gs = (2, b, cfg.model.image_size, cfg.model.image_size, 3)
+        ls = (cfg.local_crops_number, b, cfg.local_crop_size,
+              cfg.local_crop_size, 3)
+        glob = jax.random.uniform(k, gs, jnp.float32) * 2 - 1
+        loc = jax.random.uniform(k, ls, jnp.float32) * 2 - 1
+        dummy = jnp.zeros((1,), jnp.float32)
+
+        def run(state):
+            return step(state, {}, glob, dummy, loc, dummy, **args)
+
+    state, m = run(state)
+    float(m["loss"])
+    iters, windows = 10, 3
+    dts = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = run(state)
+        float(m["loss"])
+        dts.append((time.perf_counter() - t0) / iters)
+    dt = min(dts)
+    if max(dts) > 1.5 * dt:
+        print(f"[bench:{tag}] window variance (tunnel interference?): "
+              f"{[round(d * 1e3, 1) for d in dts]} ms/step, using best",
+              file=sys.stderr)
+    return b / dt / n_dev, dt * 1e3
+
+
+def measure_supervised(batch):
+    """Supervised CosFace train step on the flagship Part-fViT
+    (lafs_train-equivalent finetune surface), best-of-3 windows."""
+    from jax.sharding import Mesh
+
+    from lafs_cvpr2024_tpu.models.partfvit import PartFViTConfig
+    from lafs_cvpr2024_tpu.train.supervised import (
+        SupervisedConfig,
+        create_classifier,
+        create_state,
+        make_train_step,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("data", "model"))
+    cfg = SupervisedConfig(
+        model=PartFViTConfig(num_classes=205990, mlp_impl="fused_ln"),
+        compute_dtype=jnp.bfloat16,
+    )
+    state = jax.jit(
+        lambda r: create_state(cfg, r, sharded_classifier=False)
+    )(jax.random.PRNGKey(0))
+    w, w_opt = create_classifier(cfg, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, mesh)
+
+    b = batch * n_dev
+    k = jax.random.PRNGKey(2)
+    images = jax.random.uniform(k, (b, 112, 112, 3), jnp.float32) * 2 - 1
+    labels = jax.random.randint(k, (b,), 0, cfg.model.num_classes, jnp.int32)
+
+    state, w, w_opt, m = step(state, w, w_opt, images, labels, 1e-3)
+    float(m["loss"])
+    iters, windows = 10, 3
+    dts = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, w, w_opt, m = step(state, w, w_opt, images, labels, 1e-3)
+        float(m["loss"])
+        dts.append((time.perf_counter() - t0) / iters)
+    dt = min(dts)
+    if max(dts) > 1.5 * dt:
+        print(f"[bench:supervised] window variance: "
+              f"{[round(d * 1e3, 1) for d in dts]} ms/step, using best",
+              file=sys.stderr)
+    return b / dt / n_dev, dt * 1e3
+
+
 def utilization(cfg, batch, ms):
     """MFU vs the measured fat-GEMM peak, and fraction of the
     geometry-aware speed-of-light (attention FLOPs priced at the measured
@@ -174,25 +288,63 @@ def main():
           f"geometry-SoL {sol_b}; vit_s: {ips_s:.1f} imgs/s ({ms_s:.1f} ms), "
           f"mfu {mfu_s}, geometry-SoL {sol_s}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "SSL pretrain imgs/sec/chip (Part-fViT-B multi-crop, 2g+8l)",
-                "value": round(ips_b, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(ips_b / A100_SSL_IMGS_PER_SEC, 3),
-                "mfu": mfu_b,
-                "geometry_sol": sol_b,
-                "vit_s": {
-                    "metric": "SSL pretrain imgs/sec/chip (ViT-S north-star config)",
-                    "value": round(ips_s, 2),
-                    "vs_2x_a100": round(ips_s / (2 * A100_SSL_IMGS_PER_SEC), 3),
-                    "mfu": mfu_s,
-                    "geometry_sol": sol_s,
-                },
-            }
-        )
+    out = {
+        "metric": "SSL pretrain imgs/sec/chip (Part-fViT-B multi-crop, 2g+8l)",
+        "value": round(ips_b, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(ips_b / A100_SSL_IMGS_PER_SEC, 3),
+        "mfu": mfu_b,
+        "geometry_sol": sol_b,
+        "vit_s": {
+            "metric": "SSL pretrain imgs/sec/chip (ViT-S north-star config)",
+            "value": round(ips_s, 2),
+            "vs_2x_a100": round(ips_s / (2 * A100_SSL_IMGS_PER_SEC), 3),
+            "mfu": mfu_s,
+            "geometry_sol": sol_s,
+        },
+    }
+
+    # secondary surfaces (reference lafs_train.py:34-37 --arch vit_small
+    # pixel crops; supervised CosFace finetune). Failures here must not
+    # void the headline metric — report the error string instead.
+    cfg_vanilla = SSLConfig(
+        model=PartFViTConfig(
+            dim=384, depth=12, heads=6, dim_head=64, mlp_dim=1536,
+            num_patches=196, with_land=False, loss_type="None", num_classes=0,
+            image_size=112, patch_size=8,
+        ),
+        arch="vit_small", local_crop_size=48,
+        **common,
     )
+    try:
+        ips_v, ms_v = measure_vanilla(cfg_vanilla, 48, "vanilla")
+        ips_va, ms_va = measure_vanilla(
+            cfg_vanilla, 48, "vanilla+device_aug", device_aug=True
+        )
+        print(f"[bench] vanilla vit_s: {ips_v:.1f} imgs/s ({ms_v:.1f} ms); "
+              f"+device-aug: {ips_va:.1f} imgs/s ({ms_va:.1f} ms)",
+              file=sys.stderr)
+        out["vanilla_vit_s"] = {
+            "metric": "SSL pretrain imgs/sec/chip (vanilla --arch vit_small, "
+                      "pixel crops 2x112+8x48)",
+            "value": round(ips_v, 2),
+            "device_aug_value": round(ips_va, 2),
+        }
+    except Exception as e:  # pragma: no cover - defensive
+        out["vanilla_vit_s"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    try:
+        ips_sup, ms_sup = measure_supervised(64)
+        print(f"[bench] supervised part-fvit-b: {ips_sup:.1f} imgs/s "
+              f"({ms_sup:.1f} ms)", file=sys.stderr)
+        out["supervised"] = {
+            "metric": "supervised CosFace imgs/sec/chip (Part-fViT-B, "
+                      "205990 classes)",
+            "value": round(ips_sup, 2),
+        }
+    except Exception as e:  # pragma: no cover - defensive
+        out["supervised"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -65,6 +65,11 @@ def get_args():
     p.add_argument("--local-keep-landmarks", type=int, default=36,
                    help="landmarks kept per local crop (ran_sample, "
                         "ViT_face.py:1365-1367)")
+    p.add_argument("--glo-diff", action="store_true",
+                   help="differentiated global-crop landmarks: crop 1 keeps "
+                        "the clean landmarks, only crop 2 gets jitter + "
+                        "resample (utils.py:646, ViT_face.py:474-516); "
+                        "token path (partfvit arch) only")
     p.add_argument("--head-hidden-dim", type=int, default=2048,
                    help="DINO head MLP hidden width (vision_transformer.py:265)")
     p.add_argument("--head-bottleneck-dim", type=int, default=256)
@@ -259,6 +264,7 @@ def main():
         local_crops_number=args.local_crops_number,
         local_keep_landmarks=args.local_keep_landmarks,
         landmark_jitter_std=args.landmark_jitter_std,
+        glo_diff=args.glo_diff,
         global_crops_scale=tuple(args.global_crops_scale),
         local_crops_scale=tuple(args.local_crops_scale),
         clip_grad=args.clip_grad,

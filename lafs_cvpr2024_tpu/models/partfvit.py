@@ -134,11 +134,44 @@ class PartFViT(nn.Module):
         train: bool = False,
         return_tokens: bool = False,
         mask=None,
+        x_noaug=None,
+        random_prob: bool = False,
+        ran_sample: bool = False,
+        glo_diff: bool = False,
     ):
         """``mask``: optional (B, N) 0/1 array for the SimMIM masked-image-
         modeling path — masked patch embeddings are replaced by a learned
-        ``mask_token`` (reference ``ViT_face.py:947-951,1152-1156``)."""
+        ``mask_token`` (reference ``ViT_face.py:947-951,1152-1156``).
+
+        Global-token-variant call options (``ViT_face.py:421-518``, usable
+        on any ``with_land`` config):
+
+        - ``x_noaug``: landmarks AND the global token are predicted from
+          this clean view while patches are gathered from ``x`` (the
+          augmented view) — reference ``image_noaug`` (:429-431,515-518).
+        - ``random_prob``: ±N(0,2²)-px landmark jitter followed by a
+          random resample WITH replacement (:474-495); keeps 36 landmarks
+          when ``ran_sample`` else all ``num_patches`` (:487-492).
+        - ``glo_diff``: the batch is two global crops stacked along batch;
+          the FIRST half keeps the clean landmarks and only the second
+          half gets the ``random_prob`` treatment (:474-477,515-516).
+          ``glo_diff + ran_sample`` is refused: the reference's
+          ``torch.cat([theta0, theta])`` is shape-invalid there (196 vs
+          36 landmarks, :515).
+        """
         cfg = self.cfg
+        if (x_noaug is not None or random_prob or glo_diff) and not (
+            cfg.with_land and x.ndim == 4
+        ):
+            raise ValueError(
+                "x_noaug/random_prob/glo_diff require the with_land image "
+                "path (ViT_face.py:421 forward options)"
+            )
+        if glo_diff and ran_sample:
+            raise ValueError(
+                "glo_diff + ran_sample is shape-invalid in the reference "
+                "(ViT_face.py:515 torch.cat of 196- vs 36-landmark halves)"
+            )
         if cfg.with_land and cfg.use_standcoord:
             # in the reference these flags run SEQUENTIALLY — the standcoord
             # block re-gathers from the landmark block's already-gathered
@@ -157,7 +190,31 @@ class PartFViT(nn.Module):
             theta, pooled = LandmarkRegressor(
                 cfg.num_patches, cfg.bn_axis_name, cfg.stn_mode,
                 float(cfg.image_size - 1), name="landmark"
-            )(x, train)
+            )(x if x_noaug is None else x_noaug, train)
+            if random_prob:
+                b_img = theta.shape[0]
+                if glo_diff:
+                    if b_img % 2:
+                        raise ValueError(
+                            "glo_diff expects two global crops stacked "
+                            f"along batch (even batch, got {b_img})"
+                        )
+                    clean, noisy = theta[: b_img // 2], theta[b_img // 2:]
+                else:
+                    clean, noisy = None, theta
+                k_jit, k_idx = jax.random.split(self.make_rng("augment"))
+                # reference jitter is torch.randn*2 — std 2 px (:481)
+                noisy = noisy + 2.0 * jax.random.normal(k_jit, noisy.shape)
+                keep = 36 if ran_sample else cfg.num_patches
+                idx = jax.random.randint(
+                    k_idx, (noisy.shape[0], keep), 0, noisy.shape[1]
+                )
+                noisy = jnp.take_along_axis(noisy, idx[..., None], axis=1)
+                theta = (
+                    jnp.concatenate([clean, noisy], axis=0)
+                    if glo_diff
+                    else noisy
+                )
             tokens = patch_gather(x, theta, p, impl=cfg.gather_impl)
             if cfg.use_global_token:
                 h = nn.Dropout(0.5)(pooled, deterministic=not train)

@@ -36,6 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.heads import DINOHead
 from ..models.partfvit import LandmarkProvider, PartFViT, PartFViTConfig
+from ..ops.patch_gather import patch_gather
 from .losses import dino_loss
 from .optim import (
     AdamWState,
@@ -85,6 +86,12 @@ class SSLConfig:
     local_crops_number: int = 8
     local_keep_landmarks: int = 36
     landmark_jitter_std: float = 5.0
+    glo_diff: bool = False  # differentiated global-crop landmarks (the
+                            # reference global-token recipe, utils.py:646 →
+                            # ViT_face.py:474-516): global crop 1 keeps the
+                            # CLEAN landmarks, only crop 2 gets the jitter +
+                            # full-count resample-with-replacement. Token
+                            # path (partfvit arch) only.
     # crop scales for the fused device-aug path. NOTE the LAFS recipe draws
     # LOCAL crops from the GLOBAL scale (``lafs_train.py:852-858``) —
     # local_crops_scale applies to the VANILLA archs only
@@ -319,6 +326,12 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     if zero1 and not cfg.fused_tail:
         raise ValueError("zero1=True requires fused_tail=True (the sharded "
                          "update ships only in the fused tail)")
+    if cfg.glo_diff and vanilla:
+        raise ValueError(
+            "glo_diff differentiates LANDMARK treatment between the two "
+            "global crops (ViT_face.py:474-516) — only the token path "
+            f"(arch='partfvit') has landmarks; arch={cfg.arch!r} does not"
+        )
     if any_bn and multi and cfg.model.bn_axis_name is None:
         raise ValueError(
             f"{'arch ' + repr(cfg.arch) if has_bn else 'use_bn_in_head'} "
@@ -339,10 +352,29 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
         # globals: jitter only, keep all landmarks (Random_prob + return_prob)
         g_clean = glob_clean.reshape(2 * b, *glob_clean.shape[2:]).astype(ld)
         g_aug = glob_aug.reshape(2 * b, *glob_aug.shape[2:]).astype(ld)
-        _, g_tokens = provider.apply(
-            lvars, g_clean, x_aug=g_aug, rng=k1,
-            jitter_std=cfg.landmark_jitter_std,
-        )
+        if cfg.glo_diff:
+            # differentiated globals (utils.py:646 → ViT_face.py:474-516):
+            # crop 1 keeps the CLEAN landmarks; crop 2 gets jitter + a
+            # full-count resample WITH replacement. One stn forward for
+            # the stacked pair, then post-process the second half.
+            theta, _ = provider.apply(lvars, g_clean, return_land=True)
+            t1, t2 = theta[:b], theta[b:]
+            kj, ki = jax.random.split(k1)
+            t2 = t2 + cfg.landmark_jitter_std * jax.random.normal(
+                kj, t2.shape, dtype=t2.dtype
+            )
+            n_land = t2.shape[1]
+            idx = jax.random.randint(ki, (b, n_land), 0, n_land)
+            t2 = jnp.take_along_axis(t2, idx[..., None], axis=1)
+            g_tokens = patch_gather(
+                g_aug, jnp.concatenate([t1, t2], axis=0),
+                cfg.model.patch_size, impl=cfg.model.gather_impl,
+            )
+        else:
+            _, g_tokens = provider.apply(
+                lvars, g_clean, x_aug=g_aug, rng=k1,
+                jitter_std=cfg.landmark_jitter_std,
+            )
         # locals: jitter + keep 36 random landmarks (ran_sample=True)
         l_clean = loc_clean.reshape(L * b, *loc_clean.shape[2:]).astype(ld)
         l_aug = loc_aug.reshape(L * b, *loc_aug.shape[2:]).astype(ld)

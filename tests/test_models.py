@@ -140,3 +140,55 @@ def test_remat_policy_equivalence():
                 ),
                 g, gbase,
             )
+
+
+def test_partfvit_global_token_call_options():
+    """glo_diff / random_prob / ran_sample / x_noaug call options
+    (ViT_face.py:421-518): glo_diff keeps the FIRST global crop's landmarks
+    clean and only jitters+resamples the second; x_noaug predicts landmarks
+    on the clean view while gathering patches from the augmented one."""
+    import functools
+
+    cfg = PartFViTConfig(
+        image_size=48, dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+        num_patches=36, num_classes=0, loss_type="None", with_land=True,
+        stn_mode="small", use_global_token=True,
+    )
+    m = PartFViT(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 48, 48, 3)), jnp.float32)
+    xa = jnp.asarray(rng.uniform(-1, 1, (4, 48, 48, 3)), jnp.float32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+
+    @functools.partial(jax.jit, static_argnames=("rp", "rs", "gd", "rt"))
+    def fwd(v, x, xn=None, rp=False, rs=False, gd=False, rt=False, key=None):
+        return m.apply(
+            v, x, x_noaug=xn, random_prob=rp, ran_sample=rs, glo_diff=gd,
+            train=False, return_tokens=rt,
+            rngs={"augment": key} if key is not None else None,
+        )
+
+    # x_noaug changes the landmark/global-token branch input
+    e_noaug = fwd(v, xa, x)
+    e_plain = fwd(v, x)
+    assert e_noaug.shape == (4, 32)
+    assert float(jnp.abs(e_noaug - e_plain).max()) > 1e-6
+
+    # glo_diff: first half clean, second half jittered+resampled
+    k = jax.random.PRNGKey(3)
+    _, _, theta = fwd(v, x, rp=True, gd=True, rt=True, key=k)
+    _, _, theta_clean = fwd(v, x, rt=True)
+    assert np.allclose(np.asarray(theta[:2]), np.asarray(theta_clean[:2]))
+    assert not np.allclose(np.asarray(theta[2:]), np.asarray(theta_clean[2:]))
+
+    # ran_sample keeps 36 of num_patches (here num_patches==36: shape holds)
+    _, toks, _ = fwd(v, x, rp=True, rs=True, rt=True, key=k)
+    assert toks.shape[1] == 36
+
+    # invalid combinations refuse loudly
+    with pytest.raises(ValueError):
+        fwd(v, x, rp=True, rs=True, gd=True, key=k)
+    with pytest.raises(ValueError):
+        fwd(v, jnp.zeros((4, 36, 192)), gd=True)
+    with pytest.raises(ValueError):  # odd batch cannot be two stacked crops
+        fwd(v, x[:3], rp=True, gd=True, key=k)

@@ -357,6 +357,54 @@ def test_global_token_variant_parity(ref):
     assert cos.min() >= 1 - 1e-3, cos
 
 
+def test_global_token_image_noaug_parity(ref):
+    """The ``image_noaug`` call option of the global-token variant
+    (``ViT_face.py:421,429-431,515-518``): landmarks AND the global token
+    come from the CLEAN view, patches are gathered from the AUGMENTED view.
+    Deterministic (no Random_prob), so torch and flax must agree exactly."""
+    torch.manual_seed(11)
+    tm = ref.ViT_face_landmark_patch8_global(
+        loss_type="None", GPU_ID=None, num_class=0, image_size=112,
+        patch_size=8, dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP,
+    ).eval()
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+    cfg = PartFViTConfig(
+        dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP, num_classes=0,
+        with_land=True, use_global_token=True, loss_type="None",
+    )
+    model, variables, _ = _flax_variables(cfg, tm.state_dict())
+
+    rng = np.random.default_rng(12)
+    # INDEPENDENT views: with aug ≈ clean + ε the landmark branch damps the
+    # delta below float32 noise and the differs-from-aug-only check below
+    # can't distinguish "branch ran" from "branch skipped"
+    clean = rng.uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    aug = rng.uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(aug), image_noaug=torch.from_numpy(clean))
+        emb_t = (out_t[0] if isinstance(out_t, tuple) else out_t).numpy()
+    emb_j = np.asarray(
+        jax.jit(lambda v, a, c: model.apply(v, a, x_noaug=c, train=False))(
+            variables,
+            jnp.asarray(aug.transpose(0, 2, 3, 1)),
+            jnp.asarray(clean.transpose(0, 2, 3, 1)),
+        )
+    )
+    cos = _cosine_rows(emb_t, emb_j)
+    assert cos.min() >= 1 - 1e-3, cos
+    # NOTE: a differs-from-aug-only check is NOT possible here — at random
+    # init the torch reference's stn pooled features are ~5e-9 (hardswish
+    # tail), so landmarks/global token are input-independent in BOTH
+    # frameworks (measured: torch emb delta 4.8e-7 between noaug and plain).
+    # The x_noaug wiring's input-sensitivity is asserted in
+    # tests/test_models.py::test_partfvit_global_token_call_options.
+
+
 def test_iresnet_parity(ref):
     """iResNet-18, canonical insightface head (``iresnet.py:136-229``,
     class IResNet): BN-first blocks, PReLU, NCHW-flatten fc, frozen-scale

@@ -461,3 +461,27 @@ def test_use_bn_in_head_step(arch):
         expect = 0.99 * np.asarray(old) + 0.01 * np.asarray(new)
         np.testing.assert_allclose(np.asarray(tea), expect, rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_glo_diff_step_and_vanilla_refusal():
+    """cfg.glo_diff (utils.py:646 → ViT_face.py:474-516): the step runs and
+    trains; the vanilla archs refuse the flag loudly (no landmarks there)."""
+    from dataclasses import replace
+
+    cfg = replace(TINY, glo_diff=True)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
+    step = make_ssl_train_step(cfg, mesh)
+    gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+    state, metrics = step(
+        state, land, gc, ga, lc, la, jnp.float32(1e-3), jnp.float32(0.04),
+        jnp.float32(0.99), jnp.float32(0.04), jnp.float32(0.0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+    with pytest.raises(ValueError, match="glo_diff"):
+        make_ssl_train_step(
+            replace(cfg, arch="vit_tiny", local_crop_size=24), mesh
+        )
