@@ -80,6 +80,12 @@ K_SHOT = _flag("--k-shot", 2, int)
 FT_LR = _flag("--ft-lr", 1e-3)
 MARGIN = _flag("--margin", 0.05)
 EVAL_EVERY = _flag("--eval-every", 30, int)
+# 'bin' = verification-pair accuracy (perform_val); 'ijb' = the IJB
+# TEMPLATE protocol (media/template aggregation + TPR@FPR,
+# eval/ijb.run_ijb_protocol) on held-out UNSEEN identities —
+# the full synthetic replication chain of README.md:96-97
+PROTOCOL = _flag("--protocol", "bin", str)
+N_EVAL_IDS = _flag("--eval-ids", 32, int)
 B = 32
 
 # backbone shared by both stages: same transformer tree; the SSL stage
@@ -159,10 +165,92 @@ def build_eval(bases):
     return val, issame
 
 
-def finetune(teacher_backbone, bases, val, issame, tag):
+def build_eval_ijb():
+    """Synthetic IJB-style template protocol over UNSEEN identities.
+
+    Mirrors the real protocol's structure (IJB_evaluation.py:501-567,
+    784-827): per identity 4 templates; each template = one 3-frame
+    "video" media (three hard crops of the SAME sample — near-duplicates
+    that media-averaging must keep from dominating the template sum) +
+    one "still" media (a different sample). Genuine pairs = all template
+    pairs within an identity; impostors sampled across identities.
+
+    Returns (images_u8, templates, medias, p1, p2, labels)."""
+    er = np.random.default_rng(9)
+    eval_bases = make_bases(er, N_EVAL_IDS)
+    per_id_templates = 4
+    imgs, templates, medias = [], [], []
+    tid, mid = 0, 0
+    for i in range(N_EVAL_IDS):
+        for _ in range(per_id_templates):
+            video = np.clip(
+                eval_bases[i] + er.normal(0, 0.05, eval_bases[i].shape), 0, 1
+            )
+            for _ in range(3):  # frames: crops of the SAME sample
+                imgs.append(hard_crop(er, video))
+                templates.append(tid)
+                medias.append(mid)
+            mid += 1
+            still = np.clip(
+                eval_bases[i] + er.normal(0, 0.05, eval_bases[i].shape), 0, 1
+            )
+            imgs.append(hard_crop(er, still))
+            templates.append(tid)
+            medias.append(mid)
+            mid += 1
+            tid += 1
+    images = np.stack(imgs)
+    templates = np.asarray(templates)
+    medias = np.asarray(medias)
+
+    # pairs over template ids (template t belongs to identity t // 4)
+    p1, p2, labels = [], [], []
+    for i in range(N_EVAL_IDS):  # genuine: all within-id template pairs
+        base = i * per_id_templates
+        for a in range(per_id_templates):
+            for b in range(a + 1, per_id_templates):
+                p1.append(base + a)
+                p2.append(base + b)
+                labels.append(1)
+    for i in range(N_EVAL_IDS):  # impostors: 4 per id pair
+        for j in range(i + 1, N_EVAL_IDS):
+            for _ in range(4):
+                p1.append(i * per_id_templates + er.integers(per_id_templates))
+                p2.append(j * per_id_templates + er.integers(per_id_templates))
+                labels.append(0)
+    return (images, templates, medias, np.asarray(p1), np.asarray(p2),
+            np.asarray(labels))
+
+
+def ijb_tpr(embed, variables, ijb_data, fpr_target=1e-2):
+    """TPR@FPR for one model on the synthetic template protocol, with
+    orig+flip fusion like the real pipeline (IJB_evaluation.py:725-749)."""
+    from lafs_cvpr2024_tpu.eval.ijb import run_ijb_protocol
+
+    images, templates, medias, p1, p2, labels = ijb_data
+    feats = []
+    for flip in (False, True):
+        ims = images[:, :, ::-1] if flip else images
+        x = ims.astype(np.float32) / 255.0 * 2 - 1
+        pad = (-len(x)) % 128  # one static batch shape -> one compile
+        if pad:
+            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+        x = jnp.asarray(x)
+        out = []
+        for s in range(0, len(x), 128):
+            out.append(np.asarray(embed(variables, x[s:s + 128])))
+        feats.append(np.concatenate(out)[:len(images)])
+    img_feats = np.concatenate(feats, axis=1)  # (N, 2D) [orig | flip]
+    table = run_ijb_protocol(img_feats, templates, medias, p1, p2, labels)
+    return table[fpr_target]
+
+
+def finetune(teacher_backbone, bases, val, issame, tag, ijb_data=None):
     """One supervised CosFace finetune on the K_SHOT labeled subset; returns
-    BEST held-out verification accuracy over the run (eval every EVAL_EVERY
-    steps). `teacher_backbone=None` = scratch."""
+    BEST held-out metric over the run (eval every EVAL_EVERY steps):
+    verification accuracy (bin protocol) or TPR@FPR=1e-2 on the synthetic
+    IJB template protocol when ``ijb_data`` is given.
+    `teacher_backbone=None` = scratch."""
     cfg = SupervisedConfig(
         model=PartFViTConfig(**_MODEL, with_land=False, use_standcoord=True,
                              num_classes=N_IDS),
@@ -195,6 +283,8 @@ def finetune(teacher_backbone, bases, val, issame, tag):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        if ijb_data is not None:
+            return ijb_tpr(embed, variables, ijb_data)
         res = perform_val(
             lambda b: embed(variables, jnp.asarray((b + 0.5) * 2 - 1)),
             val, issame, batch_size=96, input_scale="half",
@@ -221,17 +311,21 @@ def finetune(teacher_backbone, bases, val, issame, tag):
 
 
 def main():
+    assert PROTOCOL in ("bin", "ijb"), f"--protocol bin|ijb, got {PROTOCOL!r}"
     t0 = time.perf_counter()
     teacher, bases = ssl_pretrain()
     val, issame = build_eval(bases)
-    acc_ssl = finetune(teacher, bases, val, issame, "ft-ssl")
-    acc_scratch = finetune(None, bases, val, issame, "ft-scratch")
+    ijb_data = build_eval_ijb() if PROTOCOL == "ijb" else None
+    acc_ssl = finetune(teacher, bases, val, issame, "ft-ssl", ijb_data)
+    acc_scratch = finetune(None, bases, val, issame, "ft-scratch", ijb_data)
+    metric = ("TPR@FPR=1e-2 (IJB template protocol, unseen ids)"
+              if PROTOCOL == "ijb" else "verification accuracy")
     print(f"total {time.perf_counter() - t0:.1f}s")
     print(f"SSL-init best {acc_ssl:.3f} vs scratch best {acc_scratch:.3f} "
-          f"(assert SSL >= scratch + {MARGIN})")
-    ok = acc_ssl >= acc_scratch + MARGIN
-    print("LAFS HANDOFF ASSERTION:", "PASS" if ok else "FAIL")
-    sys.exit(0 if ok else 1)
+          f"[{metric}] (assert SSL >= scratch + {MARGIN})")
+    print("LAFS HANDOFF ASSERTION:", "PASS" if acc_ssl >= acc_scratch + MARGIN
+          else "FAIL")
+    sys.exit(0 if acc_ssl >= acc_scratch + MARGIN else 1)
 
 
 if __name__ == "__main__":
