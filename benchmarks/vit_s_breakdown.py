@@ -13,6 +13,12 @@ each isolated by one config/recipe toggle against the same baseline:
   dense      mlp_impl='dense'                  (pallas fused_ln win at 384?)
   tailsep    fused_tail=False                  (fused-tail win at this size)
   b64drop0   batch 64 + dropout0               (fixed-overhead amortization)
+  randcoor   random_coor=True                  (landmark-CNN share; the
+                                               patch gather still runs —
+                                               ViT_face.py:1391-1400)
+  floor      drop0+head4k+randcoor             (additivity check: the step
+                                               stripped of every attributed
+                                               non-floor cost at once)
 
 Prints one line per variant with ms/step, imgs/s, and delta vs base.
 Run on the real chip: python benchmarks/vit_s_breakdown.py
@@ -49,7 +55,7 @@ WINDOWS = int(_flag("--windows", 3))
 
 
 def north_star(batch=32, out_dim=100000, drop=True, teacher16=False,
-               mlp_impl="fused_ln", fused_tail=True):
+               mlp_impl="fused_ln", fused_tail=True, random_coor=False):
     model = dict(
         dim=384, depth=12, heads=6, dim_head=64, mlp_dim=1536,
         num_patches=196, with_land=False, loss_type="None", num_classes=0,
@@ -67,6 +73,7 @@ def north_star(batch=32, out_dim=100000, drop=True, teacher16=False,
         moment_dtype=jnp.bfloat16,
         teacher_dtype=jnp.bfloat16 if teacher16 else jnp.float32,
         fused_tail=fused_tail,
+        random_coor=random_coor,
     ), batch
 
 
@@ -107,6 +114,8 @@ def main():
         ("dense", north_star(mlp_impl="dense")),
         ("tailsep", north_star(fused_tail=False)),
         ("b64drop0", north_star(batch=64, drop=False)),
+        ("randcoor", north_star(random_coor=True)),
+        ("floor", north_star(out_dim=4096, drop=False, random_coor=True)),
     ]
     base_ms = None
     for tag, (cfg, batch) in variants:

@@ -70,6 +70,11 @@ def get_args():
                         "the clean landmarks, only crop 2 gets jitter + "
                         "resample (utils.py:646, ViT_face.py:474-516); "
                         "token path (partfvit arch) only")
+    p.add_argument("--random-coor", action="store_true",
+                   help="uniform-random landmark coordinates instead of the "
+                        "CNN's (ViT_face.py:1391-1400; the reference "
+                        "hard-codes random_coor=False at "
+                        "lafs_train.py:535-565); token path only")
     p.add_argument("--head-hidden-dim", type=int, default=2048,
                    help="DINO head MLP hidden width (vision_transformer.py:265)")
     p.add_argument("--head-bottleneck-dim", type=int, default=256)
@@ -265,6 +270,7 @@ def main():
         local_keep_landmarks=args.local_keep_landmarks,
         landmark_jitter_std=args.landmark_jitter_std,
         glo_diff=args.glo_diff,
+        random_coor=args.random_coor,
         global_crops_scale=tuple(args.global_crops_scale),
         local_crops_scale=tuple(args.local_crops_scale),
         clip_grad=args.clip_grad,

@@ -92,6 +92,13 @@ class SSLConfig:
                             # CLEAN landmarks, only crop 2 gets the jitter +
                             # full-count resample-with-replacement. Token
                             # path (partfvit arch) only.
+    random_coor: bool = False  # uniform-random landmark coordinates instead
+                               # of the CNN's (ViT_face.py:1391-1400). The
+                               # reference inner loop hard-codes
+                               # random_coor=False at lafs_train.py:535-565 —
+                               # promoted to config per SURVEY §5. Skips the
+                               # landmark CNN forward entirely; the patch
+                               # gather still runs. Token path only.
     # crop scales for the fused device-aug path. NOTE the LAFS recipe draws
     # LOCAL crops from the GLOBAL scale (``lafs_train.py:852-858``) —
     # local_crops_scale applies to the VANILLA archs only
@@ -332,6 +339,20 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             "global crops (ViT_face.py:474-516) — only the token path "
             f"(arch='partfvit') has landmarks; arch={cfg.arch!r} does not"
         )
+    if cfg.random_coor and vanilla:
+        raise ValueError(
+            "random_coor replaces the landmark CNN's coordinates "
+            "(ViT_face.py:1391-1400) — only the token path "
+            f"(arch='partfvit') has a landmark branch; arch={cfg.arch!r} "
+            "does not"
+        )
+    if cfg.random_coor and cfg.glo_diff:
+        raise ValueError(
+            "random_coor and glo_diff are mutually exclusive: glo_diff "
+            "differentiates the CNN-PREDICTED landmarks between the two "
+            "global crops (ViT_face.py:474-516); with uniform-random "
+            "coordinates there is nothing to differentiate"
+        )
     if any_bn and multi and cfg.model.bn_axis_name is None:
         raise ValueError(
             f"{'arch ' + repr(cfg.arch) if has_bn else 'use_bn_in_head'} "
@@ -374,6 +395,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             _, g_tokens = provider.apply(
                 lvars, g_clean, x_aug=g_aug, rng=k1,
                 jitter_std=cfg.landmark_jitter_std,
+                random_coor=cfg.random_coor,
             )
         # locals: jitter + keep 36 random landmarks (ran_sample=True)
         l_clean = loc_clean.reshape(L * b, *loc_clean.shape[2:]).astype(ld)
@@ -382,6 +404,7 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
             lvars, l_clean, x_aug=l_aug, rng=k2,
             jitter_std=cfg.landmark_jitter_std,
             ran_sample=cfg.local_keep_landmarks,
+            random_coor=cfg.random_coor,
         )
         return jax.lax.stop_gradient(g_tokens), jax.lax.stop_gradient(l_tokens)
 

@@ -485,3 +485,38 @@ def test_glo_diff_step_and_vanilla_refusal():
         make_ssl_train_step(
             replace(cfg, arch="vit_tiny", local_crop_size=24), mesh
         )
+
+
+def test_random_coor_step_and_refusals():
+    """cfg.random_coor (ViT_face.py:1391-1400; the reference hard-codes it
+    False in the inner loop, lafs_train.py:535-565): the step runs with
+    uniform-random landmark coordinates (no landmark-CNN forward), trains,
+    and the flag refuses the vanilla archs and the glo_diff combination."""
+    from dataclasses import replace
+
+    cfg = replace(TINY, random_coor=True)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
+    step = make_ssl_train_step(cfg, mesh)
+    gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+    before = state.student["backbone"]["transformer"]
+    state, metrics = step(
+        state, land, gc, ga, lc, la, jnp.float32(1e-3), jnp.float32(0.04),
+        jnp.float32(0.99), jnp.float32(0.04), jnp.float32(0.0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    after = state.student["backbone"]["transformer"]
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(after))
+    ), "student did not train under random_coor"
+
+    with pytest.raises(ValueError, match="random_coor"):
+        make_ssl_train_step(
+            replace(cfg, arch="vit_tiny", local_crop_size=24), mesh
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_ssl_train_step(replace(cfg, glo_diff=True), mesh)
