@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import jax
@@ -78,6 +79,12 @@ def get_args():
                    help="FaceDataset_syn_aug preset (image_iter.py:584-604): "
                         "random JPEG-compress/blur/down-up/grayscale "
                         "degradations composed into the host augmentation")
+    p.add_argument("--flip-only", action="store_true",
+                   help="flip augmentation ONLY (reference README.md:83-84: "
+                        "random_resizecrop=False, rand_au=False): random "
+                        "mirror is the sole augmentation, host or "
+                        "--device-aug path alike. The README's recipe also "
+                        "sets mixup off — pass --mixup-prob 0.0 with it")
     p.add_argument("--mixup", type=float, default=0.2)
     p.add_argument("--mixup-prob", type=float, default=0.1)
     p.add_argument("--partition", type=float, default=None, help="few-shot fraction")
@@ -195,11 +202,24 @@ def main():
     # pipeline runs inside the compiled step
     if args.syn_aug and args.device_aug:
         raise SystemExit("--syn-aug is a host pipeline; drop --device-aug")
-    aug = None if args.device_aug else (
-        SupervisedAugment.syn(size=args.image_size)
-        if args.syn_aug
-        else SupervisedAugment(config_str=args.rand_aug, size=args.image_size)
-    )
+    if args.flip_only and args.syn_aug:
+        raise SystemExit("--flip-only removes the augmentations --syn-aug "
+                         "adds; pick one")
+    if args.flip_only:
+        aug = None if args.device_aug else SupervisedAugment(
+            rand_au=False, random_resizecrop=False, size=args.image_size
+        )
+    else:
+        aug = None if args.device_aug else (
+            SupervisedAugment.syn(size=args.image_size)
+            if args.syn_aug
+            else SupervisedAugment(config_str=args.rand_aug,
+                                   size=args.image_size)
+        )
+    if args.flip_only and args.mixup_prob > 0:
+        print("[train_supervised] NOTE: --flip-only with mixup prob "
+              f"{args.mixup_prob} — the reference's flip-only recipe also "
+              "disables mixup (--mixup-prob 0.0)", file=sys.stderr)
     if os.path.isfile(rec_file):
         num_classes, h, w = read_property(args.data_root)
         dataset = FaceRecordDataset(
@@ -281,6 +301,7 @@ def main():
         fused_device_aug=args.device_aug,
         input_scale=None if args.device_aug else "unit",
         rand_aug=args.rand_aug,
+        flip_only=args.flip_only,
         landmark_distill=args.landmark_distill,
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
         zero1=args.zero1,

@@ -342,25 +342,43 @@ def supervised_augment_device(
     crop_scale: Tuple[float, float] = (0.9, 1.0),
     jitter: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 0.1),
     erasing: bool = True,
+    rand_au: bool = True,
+    resize_crop: bool = True,
 ):
     """The full SupervisedAugment pipeline on device: mirror → RandAugment →
     RandomResizedCrop(0.9-1.0) → ColorJitter(0.1) → RandomErasing →
     x·2 − 1 (train normalization). Input (B, H, W, 3) uint8 RGB; output
-    (B, S, S, 3) float32 in [−1, 1]."""
+    (B, S, S, 3) float32 in [−1, 1].
+
+    ``rand_au=False, resize_crop=False`` is the reference README's
+    "flip augmentation only" recipe (README.md:83-84: disable
+    random_resizecrop and rand_au in FaceDataset) — crop/jitter/erasing
+    are gated by ``resize_crop`` exactly like the host transform gates
+    its Compose on ``random_resizecrop`` (image_iter.py:210-220)."""
     from .augment_device import (
         color_jitter_batch,
         random_flip_batch,
         random_resized_crop_batch,
     )
 
+    if not resize_crop and images_uint8.shape[1] != out_size:
+        raise ValueError(
+            "resize_crop=False keeps the native frame size "
+            f"{images_uint8.shape[1]}² but the model expects {out_size}² — "
+            "pre-size the frames or enable resize_crop"
+        )
     k_f, k_ra, k_rc, k_cj, k_er = jax.random.split(key, 5)
     x = images_uint8.astype(jnp.float32) / 255.0
     if mirror:
         x = random_flip_batch(k_f, x, p=0.5)
-    x = rand_augment_batch(k_ra, x, ra)
-    x = jnp.clip(random_resized_crop_batch(k_rc, x, out_size, crop_scale), 0.0, 1.0)
-    if any(jitter):
-        x = color_jitter_batch(k_cj, x, *jitter)
-    if erasing:
-        x = random_erasing_batch(k_er, x)
+    if rand_au:
+        x = rand_augment_batch(k_ra, x, ra)
+    if resize_crop:
+        x = jnp.clip(
+            random_resized_crop_batch(k_rc, x, out_size, crop_scale), 0.0, 1.0
+        )
+        if any(jitter):
+            x = color_jitter_batch(k_cj, x, *jitter)
+        if erasing:
+            x = random_erasing_batch(k_er, x)
     return x * 2.0 - 1.0

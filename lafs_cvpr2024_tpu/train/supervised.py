@@ -78,6 +78,13 @@ class SupervisedConfig:
                                     # run INSIDE the step (host-immune input
                                     # pipeline, like the SSL fused-aug path)
     rand_aug: str = "rand-m1-mstd0.5-inc1"  # device RandAugment policy
+    flip_only: bool = False  # the reference README's flip-augmentation-only
+                             # recipe (README.md:83-84): random mirror is the
+                             # ONLY augmentation — no RandAugment, no
+                             # crop/jitter/erasing. Device-aug path; the host
+                             # path gets the same via SupervisedAugment(
+                             # rand_au=False, random_resizecrop=False).
+                             # Pair with mixup prob 0.0 per the README.
     input_scale: Any = None  # 'unit' (x/255·2−1) or 'half' (x/255−0.5):
                              # images arrive RAW uint8 and are scaled ON
                              # DEVICE — 4× less host→device transfer than
@@ -524,7 +531,9 @@ def make_train_step(
             mrng, krng, drng, arng = jax.random.split(mrng, 4)
             if cfg.fused_device_aug:
                 imgs = supervised_augment_device(
-                    arng, imgs, out_size=cfg.model.image_size, ra=ra_cfg
+                    arng, imgs, out_size=cfg.model.image_size, ra=ra_cfg,
+                    rand_au=not cfg.flip_only,
+                    resize_crop=not cfg.flip_only,
                 )
             elif cfg.input_scale is not None:
                 imgs = scale_uint8(imgs, cfg.input_scale)

@@ -193,6 +193,29 @@ def test_supervised_augment():
     assert out.shape == (112, 112, 3) and out.dtype == np.uint8
 
 
+def test_flip_only_augment():
+    """Flip-only recipe (reference README.md:83-84: rand_au=False,
+    random_resizecrop=False): the output is byte-exactly the input or its
+    mirror, nothing else."""
+    import random as _random
+
+    arr = np.random.default_rng(1).integers(0, 255, (112, 112, 3),
+                                            dtype=np.uint8)
+    aug = SupervisedAugment(rand_au=False, random_resizecrop=False)
+    _random.seed(0)
+    outcomes = set()
+    for _ in range(16):
+        out = aug(arr)
+        if np.array_equal(out, arr):
+            outcomes.add("same")
+        elif np.array_equal(out, arr[:, ::-1]):
+            outcomes.add("mirror")
+        else:
+            raise AssertionError("flip-only output is neither identity "
+                                 "nor mirror")
+    assert outcomes == {"same", "mirror"}
+
+
 def test_syn_aug_preset():
     """FaceDataset_syn_aug preset (image_iter.py:584-604): degradations
     compose, shapes/dtype stable, and the degrade stage actually fires."""

@@ -177,3 +177,32 @@ def test_supervised_augment_device_pipeline(imgs):
     out = np.asarray(out)
     assert out.shape == (4, 48, 48, 3)
     assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_supervised_augment_device_flip_only(imgs):
+    """rand_au=False, resize_crop=False (the reference README's flip-only
+    recipe, README.md:83-84): every output is EXACTLY the normalized input
+    or its mirror — no other op may touch the pixels; both outcomes occur
+    over a batch; the native-size guard refuses a size mismatch."""
+    import pytest
+
+    out = np.asarray(jax.jit(
+        lambda k, x: supervised_augment_device(
+            k, x, out_size=64, rand_au=False, resize_crop=False
+        )
+    )(jax.random.PRNGKey(5), jnp.asarray(imgs)))
+    ref = imgs.astype(np.float32) / 255.0 * 2.0 - 1.0
+    flips = []
+    for i in range(len(imgs)):
+        same = np.allclose(out[i], ref[i], atol=1e-6)
+        mirrored = np.allclose(out[i], ref[i][:, ::-1], atol=1e-6)
+        assert same or mirrored, f"image {i} is neither identity nor mirror"
+        flips.append(mirrored and not same)
+    assert any(flips) and not all(flips), (
+        "expected a mix of flipped/unflipped over the batch; re-seed"
+    )
+    with pytest.raises(ValueError, match="native frame size"):
+        supervised_augment_device(
+            jax.random.PRNGKey(0), jnp.asarray(imgs), out_size=48,
+            rand_au=False, resize_crop=False,
+        )
