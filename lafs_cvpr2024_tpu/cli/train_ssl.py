@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import jax
@@ -103,6 +104,12 @@ def get_args():
                         "the EMA — optim.stochastic_round)")
     p.add_argument("--mlp-dim", type=int, default=2048)
     p.add_argument("--num-patches", type=int, default=196)
+    p.add_argument("--patch-size", type=int, default=8,
+                   help="patch size in px (lafs_train.py:39-44): landmark "
+                        "window for the token path, ViT patch for vit_*, "
+                        "unfold stride for overlap")
+    p.add_argument("--drop-path-rate", type=float, default=0.1,
+                   help="stochastic depth rate (lafs_train.py:94)")
     p.add_argument("--image-size", type=int, default=112)
     p.add_argument("--stn-mode", default="large", choices=["large", "small"])
     p.add_argument("--random-subset", type=float, default=0.4,
@@ -113,6 +120,13 @@ def get_args():
                         "only); resume is EXACT mid-epoch (sampler order is "
                         "a pure function of seed+epoch)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "sgd", "lars"],
+                   help="lafs_train.py:92-93: 'adamw with ViTs'; SGD "
+                        "momentum 0.9; 'lars ... with convnet and large "
+                        "batches' (e.g. --arch mobile_dino). sgd/lars run "
+                        "the separate-pass update tail (fused AdamW tail "
+                        "and --zero1 are AdamW-only)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1 optimizer-state sharding: AdamW moments "
                         "live 1/n_data per chip (psum_scatter grads, "
@@ -188,7 +202,10 @@ def main():
         }
         if args.arch == "overlap":
             _ignored = {}  # OverlapViT consumes the full model config
-        elif args.arch != "mobile_dino":  # vit_*: stn-mode is meaningless too
+        elif args.arch == "mobile_dino":  # no transformer: patch/droppath too
+            _ignored["patch_size"] = 8
+            _ignored["drop_path_rate"] = 0.1
+        else:  # vit_*: stn-mode is meaningless too
             _ignored["stn_mode"] = "large"
         for name, default in _ignored.items():
             if getattr(args, name, default) != default:
@@ -256,6 +273,7 @@ def main():
             dim_head=args.dim_head, mlp_dim=args.mlp_dim,
             num_patches=args.num_patches, with_land=False, loss_type="None",
             num_classes=0, image_size=args.image_size, stn_mode=args.stn_mode,
+            patch_size=args.patch_size, drop_path_rate=args.drop_path_rate,
             mlp_impl=resolve_mlp_impl(args.mlp_impl),
             attn_impl=args.attn_impl, bn_axis_name=bn_axis,
         ),
@@ -279,7 +297,18 @@ def main():
         moment_dtype=jnp.bfloat16 if args.moment_dtype == "bfloat16" else jnp.float32,
         teacher_dtype=jnp.bfloat16 if args.teacher_dtype == "bfloat16" else jnp.float32,
         zero1=args.zero1,
+        optimizer=args.optimizer,
+        # the fused clip+AdamW+EMA tail ships AdamW math only; sgd/lars
+        # take the separate-pass tail (make_ssl_train_step refuses the
+        # combination, so flip it here instead of at the user)
+        fused_tail=args.optimizer == "adamw",
     )
+    if args.optimizer != "adamw":
+        if args.zero1:
+            raise SystemExit("--zero1 shards AdamW moments; drop it or use "
+                             "--optimizer adamw")
+        print(f"[train_ssl] --optimizer {args.optimizer}: separate-pass "
+              "update tail (the fused tail is AdamW-only)", file=sys.stderr)
     if not vanilla and tuple(args.local_crops_scale) != (0.05, 0.4):
         # no silently-ignored argument: LAFS draws LOCAL crops from the
         # GLOBAL scale on every path (lafs_train.py:852-858) — the flag

@@ -322,6 +322,40 @@ def lars_update(
     return new_params, LARSState(new_mu)
 
 
+class SGDState(NamedTuple):
+    mu: Any
+
+
+def sgd_init(params) -> SGDState:
+    return SGDState(mu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+
+def sgd_update(
+    grads, state: SGDState, params, lr, wd=0.0, momentum=0.9,
+    wd_scale_tree=None,
+):
+    """``torch.optim.SGD(momentum=0.9)`` semantics (the reference's
+    ``--optimizer sgd`` branch, ``lafs_train.py:401-402``): L2 weight decay
+    folded into the gradient (``d = g + wd·p``), momentum buffer
+    ``mu = m·mu + d`` (dampening 0, no nesterov), update ``p −= lr·mu``.
+    A zero-initialized buffer makes step 1 equal torch's lazily-created
+    ``buf = d``. ``wd_scale_tree`` carries the DINO no-WD mask for
+    bias/1-D params (``utils.py:662-673``)."""
+    wscale = (wd_scale_tree if wd_scale_tree is not None
+              else jax.tree_util.tree_map(lambda _: 1.0, params))
+
+    def upd(p, g, m, ws):
+        d = g + wd * ws * p
+        m_new = momentum * m + d
+        return p - lr * m_new, m_new
+
+    flat = jax.tree_util.tree_map(upd, params, grads, state.mu, wscale)
+    is_pair = lambda t: isinstance(t, tuple)
+    new_params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=is_pair)
+    new_mu = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=is_pair)
+    return new_params, SGDState(new_mu)
+
+
 def clip_grads_per_param(grads, clip: float):
     """DINO-style per-parameter norm clip (``utils.py:132-141``): each leaf
     whose 2-norm exceeds ``clip`` is scaled down to it."""

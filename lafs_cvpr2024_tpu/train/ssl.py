@@ -46,6 +46,10 @@ from .optim import (
     dino_wd_mask,
     ema_update,
     fused_adamw_ema_update,
+    lars_init,
+    lars_update,
+    sgd_init,
+    sgd_update,
     zero1_fused_adamw_ema_update,
     zero1_init,
     zero_grads_by_path,
@@ -133,6 +137,14 @@ class SSLConfig:
                                     # round 2 (IJB) — 'dense' lets XLA fuse
                                     # it freely. Param tree is identical
                                     # across impls, so the EMA is unaffected.
+    optimizer: str = "adamw"  # 'adamw' | 'sgd' | 'lars' (the reference's
+                              # --optimizer, lafs_train.py:92-93,399-404:
+                              # "adamw with ViTs", SGD momentum 0.9, "LARS
+                              # ... with convnet and large batches" — e.g.
+                              # the mobile_dino arch). sgd/lars run the
+                              # separate-pass tail: they require
+                              # fused_tail=False and exclude zero1 (the
+                              # fused/sharded tails ship AdamW math only).
     fused_tail: bool = True  # clip+freeze+AdamW+EMA as ONE tree traversal
                              # (optim.fused_adamw_ema_update) — fewer HBM
                              # passes over the ~134M-param state
@@ -250,7 +262,17 @@ def create_ssl_state(
     hd = hd_variables["params"]
     hd_stats = hd_variables.get("batch_stats", {})
     student = {"backbone": bb, "head": hd}
-    if zero1_shards > 1:
+    if cfg.optimizer not in ("adamw", "sgd", "lars"):
+        raise ValueError(f"optimizer must be adamw|sgd|lars, got "
+                         f"{cfg.optimizer!r} (lafs_train.py:92-93)")
+    if cfg.optimizer != "adamw" and zero1_shards > 1:
+        raise ValueError("zero1 moment sharding ships AdamW math only; "
+                         f"optimizer={cfg.optimizer!r} needs zero1=False")
+    if cfg.optimizer == "sgd":
+        opt_state = sgd_init(student)
+    elif cfg.optimizer == "lars":
+        opt_state = lars_init(student)
+    elif zero1_shards > 1:
         opt_state = zero1_init(student, zero1_shards, moment_dtype=cfg.moment_dtype)
     else:
         opt_state = adamw_init(student, moment_dtype=cfg.moment_dtype)
@@ -333,6 +355,12 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
     if zero1 and not cfg.fused_tail:
         raise ValueError("zero1=True requires fused_tail=True (the sharded "
                          "update ships only in the fused tail)")
+    if cfg.optimizer != "adamw" and cfg.fused_tail:
+        raise ValueError(
+            f"optimizer={cfg.optimizer!r} runs the separate-pass tail — set "
+            "fused_tail=False (the fused tail ships AdamW math only; the "
+            "train_ssl CLI does this automatically for --optimizer sgd/lars)"
+        )
     if cfg.glo_diff and vanilla:
         raise ValueError(
             "glo_diff differentiates LANDMARK treatment between the two "
@@ -631,10 +659,23 @@ def make_ssl_train_step(cfg: SSLConfig, mesh: Mesh, donate: bool = False) -> Cal
                 grads = zero_grads_by_path(
                     grads, lambda n: n.endswith("last_layer_g")
                 )
-            new_student, new_opt = adamw_update(
-                grads, state.opt_state, state.student, lr,
-                wd_scale_tree=wd_mask, wd=wd,
-            )
+            if cfg.optimizer == "sgd":
+                # torch.optim.SGD(momentum=0.9) — lafs_train.py:401-402
+                new_student, new_opt = sgd_update(
+                    grads, state.opt_state, state.student, lr, wd=wd,
+                    wd_scale_tree=wd_mask,
+                )
+            elif cfg.optimizer == "lars":
+                # utils.LARS — lafs_train.py:403-404 (1-D params skip wd +
+                # trust-ratio structurally, like DINO's param groups)
+                new_student, new_opt = lars_update(
+                    grads, state.opt_state, state.student, lr, wd=wd,
+                )
+            else:
+                new_student, new_opt = adamw_update(
+                    grads, state.opt_state, state.student, lr,
+                    wd_scale_tree=wd_mask, wd=wd,
+                )
             new_teacher = ema_update(state.teacher, new_student, momentum,
                                      sr_rng=sr_rng)
         new_stats = state.stats

@@ -113,6 +113,48 @@ def test_ema():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
 
 
+def test_sgd_matches_torch():
+    """sgd_update vs torch.optim.SGD(momentum=0.9) — the reference's
+    --optimizer sgd branch (lafs_train.py:401-402), incl. L2-into-grad
+    weight decay and the lazily-created first-step momentum buffer."""
+    from lafs_cvpr2024_tpu.train.optim import sgd_init, sgd_update
+
+    rng = np.random.default_rng(4)
+    p0 = rng.standard_normal((5, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(p0)}
+    state = sgd_init(params)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.SGD([tp], lr=1e-2, momentum=0.9, weight_decay=0.3)
+
+    for i in range(5):
+        g = rng.standard_normal((5, 3)).astype(np.float32)
+        tp.grad = torch.from_numpy(g.copy())
+        opt.step()
+        params, state = sgd_update(
+            {"w": jnp.asarray(g)}, state, params, lr=1e-2, wd=0.3
+        )
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tp.detach().numpy(), rtol=2e-4, atol=1e-6
+    )
+
+
+def test_sgd_wd_mask():
+    """wd_scale_tree=0 leaves get NO weight decay (DINO get_params_groups
+    semantics for bias/1-D params)."""
+    from lafs_cvpr2024_tpu.train.optim import sgd_init, sgd_update
+
+    params = {"w": jnp.ones((2, 2)), "b": jnp.ones(2)}
+    state = sgd_init(params)
+    zeros = {"w": jnp.zeros((2, 2)), "b": jnp.zeros(2)}
+    new_params, _ = sgd_update(
+        zeros, state, params, lr=0.1, wd=1.0,
+        wd_scale_tree={"w": 1.0, "b": 0.0},
+    )
+    assert not np.allclose(np.asarray(new_params["w"]), 1.0)  # decayed
+    np.testing.assert_allclose(np.asarray(new_params["b"]), 1.0)  # masked
+
+
 def test_lars_runs():
     params = {"w": jnp.ones((4, 4)), "b": jnp.ones(4)}
     state = lars_init(params)

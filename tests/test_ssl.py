@@ -520,3 +520,44 @@ def test_random_coor_step_and_refusals():
         )
     with pytest.raises(ValueError, match="mutually exclusive"):
         make_ssl_train_step(replace(cfg, glo_diff=True), mesh)
+
+
+@pytest.mark.parametrize("opt", ["sgd", "lars"])
+def test_ssl_optimizer_choice(opt):
+    """--optimizer {sgd,lars} (lafs_train.py:92-93,399-404): the SSL step
+    trains through the separate-pass tail with the chosen optimizer —
+    student moves, teacher EMA-follows; the fused tail and zero1 refuse
+    non-AdamW."""
+    from dataclasses import replace
+
+    cfg = replace(TINY, optimizer=opt, fused_tail=False)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    state = jax.jit(lambda r: create_ssl_state(cfg, r))(jax.random.PRNGKey(0))
+    land = create_landmark_provider(cfg, jax.random.PRNGKey(1))
+    step = make_ssl_train_step(cfg, mesh)
+    gc, ga, lc, la = (jnp.asarray(x) for x in _batches())
+    s_before = jax.tree_util.tree_leaves(state.student)
+    t_before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.teacher)]
+    state, metrics = step(
+        state, land, gc, ga, lc, la, jnp.float32(1e-2), jnp.float32(0.04),
+        jnp.float32(0.9), jnp.float32(0.04), jnp.float32(1.0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    s_after = jax.tree_util.tree_leaves(state.student)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(s_before, s_after)
+    ), f"student did not move under {opt}"
+    # teacher = 0.9·teacher + 0.1·new_student on every leaf
+    for tb, sa, ta in zip(t_before, s_after,
+                          jax.tree_util.tree_leaves(state.teacher)):
+        np.testing.assert_allclose(
+            np.asarray(ta), 0.9 * tb + 0.1 * np.asarray(sa),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    with pytest.raises(ValueError, match="separate-pass tail"):
+        make_ssl_train_step(replace(TINY, optimizer=opt), mesh)
+    with pytest.raises(ValueError, match="AdamW math only"):
+        create_ssl_state(replace(TINY, optimizer=opt, zero1=True),
+                         jax.random.PRNGKey(0), zero1_shards=4)
