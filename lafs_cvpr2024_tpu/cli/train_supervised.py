@@ -85,8 +85,19 @@ def get_args():
                         "mirror is the sole augmentation, host or "
                         "--device-aug path alike. The README's recipe also "
                         "sets mixup off — pass --mixup-prob 0.0 with it")
-    p.add_argument("--mixup", type=float, default=0.2)
+    p.add_argument("--mixup", type=float, default=0.2,
+                   help="mixup alpha (train_largescale.py:528-531)")
     p.add_argument("--mixup-prob", type=float, default=0.1)
+    p.add_argument("--cutmix", type=float, default=0.0,
+                   help="cutmix alpha (reference --cutmix; 0 = off)")
+    p.add_argument("--mixup-switch-prob", type=float, default=0.5,
+                   help="P(cutmix | both alphas > 0) per batch/sample")
+    p.add_argument("--mixup-mode", default="batch",
+                   choices=["batch", "elem", "pair"],
+                   help="mixup_my.py lam granularity")
+    p.add_argument("--smoothing", type=float, default=0.0,
+                   help="label smoothing folded into the mixup soft "
+                        "targets (reference --smoothing)")
     p.add_argument("--partition", type=float, default=None, help="few-shot fraction")
     p.add_argument("--kshot", type=int, default=None,
                    help="k images per identity (few-shot protocol, README.md:52-56)")
@@ -292,7 +303,10 @@ def main():
         layer_decay=1.0 if iresnet else 0.58,
         acc_step=args.acc_step,
         mixup=MixupConfig(
-            mixup_alpha=args.mixup, prob=args.mixup_prob, num_classes=num_classes
+            mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+            label_smoothing=args.smoothing, mode=args.mixup_mode,
+            num_classes=num_classes,
         ),
         shard_classifier=args.model_axis > 1,
         factored_head=args.factored_head or args.pfc_ratio < 1.0,
