@@ -90,6 +90,11 @@ def get_args():
     p.add_argument("--mixup-prob", type=float, default=0.1)
     p.add_argument("--cutmix", type=float, default=0.0,
                    help="cutmix alpha (reference --cutmix; 0 = off)")
+    p.add_argument("--cutmix-minmax", type=float, nargs=2, default=None,
+                   metavar=("MIN", "MAX"),
+                   help="min/max cutmix box ratios (timm rand_bbox_minmax, "
+                        "util/mixup_my.py:50-68) — overrides the alpha-"
+                        "based box; enables cutmix even at --cutmix 0")
     p.add_argument("--mixup-switch-prob", type=float, default=0.5,
                    help="P(cutmix | both alphas > 0) per batch/sample")
     p.add_argument("--mixup-mode", default="batch",
@@ -304,6 +309,8 @@ def main():
         acc_step=args.acc_step,
         mixup=MixupConfig(
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            cutmix_minmax=(tuple(args.cutmix_minmax)
+                           if args.cutmix_minmax else None),
             prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing, mode=args.mixup_mode,
             num_classes=num_classes,

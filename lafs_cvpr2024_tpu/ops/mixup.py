@@ -13,15 +13,48 @@ All branches are compiled once; random draws use JAX PRNG keys.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp
+
+
+def _check_minmax(minmax):
+    mn, mx = minmax
+    if not (0.0 < mn < mx <= 1.0):
+        raise ValueError(f"cutmix_minmax must satisfy 0 < min < max <= 1, "
+                         f"got {tuple(minmax)}")
+    return float(mn), float(mx)
+
+
+def _minmax_box(k_box, h, w, minmax, m=None):
+    """timm ``rand_bbox_minmax`` (``util/mixup_my.py:50-68``): cut dims drawn
+    uniformly in ``[min·dim, max·dim)`` per axis, top-left corner uniform in
+    ``[0, dim − cut)``; lam is NOT consulted (always corrected from area)."""
+    mn, mx = _check_minmax(minmax)
+    shape = () if m is None else (m,)
+    kh, kw, ky, kx = (jax.random.fold_in(k_box, i) for i in range(4))
+
+    def cut(k, dim):
+        lo = int(dim * mn)
+        hi = max(int(dim * mx), lo + 1)
+        return jax.random.randint(k, shape, lo, hi)
+
+    cut_h, cut_w = cut(kh, h), cut(kw, w)
+    yl = (jax.random.uniform(ky, shape) * (h - cut_h)).astype(jnp.int32)
+    xl = (jax.random.uniform(kx, shape) * (w - cut_w)).astype(jnp.int32)
+    return yl, yl + cut_h, xl, xl + cut_w
 
 
 @dataclass(frozen=True)
 class MixupConfig:
     mixup_alpha: float = 0.2
     cutmix_alpha: float = 0.0
+    cutmix_minmax: Any = None  # (min, max) box-ratio pair — overrides the
+                               # beta-lam box with timm's rand_bbox_minmax
+                               # (util/mixup_my.py:50-68,74-75); enables
+                               # cutmix even at cutmix_alpha=0, lam always
+                               # comes from the corrected box area
     prob: float = 0.1
     switch_prob: float = 0.5
     label_smoothing: float = 0.0
@@ -30,7 +63,8 @@ class MixupConfig:
 
     @property
     def enabled(self) -> bool:
-        return self.mixup_alpha > 0 or self.cutmix_alpha > 0
+        return (self.mixup_alpha > 0 or self.cutmix_alpha > 0
+                or self.cutmix_minmax is not None)
 
 
 def _beta_vec(key, alpha: float, n: int):
@@ -53,33 +87,38 @@ def _mixup_elem_or_pair(key, images, cfg: "MixupConfig", pair: bool):
     m = n // 2 if pair else n
     k_prob, k_switch, k_lam, k_box = jax.random.split(key, 4)
     apply = jax.random.uniform(k_prob, (m,)) < cfg.prob
-    both = cfg.mixup_alpha > 0 and cfg.cutmix_alpha > 0
-    if both:
+    cut_on = cfg.cutmix_alpha > 0 or cfg.cutmix_minmax is not None
+    c_alpha = cfg.cutmix_alpha if cfg.cutmix_alpha > 0 else 1.0
+    if cfg.mixup_alpha > 0 and cut_on:
         use_cutmix = jax.random.uniform(k_switch, (m,)) < cfg.switch_prob
         lam_mix = jnp.where(
             use_cutmix,
-            _beta_vec(k_lam, cfg.cutmix_alpha, m),
+            _beta_vec(k_lam, c_alpha, m),
             _beta_vec(jax.random.fold_in(k_lam, 2), cfg.mixup_alpha, m),
         )
-    elif cfg.cutmix_alpha > 0:
+    elif cut_on:
         use_cutmix = jnp.ones((m,), bool)
-        lam_mix = _beta_vec(k_lam, cfg.cutmix_alpha, m)
+        lam_mix = _beta_vec(k_lam, c_alpha, m)
     else:
         use_cutmix = jnp.zeros((m,), bool)
         lam_mix = _beta_vec(k_lam, cfg.mixup_alpha, m)
     lam = jnp.where(apply, lam_mix, 1.0)
 
-    # per-element CutMix boxes (timm rand_bbox + correct_lam)
+    # per-element CutMix boxes (timm rand_bbox + correct_lam; minmax spec
+    # routes to rand_bbox_minmax, util/mixup_my.py:50-68)
     h, w = images.shape[1], images.shape[2]
-    ratio = jnp.sqrt(1.0 - lam)
-    cut_h = (h * ratio).astype(jnp.int32)
-    cut_w = (w * ratio).astype(jnp.int32)
-    cy = jax.random.randint(k_box, (m,), 0, h)
-    cx = jax.random.randint(jax.random.fold_in(k_box, 1), (m,), 0, w)
-    yl = jnp.clip(cy - cut_h // 2, 0, h)
-    yh = jnp.clip(cy + cut_h // 2, 0, h)
-    xl = jnp.clip(cx - cut_w // 2, 0, w)
-    xh = jnp.clip(cx + cut_w // 2, 0, w)
+    if cfg.cutmix_minmax is not None:
+        yl, yh, xl, xh = _minmax_box(k_box, h, w, cfg.cutmix_minmax, m=m)
+    else:
+        ratio = jnp.sqrt(1.0 - lam)
+        cut_h = (h * ratio).astype(jnp.int32)
+        cut_w = (w * ratio).astype(jnp.int32)
+        cy = jax.random.randint(k_box, (m,), 0, h)
+        cx = jax.random.randint(jax.random.fold_in(k_box, 1), (m,), 0, w)
+        yl = jnp.clip(cy - cut_h // 2, 0, h)
+        yh = jnp.clip(cy + cut_h // 2, 0, h)
+        xl = jnp.clip(cx - cut_w // 2, 0, w)
+        xh = jnp.clip(cx + cut_w // 2, 0, w)
     lam_cut = 1.0 - ((yh - yl) * (xh - xl)).astype(jnp.float32) / (h * w)
     use_cut = apply & use_cutmix
     lam_eff = jnp.where(use_cut, lam_cut, lam)
@@ -159,15 +198,19 @@ def mixup_cutmix_factors(key, images, labels, cfg: MixupConfig):
 
     k_prob, k_switch, k_lam, k_box = jax.random.split(key, 4)
     apply = jax.random.uniform(k_prob) < cfg.prob
-    both = cfg.mixup_alpha > 0 and cfg.cutmix_alpha > 0
-    if both:
+    # cutmix is active at cutmix_alpha>0 OR with a minmax box spec (timm
+    # Mixup.__init__ forces alpha 1.0 under minmax; the beta draw is
+    # discarded — lam always comes from the corrected box area)
+    cut_on = cfg.cutmix_alpha > 0 or cfg.cutmix_minmax is not None
+    c_alpha = cfg.cutmix_alpha if cfg.cutmix_alpha > 0 else 1.0
+    if cfg.mixup_alpha > 0 and cut_on:
         use_cutmix = jax.random.uniform(k_switch) < cfg.switch_prob
         lam_mix = jnp.where(
-            use_cutmix, _beta(k_lam, cfg.cutmix_alpha), _beta(k_lam, cfg.mixup_alpha)
+            use_cutmix, _beta(k_lam, c_alpha), _beta(k_lam, cfg.mixup_alpha)
         )
-    elif cfg.cutmix_alpha > 0:
+    elif cut_on:
         use_cutmix = jnp.bool_(True)
-        lam_mix = _beta(k_lam, cfg.cutmix_alpha)
+        lam_mix = _beta(k_lam, c_alpha)
     else:
         use_cutmix = jnp.bool_(False)
         lam_mix = _beta(k_lam, cfg.mixup_alpha)
@@ -176,17 +219,21 @@ def mixup_cutmix_factors(key, images, labels, cfg: MixupConfig):
     flipped = jnp.flip(images, axis=0)
     mixed_mix = images * lam + flipped * (1.0 - lam)
 
-    # CutMix box (timm rand_bbox with correct_lam, util/mixup_my.py:26-81).
+    # CutMix box (timm rand_bbox with correct_lam, util/mixup_my.py:26-81;
+    # minmax spec routes to rand_bbox_minmax, :50-68)
     h, w = images.shape[1], images.shape[2]
-    ratio = jnp.sqrt(1.0 - lam)
-    cut_h = (h * ratio).astype(jnp.int32)
-    cut_w = (w * ratio).astype(jnp.int32)
-    cy = jax.random.randint(k_box, (), 0, h)
-    cx = jax.random.randint(jax.random.fold_in(k_box, 1), (), 0, w)
-    yl = jnp.clip(cy - cut_h // 2, 0, h)
-    yh = jnp.clip(cy + cut_h // 2, 0, h)
-    xl = jnp.clip(cx - cut_w // 2, 0, w)
-    xh = jnp.clip(cx + cut_w // 2, 0, w)
+    if cfg.cutmix_minmax is not None:
+        yl, yh, xl, xh = _minmax_box(k_box, h, w, cfg.cutmix_minmax)
+    else:
+        ratio = jnp.sqrt(1.0 - lam)
+        cut_h = (h * ratio).astype(jnp.int32)
+        cut_w = (w * ratio).astype(jnp.int32)
+        cy = jax.random.randint(k_box, (), 0, h)
+        cx = jax.random.randint(jax.random.fold_in(k_box, 1), (), 0, w)
+        yl = jnp.clip(cy - cut_h // 2, 0, h)
+        yh = jnp.clip(cy + cut_h // 2, 0, h)
+        xl = jnp.clip(cx - cut_w // 2, 0, w)
+        xh = jnp.clip(cx + cut_w // 2, 0, w)
     rows = jnp.arange(h)[None, :, None, None]
     cols = jnp.arange(w)[None, None, :, None]
     in_box = (rows >= yl) & (rows < yh) & (cols >= xl) & (cols < xh)
@@ -226,17 +273,18 @@ class FastCollateMixup:
         cfg = self.cfg
         lam = np.ones(m, np.float32)
         use_cutmix = np.zeros(m, bool)
-        both = cfg.mixup_alpha > 0 and cfg.cutmix_alpha > 0
-        if both:
+        cut_on = cfg.cutmix_alpha > 0 or cfg.cutmix_minmax is not None
+        c_alpha = cfg.cutmix_alpha if cfg.cutmix_alpha > 0 else 1.0
+        if cfg.mixup_alpha > 0 and cut_on:
             use_cutmix = self._rng.random(m) < cfg.switch_prob
             lam_mix = np.where(
                 use_cutmix,
-                self._rng.beta(cfg.cutmix_alpha, cfg.cutmix_alpha, m),
+                self._rng.beta(c_alpha, c_alpha, m),
                 self._rng.beta(cfg.mixup_alpha, cfg.mixup_alpha, m),
             )
-        elif cfg.cutmix_alpha > 0:
+        elif cut_on:
             use_cutmix[:] = True
-            lam_mix = self._rng.beta(cfg.cutmix_alpha, cfg.cutmix_alpha, m)
+            lam_mix = self._rng.beta(c_alpha, c_alpha, m)
         else:
             lam_mix = self._rng.beta(cfg.mixup_alpha, cfg.mixup_alpha, m)
         apply = self._rng.random(m) < cfg.prob
@@ -246,6 +294,15 @@ class FastCollateMixup:
     def _bbox(self, h, w, lam):
         import numpy as np
 
+        if self.cfg.cutmix_minmax is not None:
+            # timm rand_bbox_minmax (util/mixup_my.py:50-68): lam ignored
+            mn, mx = _check_minmax(self.cfg.cutmix_minmax)
+            ch = int(self._rng.integers(int(h * mn), max(int(h * mx), int(h * mn) + 1)))
+            cw = int(self._rng.integers(int(w * mn), max(int(w * mx), int(w * mn) + 1)))
+            yl = int(self._rng.integers(0, max(h - ch, 1)))
+            xl = int(self._rng.integers(0, max(w - cw, 1)))
+            lam_c = 1.0 - ch * cw / float(h * w)
+            return (yl, yl + ch, xl, xl + cw), np.float32(lam_c)
         ratio = np.sqrt(1.0 - lam)
         ch, cw = int(h * ratio), int(w * ratio)
         cy, cx = self._rng.integers(0, h), self._rng.integers(0, w)

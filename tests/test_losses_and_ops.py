@@ -200,6 +200,61 @@ def test_mixup_elem_cutmix_boxes():
         np.testing.assert_allclose(targets[i][j], frac_partner, atol=0.02)
 
 
+def test_cutmix_minmax_boxes():
+    """cutmix_minmax (timm rand_bbox_minmax, util/mixup_my.py:50-68):
+    enables cutmix even at cutmix_alpha=0; every box dimension lands in
+    [min·dim, max·dim); the soft-target weight equals the corrected box
+    area. Checked per-element across a batch, plus the batch-mode and
+    host-collate variants, and the bad-spec refusal."""
+    import pytest
+
+    h = w = 32
+    cfg = MixupConfig(
+        mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.25, 0.5),
+        prob=1.0, num_classes=8, mode="elem",
+    )
+    assert cfg.enabled
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.uniform(0, 1, (6, h, w, 3)).astype(np.float32))
+    labels = jnp.arange(6)
+    mixed, targets = mixup_cutmix(jax.random.PRNGKey(9), imgs, labels, cfg)
+    mixed, targets = np.asarray(mixed), np.asarray(targets)
+    imgs_np = np.asarray(imgs)
+    for i in range(6):
+        j = 5 - i
+        from_partner = np.isclose(mixed[i], imgs_np[j]).all(-1)
+        ys, xs = np.nonzero(from_partner)
+        bh, bw = ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
+        assert int(h * 0.25) <= bh < max(int(h * 0.5), int(h * 0.25) + 1) + 1
+        assert int(w * 0.25) <= bw < max(int(w * 0.5), int(w * 0.25) + 1) + 1
+        np.testing.assert_allclose(targets[i][j], from_partner.mean(),
+                                   atol=0.02)
+
+    # batch mode: one shared box, same bounds
+    cfgb = MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0,
+                       cutmix_minmax=(0.25, 0.5), prob=1.0, num_classes=8,
+                       mode="batch")
+    mixedb, targetsb = mixup_cutmix(jax.random.PRNGKey(3), imgs, labels, cfgb)
+    fp = np.isclose(np.asarray(mixedb)[0], imgs_np[5]).all(-1)
+    assert 0.25 * 0.25 * 0.9 <= fp.mean() <= 0.5 * 0.5 * 1.1
+
+    # host collate twin
+    from lafs_cvpr2024_tpu.ops.mixup import FastCollateMixup
+
+    collate = FastCollateMixup(cfg, seed=1)
+    u8 = (imgs_np * 255).astype(np.uint8)
+    _, t_host = collate(u8, np.arange(6) % 8)
+    np.testing.assert_allclose(t_host.sum(-1), 1.0, atol=1e-5)
+    assert (t_host.max(-1) <= 1.0 - 0.25 * 0.25 + 1e-6).all(), (
+        "minmax guarantees a box of at least min² area every time"
+    )
+
+    with pytest.raises(ValueError, match="cutmix_minmax"):
+        mixup_cutmix(jax.random.PRNGKey(0), imgs, labels,
+                     MixupConfig(cutmix_minmax=(0.9, 0.2), prob=1.0,
+                                 num_classes=8, mode="batch"))
+
+
 def test_mixup_unknown_mode_raises():
     import pytest
 
